@@ -1,0 +1,110 @@
+package graft.extract
+
+import graft.html.{HtmlParseError, Node, Parser, PyText, Serializer, Urls}
+import graft.extract.Scoring.ScoredNode
+import scala.collection.mutable
+
+/**
+ * E1→E17 wired — the reference's `Article` lifecycle
+ * (breadability/readable.py:353-458) as a per-row pure computation. Stages
+ * are lazy to mirror the reference's `cached_property` chain (the same
+ * mutable DOM flows through them in order).
+ */
+final class Article private (html: String, url: String) {
+
+  /** OriginalDocument.dom (document.py:127-137): decode → breaks→p →
+    * parse + absolutize. Throws HtmlParseError on unparseable input. */
+  lazy val originalDom: Node = {
+    val converted = Breaks.convertBreaksToParagraphs(html)
+    val dom = Parser.parseDocument(converted)
+    Urls.absolutizeLinks(dom, url)
+    dom
+  }
+
+  /** document.py:145-151 */
+  lazy val title: String = {
+    try {
+      val t = originalDom.find("title")
+      if (t == null || t.text == null) "" else PyText.strip(t.text)
+    } catch { case _: Throwable => "" }
+  }
+
+  /** Article.dom (readable.py:374-383): clean in place + leaf div → p;
+    * null when parsing failed. */
+  lazy val dom: Node = {
+    try {
+      val d = originalDom
+      Clean(d)
+      Readable.leafDivElementsIntoParagraphs(d)
+    } catch {
+      case _: HtmlParseError => null
+    }
+  }
+
+  var nodesPruned: Long = 0L
+
+  /** Article.candidates (readable.py:385-395). null ⇔ reference None/{}-falsy. */
+  lazy val candidates: mutable.LinkedHashMap[Node, ScoredNode] = {
+    if (dom == null || dom.children.isEmpty) null
+    else {
+      val (cands, unlikely) = Readable.findCandidates(dom)
+      nodesPruned += unlikely.count(_.parent != null)
+      Readable.dropNodesWithParents(unlikely)
+      cands
+    }
+  }
+
+  /** readable.py:410-437 — always the <div id="readabilityBody"> element. */
+  lazy val readableDom: Node = computeReadable()
+
+  private def computeReadable(): Node = {
+    if (candidates == null || candidates.isEmpty) return handleNoCandidates()
+    val best = candidates.valuesIterator.toList.sortBy(c => -c.contentScore) // stable
+    val winner = best.head
+    val updatedWinner = Readable.checkSiblings(winner, candidates)
+    val prepped = Readable.prepArticle(updatedWinner.node)
+    if (prepped == null) return handleNoCandidates()
+    val dom2 = Readable.buildBaseDocument(prepped)
+    Readable.removeOrphans(findReadabilityBody(dom2))
+  }
+
+  private def findReadabilityBody(n: Node): Node = {
+    if (n.attrs.getOrElse("id", null) == "readabilityBody") return n
+    var res: Node = null
+    def walk(m: Node): Unit = {
+      if (res != null) return
+      if (m.attrs.getOrElse("id", null) == "readabilityBody") { res = m; return }
+      m.children.foreach(walk)
+    }
+    walk(n.root)
+    if (res != null) res else n
+  }
+
+  /** readable.py:446-458 */
+  private def handleNoCandidates(): Node = {
+    if (dom != null && dom.children.nonEmpty) {
+      val prepped = Readable.prepArticle(dom)
+      if (prepped == null) return Readable.buildErrorDocument()
+      val base = Readable.buildBaseDocument(prepped)
+      Readable.removeOrphans(findReadabilityBody(base))
+    } else {
+      Readable.buildErrorDocument()
+    }
+  }
+
+  /** Article.readable (readable.py:402-404): serialized with tail (lxml default). */
+  lazy val readable: String = Serializer.toUnicode(readableDom)
+
+  /** Article.main_text (readable.py:397-400): annotated paragraphs of the
+    * readabilityBody subtree (reference deepcopies; our walk is read-only). */
+  lazy val mainText: List[AnnotatedText.Paragraph] = AnnotatedText.parse(readableDom)
+
+  def isParseError: Boolean =
+    readableDom.attrs.getOrElse("class", null) == "parsing-error"
+}
+
+object Article {
+  def apply(html: String, url: String = null): Article = new Article(html, url)
+  def fromBytes(html: Array[Byte], url: String = null): Article =
+    new Article(Decode.decodeHtml(html), url)
+}

@@ -1,0 +1,38 @@
+package graft.extract
+
+import java.util.regex.{Matcher, Pattern}
+
+/**
+ * E2 — string-level `<br>`/`<hr>` run → `</p><p>` rewrite
+ * (breadability/document.py:64-87): a run of break tags is replaced iff it
+ * contains an `<hr` or at least two `<br`; otherwise left untouched.
+ */
+object Breaks {
+
+  private val BreakTags =
+    Pattern.compile("""(?:<\s*[bh]r[^>]*>\s*)+""", Pattern.CASE_INSENSITIVE)
+
+  def convertBreaksToParagraphs(html: String): String = {
+    val m = BreakTags.matcher(html)
+    val sb = new java.lang.StringBuilder
+    while (m.find()) {
+      val tags = m.group()
+      // NOTE: the reference's replacement callback is case-SENSITIVE even
+      // though the run pattern is case-insensitive (document.py:79-87).
+      val replacement =
+        if (tags.contains("<hr")) "</p><p>"
+        else if (countOccurrences(tags, "<br") > 1) "</p><p>"
+        else tags
+      m.appendReplacement(sb, Matcher.quoteReplacement(replacement))
+    }
+    m.appendTail(sb)
+    sb.toString
+  }
+
+  private def countOccurrences(s: String, sub: String): Int = {
+    var n = 0
+    var i = s.indexOf(sub)
+    while (i >= 0) { n += 1; i = s.indexOf(sub, i + sub.length) }
+    n
+  }
+}

@@ -1,0 +1,127 @@
+package graft.extract
+
+import graft.html.{Node, PyText}
+import java.util.regex.Pattern
+import scala.collection.mutable
+
+/**
+ * E7 + scalar helpers — candidate scoring (breadability/scoring.py).
+ * Regex alternations verbatim from scoring.py:19-38; score constants from
+ * scoring.py:141-222 and ScoredNode priors from scoring.py:234-249.
+ */
+object Scoring {
+
+  val ClsUnlikely: Pattern = Pattern.compile(
+    "combx|comment|community|disqus|extra|foot|header|menu|remark|rss|" +
+      "shoutbox|sidebar|sponsor|ad-break|agegate|pagination|pager|perma|popup|" +
+      "tweet|twitter|social|breadcrumb",
+    Pattern.CASE_INSENSITIVE)
+
+  val ClsMaybe: Pattern = Pattern.compile(
+    "and|article|body|column|main|shadow|entry", Pattern.CASE_INSENSITIVE)
+
+  val ClsWeightPositive: Pattern = Pattern.compile(
+    "article|body|content|entry|main|page|pagination|post|text|blog|story",
+    Pattern.CASE_INSENSITIVE)
+
+  val ClsWeightNegative: Pattern = Pattern.compile(
+    "combx|comment|com-|contact|foot|footer|footnote|head|masthead|media|meta|" +
+      "outbrain|promo|related|scroll|shoutbox|sidebar|sponsor|shopping|tags|" +
+      "tool|widget",
+    Pattern.CASE_INSENSITIVE)
+
+  /** scoring.py:43-53 */
+  def checkNodeAttributes(pattern: Pattern, node: Node, attributes: String*): Boolean =
+    attributes.exists { a =>
+      val v = node.attrs.getOrElse(a, null)
+      v != null && pattern.matcher(v).find()
+    }
+
+  /** scoring.py:72-100 — link-text / text ratio with the 50-chars-per-img bonus. */
+  def getLinkDensity(node: Node, nodeText: String = null): Double = {
+    val raw = if (nodeText == null) node.textContent else nodeText
+    val text = PyText.normalizeWhitespace(PyText.strip(raw))
+    val textLength = PyText.pyLen(text)
+    if (textLength == 0) return 0.0
+    var linksLength = 0L
+    node.findAll("a").foreach { a =>
+      linksLength += PyText.pyLen(PyText.normalizeWhitespace(PyText.strip(a.textContent)))
+    }
+    val imgBonuses = 50L * node.findAll("img").length
+    val adj = math.max(0L, linksLength - imgBonuses)
+    adj.toDouble / textLength
+  }
+
+  /** scoring.py:107-125 — class and id weighed independently (±25 each). */
+  def getClassWeight(node: Node): Int = {
+    var weight = 0
+    if (checkNodeAttributes(ClsWeightNegative, node, "class")) weight -= 25
+    if (checkNodeAttributes(ClsWeightPositive, node, "class")) weight += 25
+    if (checkNodeAttributes(ClsWeightNegative, node, "id")) weight -= 25
+    if (checkNodeAttributes(ClsWeightPositive, node, "id")) weight += 25
+    weight
+  }
+
+  /** scoring.py:128-138 — <body> is never unlikely. */
+  def isUnlikelyNode(node: Node): Boolean = {
+    val unlikely = checkNodeAttributes(ClsUnlikely, node, "class", "id")
+    val maybe = checkNodeAttributes(ClsMaybe, node, "class", "id")
+    unlikely && !maybe && node.tag != "body"
+  }
+
+  /** ScoredNode — tag prior (assignment, not sum) + class weight (scoring.py:234-249). */
+  final class ScoredNode(val node: Node) {
+    var contentScore: Double = {
+      var s = 0.0
+      node.tag match {
+        case "div" | "article"            => s = 5
+        case "pre" | "td" | "blockquote"  => s = 3
+        case "address" | "ol" | "ul" | "dl" | "dd" | "dt" | "li" | "form" => s = -3
+        case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" | "th"              => s = -5
+        case _                            =>
+      }
+      s
+    }
+    contentScore += getClassWeight(node)
+  }
+
+  /**
+   * scoring.py:141-222 — per scorable node with parent+grandparent and
+   * ≥25 chars of text: base 1 + 0.25/comma − 0.5/quote + min(len/100, 3);
+   * parent gets 1×, grandparent 0.5×, node itself 1×; finally every
+   * candidate ×(1 − link_density). Candidates keyed by node identity in
+   * insertion order (we iterate nodes in document order ⇒ deterministic).
+   */
+  def scoreCandidates(nodes: Iterable[Node]): mutable.LinkedHashMap[Node, ScoredNode] = {
+    val MinHitLength = 25
+    val candidates = mutable.LinkedHashMap.empty[Node, ScoredNode]
+    nodes.foreach { node =>
+      val parent = node.parent
+      if (parent != null) {
+        val grand = parent.parent
+        if (grand != null) {
+          val innerText = PyText.strip(node.textContent)
+          if (PyText.pyLen(innerText) >= MinHitLength) {
+            if (!candidates.contains(parent)) candidates(parent) = new ScoredNode(parent)
+            if (!candidates.contains(grand)) candidates(grand) = new ScoredNode(grand)
+            var contentScore = 1.0
+            if (innerText.nonEmpty) {
+              contentScore += PyText.countChar(innerText, ',') * 0.25
+              contentScore += PyText.countChar(innerText, '"') * -0.5
+              val lengthPoints = PyText.pyLen(innerText) / 100.0
+              contentScore += math.min(lengthPoints, 3.0)
+            }
+            candidates(parent).contentScore += contentScore
+            candidates(grand).contentScore += contentScore / 2.0
+            if (!candidates.contains(node)) candidates(node) = new ScoredNode(node)
+            candidates(node).contentScore += contentScore
+          }
+        }
+      }
+    }
+    candidates.valuesIterator.foreach { c =>
+      c.contentScore *= (1.0 - getLinkDensity(c.node))
+    }
+    candidates
+  }
+}

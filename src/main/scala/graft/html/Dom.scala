@@ -1,0 +1,206 @@
+package graft.html
+
+import scala.collection.mutable
+
+/**
+ * Mutable DOM node with lxml-style text/tail semantics.
+ *
+ * The reference engine (bookieio/breadability) mutates lxml `HtmlElement`
+ * trees; every structural operation it relies on is reproduced here with the
+ * same text-preservation rules (reference: breadability/readable.py:213-224
+ * `drop_tree`, readable.py:439-444 `drop_tag`, readable.py:163-164 `append`
+ * moves the node together with its tail).
+ *
+ *  - `text` is the character data before the first child.
+ *  - `tail` is the character data after this element's end tag (it belongs
+ *    to the parent's content but travels with this node on `append`).
+ */
+final class Node(var tag: String) {
+  var text: String = null
+  var tail: String = null
+  var parent: Node = null
+  val attrs: mutable.LinkedHashMap[String, String] = mutable.LinkedHashMap.empty
+  val children: mutable.ArrayBuffer[Node] = mutable.ArrayBuffer.empty
+
+  def get(name: String): Option[String] = attrs.get(name)
+  def getOrNull(name: String): String = attrs.getOrElse(name, null)
+  def set(name: String, value: String): Unit = attrs(name) = value
+
+  def indexIn(p: Node): Int = {
+    var i = 0
+    val cs = p.children
+    while (i < cs.length) { if (cs(i) eq this) return i; i += 1 }
+    -1
+  }
+
+  def prevSibling: Node = {
+    if (parent == null) return null
+    val i = indexIn(parent)
+    if (i > 0) parent.children(i - 1) else null
+  }
+
+  def nextSibling: Node = {
+    if (parent == null) return null
+    val i = indexIn(parent)
+    if (i >= 0 && i < parent.children.length - 1) parent.children(i + 1) else null
+  }
+
+  /** lxml `append`: relocates `child` (with its tail) under this node. */
+  def append(child: Node): Unit = {
+    if (child.parent != null) {
+      val i = child.indexIn(child.parent)
+      if (i >= 0) child.parent.children.remove(i)
+    }
+    child.parent = this
+    children += child
+  }
+
+  def insert(idx: Int, child: Node): Unit = {
+    if (child.parent != null) {
+      val i = child.indexIn(child.parent)
+      if (i >= 0) child.parent.children.remove(i)
+    }
+    child.parent = this
+    children.insert(idx, child)
+  }
+
+  /** Plain removal (lxml `parent.remove(el)`): tail leaves with the node. */
+  def remove(child: Node): Unit = {
+    val i = child.indexIn(this)
+    if (i >= 0) { this.children.remove(i); child.parent = null }
+  }
+
+  /**
+   * lxml html `drop_tree`: removes this node and its children/text but
+   * merges its tail into the previous sibling's tail (or the parent's text).
+   * Reference relies on this at readable.py:218.
+   */
+  def dropTree(): Unit = {
+    val p = parent
+    if (p == null) return
+    if (tail != null && tail.nonEmpty) {
+      val prev = prevSibling
+      if (prev == null) p.text = (if (p.text == null) "" else p.text) + tail
+      else prev.tail = (if (prev.tail == null) "" else prev.tail) + tail
+      tail = null
+    }
+    p.remove(this)
+  }
+
+  /**
+   * lxml html `drop_tag`: unwrap — remove this element, splice its children
+   * into the parent at its position; text merges left, tail merges into the
+   * last child's tail (or left if childless). Reference: readable.py:442.
+   */
+  def dropTag(): Unit = {
+    val p = parent
+    if (p == null) return
+    val prev = prevSibling
+    if (text != null && text.nonEmpty) {
+      if (prev == null) p.text = (if (p.text == null) "" else p.text) + text
+      else prev.tail = (if (prev.tail == null) "" else prev.tail) + text
+    }
+    if (tail != null && tail.nonEmpty) {
+      if (children.nonEmpty) {
+        val last = children.last
+        last.tail = (if (last.tail == null) "" else last.tail) + tail
+      } else if (prev == null) p.text = (if (p.text == null) "" else p.text) + tail
+      else prev.tail = (if (prev.tail == null) "" else prev.tail) + tail
+    }
+    val idx = indexIn(p)
+    val kids = children.toList
+    p.children.remove(idx)
+    kids.zipWithIndex.foreach { case (c, i) => c.parent = p; p.children.insert(idx + i, c) }
+    children.clear()
+    parent = null
+    text = null
+    tail = null
+  }
+
+  /** Document root (topmost ancestor). */
+  def root: Node = { var n = this; while (n.parent != null) n = n.parent; n }
+
+  /** Preorder iteration including self (lxml `iter()`), snapshot-based. */
+  def iterAll: List[Node] = {
+    val buf = mutable.ListBuffer.empty[Node]
+    def walk(n: Node): Unit = { buf += n; n.children.foreach(walk) }
+    walk(this)
+    buf.toList
+  }
+
+  /** Descendants of this node with the given tag, document order. */
+  def findAll(t: String): List[Node] = {
+    val buf = mutable.ListBuffer.empty[Node]
+    def walk(n: Node): Unit =
+      n.children.foreach { c => if (c.tag == t) buf += c; walk(c) }
+    walk(this)
+    buf.toList
+  }
+
+  def find(t: String): Node = {
+    var res: Node = null
+    def walk(n: Node): Unit = {
+      var i = 0
+      while (res == null && i < n.children.length) {
+        val c = n.children(i)
+        if (c.tag == t) res = c else walk(c)
+        i += 1
+      }
+    }
+    walk(this)
+    res
+  }
+
+  /** First element anywhere in this node's whole tree with the given id. */
+  def getElementById(id: String): Node = {
+    var res: Node = null
+    def walk(n: Node): Unit = {
+      if (res != null) return
+      if (n.attrs.getOrElse("id", null) == id) { res = n; return }
+      n.children.foreach(walk)
+    }
+    walk(root)
+    res
+  }
+
+  /** XPath string(): concatenated descendant text (text + tails). */
+  def textContent: String = {
+    val sb = new java.lang.StringBuilder
+    def walk(n: Node): Unit = {
+      if (n.text != null) sb.append(n.text)
+      n.children.foreach { c => walk(c); if (c.tail != null) sb.append(c.tail) }
+    }
+    walk(this)
+    sb.toString
+  }
+
+  /**
+   * Live descendant iterator with lxml's one-step-ahead semantics: the
+   * successor of the yielded node is computed *before* the caller's loop
+   * body mutates the tree. This is what makes the reference's
+   * `_remove_orphans` (readable.py:439-444) keep iterating after `drop_tag`
+   * detaches the current node.
+   */
+  def iterDescendantsLive: Iterator[Node] = new Iterator[Node] {
+    private val bound = Node.this
+    private var nxt: Node = if (children.nonEmpty) children.head else null
+    override def hasNext: Boolean = nxt != null
+    override def next(): Node = {
+      val cur = nxt
+      nxt = successor(cur)
+      cur
+    }
+    private def successor(n: Node): Node = {
+      if (n.children.nonEmpty) return n.children.head
+      var m = n
+      while (m != null && (m ne bound)) {
+        val sib = m.nextSibling
+        if (sib != null) return sib
+        m = m.parent
+      }
+      null
+    }
+  }
+
+  override def toString: String = s"<$tag ${attrs.map { case (k, v) => s"$k=$v" }.mkString(" ")}>"
+}

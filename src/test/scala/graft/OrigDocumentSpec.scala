@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.extract.{Article, Breaks, Decode}
+
+/** Transliterated from /root/reference/tests/test_orig_document.py. */
+class OrigDocumentSpec extends AnyFunSuite {
+
+  test("convert br tags to paragraphs (test_orig_document.py:23-28)") {
+    val returned = Breaks.convertBreaksToParagraphs(
+      "<div>HI<br><br>How are you?<br><br> \t \n  <br>Fine\n I guess</div>")
+    assert(returned == "<div>HI</p><p>How are you?</p><p>Fine\n I guess</div>")
+  }
+
+  test("convert hr tags to paragraphs (test_orig_document.py:31-35)") {
+    val returned = Breaks.convertBreaksToParagraphs(
+      "<div>HI<br><br>How are you?<hr/> \t \n  <br>Fine\n I guess</div>")
+    assert(returned == "<div>HI</p><p>How are you?</p><p>Fine\n I guess</div>")
+  }
+
+  test("read min document: title (test_orig_document.py:38-43)") {
+    val a = Article.fromBytes(Fixtures.snippetBytes("document_min.html"))
+    assert(a.title == "Min Document Title")
+  }
+
+  test("base url absolutizes links (test_orig_document.py:46-68)") {
+    val a = Article.fromBytes(
+      Fixtures.snippetBytes("document_absolute_url.html"),
+      "http://blog.mitechie.com/test.html")
+    val links = a.originalDom.findAll("a")
+    assert(links.length == 3)
+    val blog = links.count(_.attrs("href").startsWith("http://blog.mitechie.com"))
+    assert(blog == 2)
+    assert(links.length - blog == 1)
+  }
+
+  test("no br survives break conversion (test_orig_document.py:71-75)") {
+    val a = Article.fromBytes(Fixtures.snippetBytes("document_min.html"))
+    assert(a.originalDom.find("br") == null)
+  }
+
+  test("empty / tags-only / missing title (test_orig_document.py:78-98)") {
+    assert(Article("<html><head><title></title></head><body></body></html>").title == "")
+    assert(Article("<html><head><title><em></em></title></head><body></body></html>").title == "")
+    assert(Article("<html><head></head><body></body></html>").title == "")
+  }
+
+  test("encoding: iso-8859-2 bytes decode to a string (test_orig_document.py:101-106)") {
+    val text = "ľščťžýáíéäúňôůě".getBytes("iso-8859-2")
+    val html = Decode.decodeHtml(text)
+    assert(html != null && html.nonEmpty)
+  }
+
+  test("encoding: short utf-8 round trip (test_orig_document.py:108-113)") {
+    val text = "ľščťžýáíé".getBytes("utf-8")
+    assert(Decode.decodeHtml(text) == "ľščťžýáíé")
+  }
+}
