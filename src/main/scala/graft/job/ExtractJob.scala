@@ -1,0 +1,135 @@
+package graft.job
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.CollectionAccumulator
+import graft.extract.{Extracted, Extractor, Page}
+
+/**
+ * The production extraction job (reference lifecycle SURVEY.md §3.1):
+ *
+ *   scan pages (column-pruned, partition-pruned)
+ *     → salted repartition (one shuffle; skew policy in Salting)
+ *     → typed map Extractor.extract (whole-stage-codegen'd MapElements)
+ *     → partitioned Parquet write of Extracted rows (map-side)
+ *
+ * Resumability: `--resume` left-anti-joins the input against the urls
+ * already present in the output (done-manifest) and appends only the
+ * missing rows; a fresh run uses dynamic partition overwrite so re-running
+ * a day/bucket slice is idempotent. Together: checkpointed resume with
+ * exactly-once output per url.
+ *
+ * Metrics: Dataset.observe aggregates extraction counters in the same
+ * pass; per-partition lineage rows (partition id, rows, bytes) are
+ * collected via an accumulator (no second pass over the data) and written
+ * to `<out>/_lineage`.
+ *
+ * Usage: ExtractJob <pagesDir> <outDir> [--resume] [--partitions N]
+ */
+object ExtractJob {
+
+  def main(args: Array[String]): Unit = {
+    val pos = args.filterNot(_.startsWith("--")).filterNot(a =>
+      args.indexOf(a) > 0 && args(args.indexOf(a) - 1) == "--partitions")
+    val Array(pagesDir, outDir) = pos.take(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val partitions = args.sliding(2).collectFirst {
+      case Array("--partitions", v) => v.toInt
+    }.getOrElse(cpus.toInt * 2)
+
+    val spark = SparkSession.builder()
+      .appName("graft-extract")
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus.toInt)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      .config("spark.sql.parquet.compression.codec", "zstd")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val resume = args.contains("--resume")
+    val n = run(spark, pagesDir, outDir, partitions, resume)
+    println(s"""{"extracted_rows":$n,"out":"$outDir"}""")
+    spark.stop()
+  }
+
+  def run(spark: SparkSession, pagesDir: String, outDir: String,
+          partitions: Int, resume: Boolean): Long = {
+    import spark.implicits._
+
+    var input: DataFrame = spark.read.parquet(pagesDir)
+      .select(PageTableIO.ExtractColumns.map(col): _*)
+
+    var priorOutput = false
+    if (resume) {
+      val done = doneManifest(spark, outDir)
+      if (done != null) { priorOutput = true; input = input.join(done, Seq("url"), "left_anti") }
+    }
+
+    val pages: Dataset[Page] = Salting.saltedRepartition(input, partitions)
+      .select(col("url"), col("warc_ts"), col("html"),
+        coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("lang"), lit("")).as("lang"))
+      .as[Page]
+
+    val lineageAcc: CollectionAccumulator[(Int, Long, Long)] =
+      spark.sparkContext.collectionAccumulator[(Int, Long, Long)]("lineage")
+
+    val extracted: Dataset[Extracted] = pages
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var rows = 0L
+        var bytes = 0L
+        val mapped = it.map { p =>
+          rows += 1
+          bytes += (if (p.html == null) 0L else p.html.length.toLong)
+          Extractor.extract(p)
+        }
+        new Iterator[Extracted] {
+          override def hasNext: Boolean = {
+            val h = mapped.hasNext
+            if (!h && rows >= 0) { lineageAcc.add((pid, rows, bytes)); rows = -1 }
+            h
+          }
+          override def next(): Extracted = mapped.next()
+        }
+      }
+      .observe("extract_metrics",
+        count(lit(1)).as("docs"),
+        sum(when(col("status") === "ok", 1L).otherwise(0L)).as("ok_docs"),
+        sum(col("metrics.candidates_scored")).as("candidates_scored"),
+        sum(col("metrics.nodes_pruned")).as("nodes_pruned"),
+        sum(col("metrics.bytes_in")).as("bytes_in"),
+        sum(col("metrics.bytes_out")).as("bytes_out"))
+
+    val out = extracted.toDF()
+      .withColumn("warc_day", to_date(col("warc_ts")))
+
+    out.write
+      .mode(if (priorOutput) SaveMode.Append else SaveMode.Overwrite)
+      .partitionBy("warc_day")
+      .parquet(s"$outDir/extracted")
+
+    // lineage: one tuple per task, collected driver-side — write after the action
+    val lineageRows = {
+      import scala.jdk.CollectionConverters._
+      lineageAcc.value.asScala.toSeq
+    }
+    if (lineageRows.nonEmpty) {
+      lineageRows.toDF("partition_id", "rows", "bytes_in")
+        .coalesce(1).write.mode(SaveMode.Append).parquet(s"$outDir/_lineage")
+    }
+
+    spark.read.parquet(s"$outDir/extracted").count()
+  }
+
+  /** Done-manifest: urls already extracted (null when no prior output). */
+  def doneManifest(spark: SparkSession, outDir: String): DataFrame = {
+    try {
+      spark.read.parquet(s"$outDir/extracted").select("url").distinct()
+    } catch {
+      case _: Throwable => null
+    }
+  }
+}
