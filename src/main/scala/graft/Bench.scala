@@ -1,24 +1,80 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.extract.{Extractor, Page}
+
+/**
+ * Benchmark main (driver contract): times every SparkEntry query on
+ * SPARK_GRAFT_SF_DIR plus the extraction headline (docs/sec over the
+ * replicated real-article corpus), printing ONE JSON line.
+ *
+ * Env knobs:
+ *   SPARK_GRAFT_SF_DIR      testdata dir (default /root/testdata/sf0.1)
+ *   SPARK_GRAFT_CPUS        local[N] parallelism (default 32)
+ *   SPARK_GRAFT_BENCH_DOCS  headline corpus size (default 3000 docs)
+ *   SPARK_GRAFT_ARTICLES    dir with fixture articles (default repo path)
+ */
 object Bench {
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "3000").toInt
+
     val spark = SparkSession.builder()
+      .appName("graft-bench")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    import spark.implicits._
+
+    // ---- extraction headline: docs/sec over replicated real articles ----
+    val articleDir = sys.env.getOrElse("SPARK_GRAFT_ARTICLES",
+      "/root/repo/src/test/resources/fixtures/articles")
+    val names = graft.job.FixtureGen.Articles
+    val articles: Seq[(String, Array[Byte])] =
+      if (new java.io.File(articleDir).isDirectory)
+        names.map(n => (n, java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(articleDir, n))))
+      else Seq.empty
+
+    var docsPerSec = 0.0
+    var mbPerSec = 0.0
+    var extractSec = 0.0
+    if (articles.nonEmpty) {
+      val bc = spark.sparkContext.broadcast(articles)
+      val totalBytes = articles.map(_._2.length.toLong).sum * (benchDocs / articles.length)
+      def corpus = spark.range(0, benchDocs, 1, cpus.toInt * 2).map { i =>
+        val arts = bc.value
+        val (name, html) = arts((i % arts.length).toInt)
+        Page(s"bench://$name/$i", new java.sql.Timestamp(1767225600000L + i * 60000L),
+          html, "", "")
+      }
+      // warmup (JIT) on a slice
+      corpus.limit(200).map(Extractor.extract).count()
+      val t0 = System.nanoTime()
+      val n = corpus.map(Extractor.extract)
+        .select("status").where($"status" === "ok").count()
+      extractSec = (System.nanoTime() - t0) / 1e9
+      docsPerSec = n / extractSec
+      mbPerSec = totalBytes / 1e6 / extractSec
+    }
+
+    // ---- per-query timings ----------------------------------------------
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum + extractSec
+
+    println(
+      f"""{"metric":"extract_docs_per_sec","value":$docsPerSec%.1f,"unit":"docs/sec","total_sec":$total%.2f,"extract_sec":$extractSec%.2f,"extract_mb_per_sec":$mbPerSec%.1f,"bench_docs":$benchDocs,"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

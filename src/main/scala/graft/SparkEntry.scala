@@ -1,13 +1,425 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.extract.{Extractor, Page}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextOps}
+
+/**
+ * Driver contract (SURVEY.md §7): `entry` = flagship extraction over a
+ * synthesized pages table; `queries` = one entry per operator family
+ * (extraction-stage analogues, relational/job-level ops, and the
+ * training-data pipeline operators: dedup / similarity / text analysis /
+ * multimodal); `oracleSql` = DuckDB equivalents where the semantics are
+ * SQL-expressible (the rest get the driver's rows-only check and are
+ * verified by the scalatest goldens instead).
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Deterministic HTML wrapping of the documents table — the sandbox
+    * stand-in for Common-Crawl page bytes (no external data). */
+  private def synthPages(s: SparkSession, dir: String) = {
+    import s.implicits._
+    docs(s, dir).select(col("doc_id"), col("text"), col("lang"))
+      .as[(Long, String, String)]
+      .map { case (id, text, lang) =>
+        val html =
+          s"""<html><head><title>Document $id</title></head><body>
+             |<div class="article"><p>$text</p></div>
+             |</body></html>""".stripMargin
+        Page(s"synth://doc/$id", new java.sql.Timestamp(1767225600000L + id * 60000L),
+          html.getBytes(java.nio.charset.StandardCharsets.UTF_8), text, lang)
+      }
+  }
+
+  /** Flagship: full extraction pipeline over the synthesized pages table. */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    synthPages(spark, "/root/testdata/sf0.001")
+      .map(Extractor.extract)
+      .toDF()
+      .select(col("url"), col("status"), col("title"),
+        length(col("extracted_text")).as("text_len"))
+  }
+
+  // Reference regex alternations, verbatim (breadability/scoring.py:19-38)
+  private val ReUnlikely = "(?i)combx|comment|community|disqus|extra|foot|header|menu|remark|rss|shoutbox|sidebar|sponsor|ad-break|agegate|pagination|pager|perma|popup|tweet|twitter|social|breadcrumb"
+  private val ReMaybe = "(?i)and|article|body|column|main|shadow|entry"
+  private val RePos = "(?i)article|body|content|entry|main|page|pagination|post|text|blog|story"
+  private val ReNeg = "(?i)combx|comment|com-|contact|foot|footer|footnote|head|masthead|media|meta|outbrain|promo|related|scroll|shoutbox|sidebar|sponsor|shopping|tags|tool|widget"
+
+  /** Synthetic class/id strings so the class-weight regexes exercise all
+    * branches on the vocabulary-limited testdata corpus. */
+  private val ClsChoices = Seq(
+    "article main", "comment footer", "sidebar widget", "content body",
+    "menu nav", "entry post", "masthead head", "story page")
+  private def synthCls(id: Column): Column =
+    element_at(typedlit(ClsChoices), (pmod(id, lit(ClsChoices.length)) + 1).cast("int"))
+  private val SqlClsList = ClsChoices.map(c => s"'$c'").mkString("[", ", ", "]")
+  private def sqlSynthCls(id: String) = s"($SqlClsList)[($id % ${ClsChoices.length}) + 1]"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- relational / job-level ops ----------------------------------
+    "q01_pricing_agg" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q02_broadcast_join" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val customer = s.read.parquet(s"$dir/customer.parquet")
+      orders.join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("order_cnt"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "q03_anti_join" -> ((s, dir) => {
+      // the resume pattern (ExtractJob done-manifest): anti-join the input
+      // against a partial "done" set
+      val customer = s.read.parquet(s"$dir/customer.parquet")
+      val done = s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderdate") >= lit("1997-06-01"))
+      customer.join(done, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q04_topk_window" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      orders.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select(col("o_orderpriority"), col("rnk"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"))
+        .orderBy(col("o_orderpriority"), col("rnk"))
+    }),
+
+    "q05_monthly_rollup" -> ((s, dir) => {
+      s.read.parquet(s"$dir/orders.parquet")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("orders"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("month"))
+    }),
+
+    "q06_sessionize" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      ev.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 1800, 1)
+            .otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_sess")).as("sessions"), count(lit(1)).as("events"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- extraction-stage analogues (documents) -----------------------
+    "q07_normalize_ws" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), TextOps.normalizeWs(col("text")).as("norm_text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q08_token_count" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q09_comma_score" -> ((s, dir) => {
+      // E7 scoring arithmetic (scoring.py:177-196): 1 + 0.25/comma −
+      // 0.5/quote + min(len/100, 3)
+      val t = col("text")
+      val commas = length(t) - length(regexp_replace(t, ",", ""))
+      val quotes = length(t) - length(regexp_replace(t, "\"", ""))
+      docs(s, dir).select(col("doc_id"),
+        round(lit(1.0) + commas * 0.25 - quotes * 0.5 +
+          least(length(t) / lit(100.0), lit(3.0)), 4).as("content_score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q10_class_weight" -> ((s, dir) => {
+      // get_class_weight (scoring.py:107-125) over synthetic class strings
+      val cls = synthCls(col("doc_id"))
+      val weight = when(cls.rlike(ReNeg), -25).otherwise(0) +
+        when(cls.rlike(RePos), 25).otherwise(0)
+      docs(s, dir).select(col("doc_id"), cls.as("cls"), weight.as("weight"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q11_unlikely_filter" -> ((s, dir) => {
+      // is_unlikely_node (scoring.py:128-138) as a corpus filter
+      val cls = synthCls(col("doc_id"))
+      docs(s, dir).select(col("doc_id"), cls.as("cls"))
+        .where(cls.rlike(ReUnlikely) && !cls.rlike(ReMaybe))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q12_lang_id" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), TextOps.langId(col("text")).as("pred_lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q13_quality_score" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q14_fingerprint" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- dedup family --------------------------------------------------
+    "q15_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(docs(s, dir), "doc_id", "text")
+        .orderBy(col("fp"))
+    }),
+
+    "q16_ngram_jaccard" -> ((s, dir) => {
+      // blocked to every-20th doc + same-lang pairs to bound the postings
+      // join fanout on the vocabulary-limited synthetic corpus
+      val sub = docs(s, dir).where(pmod(col("doc_id"), lit(5)) === 0)
+      val sh = sub.select(col("doc_id").as("id"), col("lang"),
+        Dedup.shingleHashes(col("text")).as("sh"))
+        .withColumn("n", size(col("sh")))
+      val postings = sh.select(col("id"), col("lang"), col("n"), explode(col("sh")).as("s"))
+      val a = postings.select(col("s"), col("lang"), col("id").as("id_a"), col("n").as("n_a"))
+      val b = postings.select(col("s"), col("lang"), col("id").as("id_b"), col("n").as("n_b"))
+      a.join(b, Seq("s", "lang"))
+        .where(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("jaccard",
+          round(col("inter").cast("double") /
+            (col("n_a") + col("n_b") - col("inter")).cast("double"), 4))
+        .where(col("jaccard") >= 0.02)
+        .select(col("id_a"), col("id_b"), col("inter"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q17_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLsh(
+        docs(s, dir).where(pmod(col("doc_id"), lit(5)) === 0),
+        "doc_id", "text", k = 32, bands = 16, threshold = 0.02)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q18_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(
+        docs(s, dir).where(pmod(col("doc_id"), lit(10)) === 0),
+        "doc_id", "text", maxDist = 16)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q19_embedding_neardup" -> ((s, dir) => {
+      Dedup.embeddingNearDup(emb(s, dir), "vec_id", "embedding",
+        threshold = 0.45, planes = 6, tables = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- similarity search ---------------------------------------------
+    "q20_knn_brute" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bruteKnn(e, e.where(col("vec_id") < 10),
+        "vec_id", "embedding", "vec_id", k = 10)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    "q21_knn_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfKnn(e, e.where(col("vec_id") < 10),
+        "vec_id", "embedding", "vec_id", k = 10, planes = 6, tables = 4)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // ---- extraction (the engine itself) --------------------------------
+    "q22_extract_docs" -> ((s, dir) => {
+      import s.implicits._
+      synthPages(s, dir)
+        .map(Extractor.extract)
+        .toDF()
+        .select(
+          regexp_extract(col("url"), "(\\d+)$", 1).cast("long").as("doc_id"),
+          col("status"), col("title"),
+          col("extracted_text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- multimodal plumbing -------------------------------------------
+    "q23_multimodal_features" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.synthesize(s, docs(s, dir), "doc_id", "text")
+      Multimodal.extractFeatures(s, media)
+        .toDF()
+        .select(col("media_id"), col("kind"), col("bytes"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          round(element_at(col("features"), 1), 4).as("f0"))
+        .orderBy(col("media_id"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS cnt
+        |FROM lineitem WHERE l_shipdate <= '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_broadcast_join" ->
+      """SELECT c_mktsegment, count(*) AS order_cnt,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q03_anti_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= '1997-06-01')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q04_topk_window" ->
+      """SELECT o_orderpriority, rnk, o_orderkey, price FROM (
+        |  SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS price,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |  FROM orders) t
+        |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin,
+
+    "q05_monthly_rollup" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  count(*) AS orders, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+
+    "q06_sessionize" ->
+      """SELECT user_id, sum(new_sess)::BIGINT AS sessions, count(*)::BIGINT AS events FROM (
+        |  SELECT user_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) t
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q07_normalize_ws" ->
+      """SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q08_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q09_comma_score" ->
+      """SELECT doc_id,
+        |  round(1.0 + (length(text) - length(replace(text, ',', ''))) * 0.25
+        |            - (length(text) - length(replace(text, '"', ''))) * 0.5
+        |            + least(length(text) / 100.0, 3.0), 4) AS content_score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q10_class_weight" -> {
+      val cls = sqlSynthCls("doc_id")
+      s"""SELECT doc_id, $cls AS cls,
+         |  (CASE WHEN regexp_matches($cls, '(?i)$ReNegSql') THEN -25 ELSE 0 END
+         | + CASE WHEN regexp_matches($cls, '(?i)$RePosSql') THEN 25 ELSE 0 END) AS weight
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "q11_unlikely_filter" -> {
+      val cls = sqlSynthCls("doc_id")
+      s"""SELECT doc_id, $cls AS cls FROM documents
+         |WHERE regexp_matches($cls, '(?i)$ReUnlikelySql')
+         |  AND NOT regexp_matches($cls, '(?i)$ReMaybeSql')
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q14_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q15_dedup_exact" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |  min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "q16_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |sh AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(CASE WHEN len(t) >= 3
+        |      THEN [hash(array_to_string(t[i:i+2], ' ')) for i in range(1, len(t) - 1)]
+        |      ELSE [hash(array_to_string(t, ' '))] END) AS s
+        |  FROM toks),
+        |n AS (SELECT doc_id, lang, len(s) AS n, s FROM sh),
+        |post AS (SELECT doc_id, lang, n, unnest(s) AS h FROM n)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+        |  round(count(*)::DOUBLE / (any_value(a.n) + any_value(b.n) - count(*)), 4) AS jaccard
+        |FROM post a JOIN post b ON a.h = b.h AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id
+        |HAVING round(count(*)::DOUBLE / (any_value(a.n) + any_value(b.n) - count(*)), 4) >= 0.02
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // The engine's own E1→E16 pipeline on synthesized single-article pages
+    // reduces to whitespace normalization of the payload text (every doc is
+    // ≥25 chars ⇒ candidate path; title lives in <head>) — giving DuckDB an
+    // exact oracle over the REAL extraction output.
+    "q22_extract_docs" ->
+      """SELECT doc_id, 'ok' AS status,
+        |  'Document ' || doc_id AS title,
+        |  trim(regexp_replace(text, '\s+', ' ', 'g')) AS extracted_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q20_knn_brute" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id AS id,
+        |    round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+        |      / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+        |       * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+        |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+        |ranked AS (
+        |  SELECT qid, id, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank
+        |  FROM scored)
+        |SELECT qid, rank, id, cos FROM ranked WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
+  )
+
+  // regexes with single quotes escaped for SQL embedding (none contain ')
+  private def ReUnlikelySql = ReUnlikely.stripPrefix("(?i)")
+  private def ReMaybeSql = ReMaybe.stripPrefix("(?i)")
+  private def RePosSql = RePos.stripPrefix("(?i)")
+  private def ReNegSql = ReNeg.stripPrefix("(?i)")
 }

@@ -1,0 +1,244 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for web-scale corpora. All are expressed as
+ * DataFrame transformations whose physical plans are the ones you want at
+ * 10^12 rows:
+ *
+ *  - exact:   one hash-aggregate on a 16-byte key (map-side partial agg)
+ *  - minhash: shingle→signature→band explode→bucket self-join; the join is
+ *             an equi-join on (band, band_hash) so buckets co-locate in one
+ *             shuffle; candidate pairs verified with true Jaccard
+ *  - simhash: 64-bit signature via bitwise column math, Hamming-ball pairs
+ *  - ngram:   blocked n-gram Jaccard (inverted-index style equi-join)
+ *  - cosine:  embedding near-dup via random-hyperplane LSH buckets
+ *
+ * Everything is built-in Catalyst expressions (codegen'd); no Python, no
+ * driver-side loops.
+ */
+object Dedup {
+
+  // ---- shingling ------------------------------------------------------
+
+  /** Lowercase whitespace tokens. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Word n-gram shingles (n=3): sliding windows via sequence+transform. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", slice(t, i, lit(n)))))
+      .otherwise(array(concat_ws(" ", t)))
+  }
+
+  /** Distinct shingle 64-bit hashes. */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    array_distinct(transform(shingles(text, n), s => xxhash64(s)))
+
+  // ---- exact ----------------------------------------------------------
+
+  /**
+   * Exact dedup: group on the md5 fingerprint of normalized text; emit one
+   * row per distinct content with the keeper (min id) and duplicate count.
+   * Single shuffle on a small key; partial aggregation map-side.
+   */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(TextOps.fingerprint(col(textCol)).as("fp"), col(idCol).as("id"))
+      .groupBy(col("fp"))
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  // ---- minhash + LSH --------------------------------------------------
+
+  /** Deterministic affine hash family over a base xxhash64 (Carter-Wegman
+    * style): h_i(x) = (a_i*x + b_i) mod 2^61-1. */
+  private val MersennePrime = (1L << 61) - 1
+  private def hashParams(k: Int): Seq[(Long, Long)] = {
+    // splitmix64 stream from seed 42 — deterministic, no RNG object
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    // a,b < 2^31 so a*h' + b stays within signed-64 when h' < 2^31
+    (0 until k).map { i =>
+      val a = math.abs(mix(42L + 2L * i)) % (Int.MaxValue.toLong - 1) + 1
+      val b = math.abs(mix(43L + 2L * i)) % Int.MaxValue.toLong
+      (a, b)
+    }
+  }
+
+  /** MinHash signature as an array column of k minima (overflow-safe:
+    * base hash reduced mod 2^31-1 before the affine map). */
+  def minhashSignature(text: Column, k: Int = 32): Column = {
+    val hashes = shingleHashes(text)
+    val mins = hashParams(k).map { case (a, b) =>
+      array_min(transform(hashes, h =>
+        pmod(pmod(h, lit(Int.MaxValue.toLong)) * lit(a) + lit(b), lit(MersennePrime))))
+    }
+    array(mins: _*)
+  }
+
+  /**
+   * MinHash-LSH near-dup candidate pairs with verified Jaccard.
+   * k minhashes in `bands` bands of k/bands rows: docs sharing any full
+   * band land in a bucket; bucket equi-join yields candidates; true
+   * n-gram Jaccard filters to `threshold`.
+   */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+                 k: Int = 32, bands: Int = 8,
+                 threshold: Double = 0.8): DataFrame = {
+    val rows = k / bands
+    val withSig = df.select(
+      col(idCol).as("id"),
+      shingleHashes(col(textCol)).as("sh"),
+      minhashSignature(col(textCol), k).as("sig"))
+
+    val banded = withSig.select(
+      col("id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(
+          concat_ws(",", transform(slice(col("sig"), b * lit(rows) + lit(1), lit(rows)),
+            x => x.cast("string"))),
+          b))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+
+    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val pairs = a.join(b, Seq("band", "band_hash"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    pairs
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  // ---- simhash --------------------------------------------------------
+
+  /**
+   * 64-bit SimHash as pure column math: for each bit position, count
+   * token hashes with that bit set vs total, set the bit when the majority
+   * has it. Near-dups = pairs within Hamming distance `maxDist`, found by
+   * 4-way table-split blocking (any identical 16-bit quarter → candidate).
+   */
+  def simhash(text: Column): Column = {
+    val hs = transform(tokens(text), t => xxhash64(t))
+    val n = size(hs)
+    val bits = (0 until 64).map { b =>
+      val cnt = aggregate(hs, lit(0),
+        (acc, h) => acc + when(h.bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(0))
+      when(cnt * 2 >= n, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    val withSig = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    // block on 16-bit quarters (pigeonhole: dist<=3 ⇒ some quarter equal)
+    val quarters = withSig.select(
+      col("id"), col("sig"),
+      posexplode(array((0 until 4).map(q =>
+        shiftrightunsigned(col("sig"), q * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "q").withColumnRenamed("col", "qv")
+    val a = quarters.select(col("q"), col("qv"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = quarters.select(col("q"), col("qv"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("q", "qv"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .where(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  // ---- blocked n-gram Jaccard ----------------------------------------
+
+  /**
+   * Inverted-index n-gram Jaccard: explode distinct shingle hashes, join
+   * postings on the shingle (equi-join, one shuffle), count shared
+   * shingles per pair, derive Jaccard from |A|+|B|−|A∩B|. Blocking comes
+   * free from the postings join (pairs sharing nothing never meet).
+   */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), shingleHashes(col(textCol)).as("sh"))
+      .withColumn("n", size(col("sh")))
+    val postings = sh.select(col("id"), col("n"), explode(col("sh")).as("s"))
+    val a = postings.select(col("s"), col("id").as("id_a"), col("n").as("n_a"))
+    val b = postings.select(col("s"), col("id").as("id_b"), col("n").as("n_b"))
+    a.join(b, Seq("s"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  // ---- embedding cosine near-dup --------------------------------------
+
+  /** Cosine similarity of two float-array columns in double precision. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    dot / (na * nb)
+  }
+
+  /**
+   * Embedding near-dup via random-hyperplane LSH: `planes` sign bits per
+   * table, `tables` tables; docs sharing a full sign pattern in any table
+   * are candidates; verified by exact cosine.
+   */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double = 0.95,
+                       planes: Int = 12, tables: Int = 4): DataFrame = {
+    val dim = 64
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    // deterministic hyperplanes: component c of plane p = mix-based in [-1,1]
+    def planeVec(table: Int, p: Int): Seq[Double] =
+      (0 until dim).map(c => (mix(table * 1009L + p * 131L + c).toDouble / Long.MaxValue))
+
+    val sigCols = (0 until tables).map { t =>
+      val bits = (0 until planes).map { p =>
+        val pv = planeVec(t, p)
+        val dot = aggregate(
+          zip_with(col(vecCol), typedlit(pv), (x, w) => x.cast("double") * w),
+          lit(0.0), (acc, x) => acc + x)
+        when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+      }
+      bits.reduce((x, y) => x.bitwiseOR(y)).as(s"sig_$t")
+    }
+
+    val withSig = df.select((Seq(col(idCol).as("id"), col(vecCol).as("v")) ++ sigCols): _*)
+    val exploded = withSig.select(col("id"), col("v"),
+      posexplode(array((0 until tables).map(t => col(s"sig_$t")): _*)))
+      .withColumnRenamed("pos", "t").withColumnRenamed("col", "sig")
+    val a = exploded.select(col("t"), col("sig"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = exploded.select(col("t"), col("sig"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("t", "sig"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+  }
+}

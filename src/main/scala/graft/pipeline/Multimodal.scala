@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Multimodal-column plumbing: image/audio/video payloads ride as opaque
+ * `binary` columns with a typed metadata struct, and per-batch feature
+ * extraction runs via `mapPartitions` (the JVM analogue of `mapInPandas`:
+ * batched, columnar-friendly, one decoder instance per partition).
+ *
+ * The actual media decode is STUBBED — this container has no image/audio
+ * codecs — behind `MediaDecoder`, which produces a deterministic fake
+ * (byte-statistics) feature vector. The Spark-side contract (schema,
+ * batching, partition-level decoder lifecycle, null/short-payload
+ * handling) is real and tested; swapping in a real decoder is a one-class
+ * change.
+ */
+object Multimodal {
+
+  final case class MediaMeta(kind: String, width: Int, height: Int, durationMs: Long)
+  final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+  final case class MediaFeatures(media_id: Long, kind: String, bytes: Long,
+                                 meta: MediaMeta, features: Array[Float])
+
+  /**
+   * STUB decoder — deterministic fake in place of a real codec.
+   * Real implementation would decode the payload (JPEG/PNG/WAV/...) and
+   * emit true dimensions + a model embedding; here: sizes derived from a
+   * stable hash of the bytes, features = normalized 16-bin byte histogram.
+   */
+  final class MediaDecoder {
+    def decode(kind: String, payload: Array[Byte]): (MediaMeta, Array[Float]) = {
+      if (payload == null || payload.isEmpty)
+        return (MediaMeta(kind, 0, 0, 0L), Array.fill(16)(0f))
+      var h = 1125899906842597L
+      var i = 0
+      while (i < math.min(payload.length, 4096)) { h = 31 * h + payload(i); i += 1 }
+      val meta = kind match {
+        case "image" => MediaMeta(kind, 64 + (math.abs(h) % 1920).toInt, 64 + (math.abs(h >> 11) % 1080).toInt, 0L)
+        case "audio" => MediaMeta(kind, 0, 0, 1000L + math.abs(h) % 600000L)
+        case "video" => MediaMeta(kind, 320 + (math.abs(h) % 1600).toInt, 240 + (math.abs(h >> 7) % 840).toInt, 1000L + math.abs(h >> 13) % 3600000L)
+        case _       => MediaMeta(kind, 0, 0, 0L)
+      }
+      val hist = new Array[Float](16)
+      i = 0
+      while (i < payload.length) { hist((payload(i) & 0xF0) >> 4) += 1f; i += 1 }
+      val n = payload.length.toFloat
+      var j = 0
+      while (j < 16) { hist(j) /= n; j += 1 }
+      (meta, hist)
+    }
+  }
+
+  /** Frame-sample stub: deterministic frame offsets for a video payload. */
+  def frameSampleOffsets(durationMs: Long, frames: Int): Seq[Long] =
+    if (durationMs <= 0 || frames <= 0) Nil
+    else (0 until frames).map(i => durationMs * i / frames)
+
+  /**
+   * Batched feature extraction: one decoder per partition (mirrors the
+   * per-batch model initialization pattern of mapInPandas at scale).
+   */
+  def extractFeatures(spark: SparkSession, media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val decoder = new MediaDecoder
+      it.map { m =>
+        val (meta, feats) = decoder.decode(m.kind, m.payload)
+        MediaFeatures(m.media_id, m.kind,
+          if (m.payload == null) 0L else m.payload.length.toLong, meta, feats)
+      }
+    }
+  }
+
+  /** Synthesize a deterministic media table from any binary-ish source
+    * column (sandbox stand-in for a crawl's media side-table). */
+  def synthesize(spark: SparkSession, df: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"),
+      element_at(typedlit(Seq("image", "audio", "video")),
+        (pmod(col(idCol).cast("long"), lit(3)) + 1).cast("int")).as("kind"),
+      encode(col(textCol), "UTF-8").as("payload"))
+      .as[MediaRow]
+  }
+}

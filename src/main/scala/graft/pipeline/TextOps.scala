@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for a large-scale training-data pipeline, all as
+ * Catalyst Column expressions (whole-stage-codegen'd, no UDFs): whitespace
+ * normalization, token counting, heuristic language ID, quality scoring,
+ * document fingerprinting. Mirrors of the per-document scalar helpers the
+ * extraction engine uses (breadability/utils.py, scoring.py) lifted to
+ * column level so they run at scan throughput.
+ */
+object TextOps {
+
+  /** Collapse whitespace runs to single spaces + trim (column-level analogue
+    * of utils.py:36-51 normalize_whitespace). */
+  def normalizeWs(text: Column): Column =
+    trim(regexp_replace(text, "\\s+", " "))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish subword count: words + punctuation marks counted separately —
+    * a cheap stand-in for tokenizer budgeting at corpus scale. */
+  def subwordCount(text: Column): Column =
+    size(split(trim(text), "\\s+")) +
+      length(regexp_replace(text, "[^.,;:!?]", "")).cast("int")
+
+  /**
+   * Heuristic language ID via stopword hit ratios (n-gram-free variant —
+   * the synthetic corpus is space-tokenized). Scores a small stopword set
+   * per language and takes the argmax; "und" when nothing matches.
+   */
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), lower(normalizeWs(text)), lit(" "))
+    def hits(words: Seq[String]): Column =
+      words.map(w => size(split(padded, s"\\s$w\\s")) - 1)
+        .reduce(_ + _)
+    val en = hits(Seq("the", "and", "of", "a", "to", "is"))
+    val de = hits(Seq("der", "die", "und", "das", "ist", "ein"))
+    val fr = hits(Seq("le", "la", "et", "les", "des", "est"))
+    val es = hits(Seq("el", "de", "y", "que", "los", "una"))
+    val best = greatest(en, de, fr, es)
+    when(best <= 0, lit("und"))
+      .when(en === best, lit("en"))
+      .when(de === best, lit("de"))
+      .when(fr === best, lit("fr"))
+      .otherwise(lit("es"))
+  }
+
+  /**
+   * Quality score in [0,1] from length/punctuation/stopword ratios — the
+   * standard web-text quality gate shape (length band + sentence-final
+   * punctuation + function-word presence − symbol noise).
+   */
+  def qualityScore(text: Column): Column = {
+    val norm = normalizeWs(text)
+    val len = length(norm).cast("double")
+    val words = tokenCount(norm).cast("double")
+    val meanWordLen = when(words > 0, len / words).otherwise(lit(0.0))
+    val punct = length(regexp_replace(norm, "[^.!?]", "")).cast("double")
+    val symbols = length(regexp_replace(norm, "[\\p{L}\\p{N}\\s.,;:!?'\"()-]", "")).cast("double")
+    val stopHits = (size(split(concat(lit(" "), lower(norm), lit(" ")), "\\s(the|and|of|a|to|is)\\s")) - 1).cast("double")
+    val lengthBand = when(len >= 200 && len <= 20000, 1.0)
+      .when(len >= 50, 0.5).otherwise(0.0)
+    val wordShape = when(meanWordLen >= 3 && meanWordLen <= 12, 1.0).otherwise(0.3)
+    val punctRate = least(punct / greatest(words, lit(1.0)) * 10.0, lit(1.0))
+    val stopRate = least(stopHits / greatest(words, lit(1.0)) * 5.0, lit(1.0))
+    val noise = least(symbols / greatest(len, lit(1.0)) * 20.0, lit(1.0))
+    round((lengthBand * 0.3 + wordShape * 0.2 + punctRate * 0.2 + stopRate * 0.3) * (lit(1.0) - noise * 0.5), 4)
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text —
+    * the exact-dedup key (stable across engines). */
+  def fingerprint(text: Column): Column =
+    md5(lower(normalizeWs(text)))
+}
