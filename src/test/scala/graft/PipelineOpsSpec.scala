@@ -1,0 +1,120 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Correctness of the training-data pipeline operators on planted cases. */
+class PipelineOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSessionFixture.spark
+  import org.apache.spark.sql.Row
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical normalized text") {
+    val df = docsDf(Seq(
+      (1L, "hello  world"), (2L, "hello world"), (3L, "Hello WORLD"),
+      (4L, "something else entirely")))
+    val out = Dedup.exact(df, "doc_id", "text").collect()
+    assert(out.length == 2)
+    val dupGroup = out.find(_.getAs[Long]("dup_count") == 3L).get
+    assert(dupGroup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash LSH finds planted near-duplicates") {
+    val base = (1 to 60).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 57).map(i => s"token$i").mkString(" ") + " tokenX tokenY tokenZ"
+    val other = (100 to 160).map(i => s"word$i").mkString(" ")
+    val df = docsDf(Seq((1L, base), (2L, nearDup), (3L, other)))
+    val pairs = Dedup.minhashLsh(df, "doc_id", "text", k = 32, bands = 16, threshold = 0.5)
+      .collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("id_a") == 1L && pairs.head.getAs[Long]("id_b") == 2L)
+    assert(pairs.head.getAs[Double]("jaccard") > 0.8)
+  }
+
+  test("simhash: identical docs at distance 0, planted near-dup within 3") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 39).map(i => s"tok$i").mkString(" ") + " tokDIFFERENT"
+    val far = (200 to 240).map(i => s"z$i").mkString(" ")
+    val df = docsDf(Seq((1L, base), (2L, base), (3L, near), (4L, far)))
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxDist = 3).collect()
+    val p12 = pairs.find(r => r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L)
+    assert(p12.isDefined && p12.get.getAs[Int]("hamming") == 0)
+    assert(!pairs.exists(r => r.getAs[Long]("id_b") == 4L && r.getAs[Int]("hamming") == 0))
+  }
+
+  test("ngram jaccard: identical docs score 1.0") {
+    val text = (1 to 30).map(i => s"w$i").mkString(" ")
+    val df = docsDf(Seq((1L, text), (2L, text), (3L, "totally different words here now")))
+    val out = Dedup.ngramJaccard(df, "doc_id", "text", threshold = 0.9).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("brute knn: duplicate vector is its own nearest neighbor at cos 1") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(1f, 0f, 0f, 0f)),   // duplicate of 0
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0.9f, 0.1f, 0f, 0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.bruteKnn(df, df.where($"vec_id" === 0), "vec_id", "embedding", "vec_id", k = 2)
+      .collect()
+    assert(out.head.getAs[Long]("id") == 1L)
+    assert(out.head.getAs[Double]("cos") == 1.0)
+    assert(out(1).getAs[Long]("id") == 3L)
+  }
+
+  test("ivf knn recalls the exact duplicate (same bucket by construction)") {
+    import spark.implicits._
+    val dim = 64
+    def unit(i: Int) = Array.tabulate(dim)(j => if (j == i % dim) 1f else 0f)
+    val vecs = (0L until 50L).map(i => (i, unit(i.toInt))) :+ (99L, unit(7))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.ivfKnn(df, df.where($"vec_id" === 7), "vec_id", "embedding", "vec_id",
+      k = 3, planes = 6, tables = 4, dim = dim).collect()
+    assert(out.nonEmpty)
+    assert(out.head.getAs[Long]("id") == 99L, out.mkString(";"))
+    assert(out.head.getAs[Double]("cos") == 1.0)
+  }
+
+  test("text ops: langId picks stopword-heavy language; quality in [0,1]") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog of a house is to be"),
+      (2L, "der hund und die katze ist ein tier und der"),
+      (3L, "le chat et la maison les arbres des fleurs est"),
+      (4L, "zzz qqq xxx")).toDF("doc_id", "text")
+    val m = df.select($"doc_id", TextOps.langId($"text").as("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) == "en")
+    assert(m(2L) == "de")
+    assert(m(3L) == "fr")
+    assert(m(4L) == "und")
+    val qs = df.select(TextOps.qualityScore($"text")).collect().map(_.getDouble(0))
+    assert(qs.forall(q => q >= 0.0 && q <= 1.0))
+  }
+
+  test("multimodal plumbing: schema, deterministic stub features, nulls") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", "somebytes".getBytes),
+      Multimodal.MediaRow(2L, "audio", "otherbytes".getBytes),
+      Multimodal.MediaRow(3L, "video", Array.emptyByteArray))
+    val out = Multimodal.extractFeatures(spark, spark.createDataset(media)).collect()
+    assert(out.length == 3)
+    assert(out.forall(_.features.length == 16))
+    val img = out.find(_.media_id == 1L).get
+    assert(img.meta.width > 0 && img.meta.height > 0)
+    // deterministic: second run identical
+    val out2 = Multimodal.extractFeatures(spark, spark.createDataset(media)).collect()
+    assert(out.map(_.features.toSeq).toSeq == out2.map(_.features.toSeq).toSeq)
+    assert(Multimodal.frameSampleOffsets(1000L, 4) == Seq(0L, 250L, 500L, 750L))
+  }
+}

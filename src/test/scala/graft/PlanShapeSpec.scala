@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape assertions — the properties that keep the 100 TB
+  * plan efficient must not regress: column pruning reaches the scan,
+  * filters push down, the small join side broadcasts. */
+class PlanShapeSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSessionFixture.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q02 broadcast join uses BroadcastHashJoin") {
+    val p = plan(SparkEntry.queries("q02_broadcast_join")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("projection before typed map prunes the parquet scan") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"))
+      .where(col("l_quantity") > 40)
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40"), p)
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(rs.contains("l_orderkey") && rs.contains("l_quantity") && !rs.contains("l_extendedprice"), rs)
+  }
+
+  test("pages scan reads only extract columns before the map") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pages").toString
+    val rows = graft.job.FixtureGen.fixtureRows("src/test/resources/fixtures")
+    graft.job.PageTableIO.write(spark.createDataset(rows).toDF(), dir, numBuckets = 4)
+    val ds = graft.job.PageTableIO.readPages(spark, dir)
+    val p = plan(ds.select("url").toDF())
+    // partition columns present in layout
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    assert(files.exists(_.startsWith("warc_day=")), files.mkString(","))
+  }
+
+  test("extraction stage plan is map-only after one salted shuffle") {
+    import spark.implicits._
+    val rows = graft.job.FixtureGen.fixtureRows("src/test/resources/fixtures")
+    val df = spark.createDataset(rows).toDF()
+    val salted = graft.job.Salting.saltedRepartition(df, 4)
+    val mapped = salted.as[graft.extract.Page].map(graft.extract.Extractor.extract)
+    val p = plan(mapped.toDF())
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected exactly 1 shuffle, plan:\n${p.take(3000)}")
+  }
+}
