@@ -51,7 +51,9 @@ object Readable {
       else if (isBadLink(node)) shouldRemove += node
       else if (ScorableTags.contains(node.tag)) nodesToScore += node
     }
-    (Scoring.scoreCandidates(nodesToScore), shouldRemove.toList)
+    // the tree is static until the drops are applied after scoring — one
+    // shared memo for the whole scoring pass
+    (Scoring.scoreCandidates(nodesToScore, new TextCache), shouldRemove.toList)
   }
 
   /** E8 readable.py:213-224 */
@@ -101,23 +103,23 @@ object Readable {
   /** E12 readable.py:227-290 — all six conditional-drop rules, incl. the
     * deliberate li−100 discount (readable.py:252) and content_score
     * hardwired to 0 (readable.py:233-235). */
-  def cleanConditionally(node: Node): Boolean = {
+  def cleanConditionally(node: Node): Boolean =
+    cleanConditionally(node, new TextCache)
+
+  def cleanConditionally(node: Node, cache: TextCache): Boolean = {
     if (!Set("form", "table", "ul", "div", "p").contains(node.tag)) return false
     val weight = Scoring.getClassWeight(node)
     val contentScore = 0
     if (weight + contentScore < 0) return true
 
-    val raw = node.textContent
-    val commasCount = PyText.countChar(raw, ',')
+    val commasCount = cache.commaCount(node)
     if (commasCount < 10) {
-      val p = node.findAll("p").length
-      val img = node.findAll("img").length
-      val li = node.findAll("li").length - 100
-      val inputs = node.findAll("input").length
+      val (p, img, li0, inputs, embeds) = cache.conditionalCounts(node)
+      val li = li0 - 100
       var embed = 0
-      node.findAll("embed").foreach { e => if (okEmbeddedVideo(e)) embed += 1 }
-      val linkDensity = Scoring.getLinkDensity(node)
-      val contentLength = PyText.pyLen(raw)
+      embeds.foreach { e => if (cache.okEmbeddedVideo(e)) embed += 1 }
+      val linkDensity = Scoring.getLinkDensityCached(node, cache)
+      val contentLength = cache.rawPyLen(node)
 
       if (li > p && node.tag != "ul" && node.tag != "ol") return true
       else if (inputs > p / 3.0) return true
@@ -130,20 +132,22 @@ object Readable {
     false
   }
 
-  /** E11 readable.py:169-210 — final prune; collect during one pass, drop after. */
+  /** E11 readable.py:169-210 — final prune; collect during one pass, drop
+    * after (tree is static during collection ⇒ one shared text memo). */
   def cleanDocument(node: Node): Node = {
     if (node == null || node.children.isEmpty) return null
+    val cache = new TextCache
     val toDrop = mutable.ArrayBuffer.empty[Node]
     node.iterAll.foreach { n =>
       if (n.attrs.contains("style")) n.attrs("style") = ""
-      if ((n.tag == "object" || n.tag == "embed") && !okEmbeddedVideo(n)) toDrop += n
+      if ((n.tag == "object" || n.tag == "embed") && !cache.okEmbeddedVideo(n)) toDrop += n
       if (Set("h1", "h2", "h3", "h4").contains(n.tag) && Scoring.getClassWeight(n) < 0) toDrop += n
-      if ((n.tag == "h3" || n.tag == "h4") && Scoring.getLinkDensity(n) > 0.33) toDrop += n
+      if ((n.tag == "h3" || n.tag == "h4") && Scoring.getLinkDensityCached(n, cache) > 0.33) toDrop += n
       if (n.tag == "div" || n.tag == "p") {
-        val textContent = PyText.shrinkText(n.textContent)
-        if (PyText.pyLen(textContent) < 5 && n.children.isEmpty) toDrop += n
+        // len(shrink_text(text_content())) ≡ normStrippedLen
+        if (cache.normStrippedLen(n) < 5 && n.children.isEmpty) toDrop += n
       }
-      if (cleanConditionally(n)) toDrop += n
+      if (cleanConditionally(n, cache)) toDrop += n
     }
     dropNodesWithParents(toDrop)
     node

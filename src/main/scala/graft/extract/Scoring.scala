@@ -38,16 +38,16 @@ object Scoring {
     }
 
   /** scoring.py:72-100 — link-text / text ratio with the 50-chars-per-img bonus. */
-  def getLinkDensity(node: Node, nodeText: String = null): Double = {
-    val raw = if (nodeText == null) node.textContent else nodeText
-    val text = PyText.normalizeWhitespace(PyText.strip(raw))
-    val textLength = PyText.pyLen(text)
+  def getLinkDensity(node: Node, nodeText: String = null): Double =
+    getLinkDensityCached(node, new TextCache)
+
+  /** Same formula evaluated through a phase-local memo (identical values;
+    * avoids the reference's O(n·depth) rescans, SURVEY.md §4.1). */
+  def getLinkDensityCached(node: Node, cache: TextCache): Double = {
+    val textLength = cache.normStrippedLen(node)
     if (textLength == 0) return 0.0
-    var linksLength = 0L
-    node.findAll("a").foreach { a =>
-      linksLength += PyText.pyLen(PyText.normalizeWhitespace(PyText.strip(a.textContent)))
-    }
-    val imgBonuses = 50L * node.findAll("img").length
+    val linksLength = cache.linksLengthSum(node)
+    val imgBonuses = 50L * cache.imgCount(node)
     val adj = math.max(0L, linksLength - imgBonuses)
     adj.toDouble / textLength
   }
@@ -92,7 +92,10 @@ object Scoring {
    * candidate ×(1 − link_density). Candidates keyed by node identity in
    * insertion order (we iterate nodes in document order ⇒ deterministic).
    */
-  def scoreCandidates(nodes: Iterable[Node]): mutable.LinkedHashMap[Node, ScoredNode] = {
+  def scoreCandidates(nodes: Iterable[Node]): mutable.LinkedHashMap[Node, ScoredNode] =
+    scoreCandidates(nodes, new TextCache)
+
+  def scoreCandidates(nodes: Iterable[Node], cache: TextCache): mutable.LinkedHashMap[Node, ScoredNode] = {
     val MinHitLength = 25
     val candidates = mutable.LinkedHashMap.empty[Node, ScoredNode]
     nodes.foreach { node =>
@@ -100,17 +103,16 @@ object Scoring {
       if (parent != null) {
         val grand = parent.parent
         if (grand != null) {
-          val innerText = PyText.strip(node.textContent)
-          if (PyText.pyLen(innerText) >= MinHitLength) {
+          // (len(inner_text.strip()), commas, quotes) in one scan — commas
+          // and quotes are non-whitespace so stripping cannot change them
+          val (innerLen, commas, quotes) = cache.innerTextMetrics(node)
+          if (innerLen >= MinHitLength) {
             if (!candidates.contains(parent)) candidates(parent) = new ScoredNode(parent)
             if (!candidates.contains(grand)) candidates(grand) = new ScoredNode(grand)
             var contentScore = 1.0
-            if (innerText.nonEmpty) {
-              contentScore += PyText.countChar(innerText, ',') * 0.25
-              contentScore += PyText.countChar(innerText, '"') * -0.5
-              val lengthPoints = PyText.pyLen(innerText) / 100.0
-              contentScore += math.min(lengthPoints, 3.0)
-            }
+            contentScore += commas * 0.25
+            contentScore += quotes * -0.5
+            contentScore += math.min(innerLen / 100.0, 3.0)
             candidates(parent).contentScore += contentScore
             candidates(grand).contentScore += contentScore / 2.0
             if (!candidates.contains(node)) candidates(node) = new ScoredNode(node)
@@ -120,7 +122,7 @@ object Scoring {
       }
     }
     candidates.valuesIterator.foreach { c =>
-      c.contentScore *= (1.0 - getLinkDensity(c.node))
+      c.contentScore *= (1.0 - getLinkDensityCached(c.node, cache))
     }
     candidates
   }

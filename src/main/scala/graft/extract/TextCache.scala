@@ -1,0 +1,232 @@
+package graft.extract
+
+import graft.html.{Node, PyText}
+import java.util.IdentityHashMap
+
+/**
+ * Per-phase text index over a *static* tree — the engine's fix for the
+ * reference's acknowledged perf debt ("we do a lot of looping and re-drop
+ * some nodes", reference README.rst:122-124; rescans in scoring.py:94-97
+ * and readable.py:242-261 are O(n·depth) per call).
+ *
+ * One DFS concatenates every text/tail into a single buffer and records
+ * [start,end) per node; a node's `text_content()` is exactly that segment
+ * (a node's content stream is contiguous in document order, excluding its
+ * own tail). All metrics the pipeline needs (lengths, comma/quote counts,
+ * normalized-stripped lengths) are then O(segment) scans with no string
+ * allocation. Values are DEFINED identically to the reference's uncached
+ * formulas; only the evaluation strategy changes — equivalence is pinned
+ * by the transliterated reference suites.
+ *
+ * Valid only while the tree is not structurally mutated; each
+ * batch-collect-then-drop phase builds one cache and discards it.
+ */
+final class TextCache {
+
+  private val buf = new java.lang.StringBuilder(1 << 12)
+  private val startIdx = new IdentityHashMap[Node, Integer]()
+  private val endIdx = new IdentityHashMap[Node, Integer]()
+  private val normLenMemo = new IdentityHashMap[Node, Integer]()
+  private val videoMemo = new IdentityHashMap[Node, java.lang.Boolean]()
+
+  private def ensure(n: Node): Unit =
+    if (!startIdx.containsKey(n)) index(n.root)
+
+  private def index(n: Node): Unit = {
+    if (startIdx.containsKey(n)) return
+    startIdx.put(n, Integer.valueOf(buf.length))
+    if (n.text != null) buf.append(n.text)
+    var i = 0
+    while (i < n.children.length) {
+      val c = n.children(i)
+      index(c)
+      if (c.tail != null) buf.append(c.tail)
+      i += 1
+    }
+    endIdx.put(n, Integer.valueOf(buf.length))
+  }
+
+  /** node.text_content() as a string (allocates; prefer the metric APIs). */
+  def textContent(n: Node): String = {
+    ensure(n)
+    buf.substring(startIdx.get(n).intValue(), endIdx.get(n).intValue())
+  }
+
+  /** (strippedPyLen, commas, quotes) of text_content() in one scan —
+    * everything score_candidates needs per scorable (scoring.py:161-196).
+    * Commas/quotes are whitespace-free so stripping cannot change them. */
+  def innerTextMetrics(n: Node): (Int, Int, Int) = {
+    ensure(n)
+    val from = startIdx.get(n).intValue()
+    val to = endIdx.get(n).intValue()
+    var commas = 0
+    var quotes = 0
+    var i = from
+    while (i < to) {
+      val ch = buf.charAt(i)
+      if (ch == ',') commas += 1 else if (ch == '"') quotes += 1
+      i += 1
+    }
+    // stripped code-point length
+    var a = from
+    var b = to
+    while (a < b && PyText.isPySpace(buf.codePointAt(a))) a += Character.charCount(buf.codePointAt(a))
+    while (b > a && PyText.isPySpace(buf.codePointBefore(b))) b -= Character.charCount(buf.codePointBefore(b))
+    (buf.codePointCount(a, b), commas, quotes)
+  }
+
+  /** Python len(text_content()) — raw code points. */
+  def rawPyLen(n: Node): Int = {
+    ensure(n)
+    buf.codePointCount(startIdx.get(n).intValue(), endIdx.get(n).intValue())
+  }
+
+  /** Python text_content().count(','). */
+  def commaCount(n: Node): Int = {
+    ensure(n)
+    var cnt = 0
+    var i = startIdx.get(n).intValue()
+    val to = endIdx.get(n).intValue()
+    while (i < to) { if (buf.charAt(i) == ',') cnt += 1; i += 1 }
+    cnt
+  }
+
+  /** len(normalize_whitespace(text_content().strip())) — density terms. */
+  def normStrippedLen(n: Node): Int = {
+    val hit = normLenMemo.get(n)
+    if (hit != null) return hit.intValue()
+    ensure(n)
+    var a = startIdx.get(n).intValue()
+    var b = endIdx.get(n).intValue()
+    while (a < b && PyText.isPySpace(buf.codePointAt(a))) a += Character.charCount(buf.codePointAt(a))
+    while (b > a && PyText.isPySpace(buf.codePointBefore(b))) b -= Character.charCount(buf.codePointBefore(b))
+    var cnt = 0
+    var i = a
+    while (i < b) {
+      val cp = buf.codePointAt(i)
+      if (PyText.isPySpace(cp)) {
+        cnt += 1
+        while (i < b && PyText.isPySpace(buf.codePointAt(i))) i += Character.charCount(buf.codePointAt(i))
+      } else {
+        cnt += 1
+        i += Character.charCount(cp)
+      }
+    }
+    normLenMemo.put(n, Integer.valueOf(cnt))
+    cnt
+  }
+
+  private val linksMemo = new IdentityHashMap[Node, java.lang.Long]()
+  private val imgMemo = new IdentityHashMap[Node, Integer]()
+
+  /** Σ over descendant <a> of normStrippedLen — link-density numerator
+    * (scoring.py:94). Memoized bottom-up: nested candidates share work. */
+  def linksLengthSum(n: Node): Long = {
+    val hit = linksMemo.get(n)
+    if (hit != null) return hit.longValue()
+    var sum = 0L
+    var i = 0
+    while (i < n.children.length) {
+      val c = n.children(i)
+      sum += linksLengthSum(c)
+      if (c.tag == "a") sum += normStrippedLen(c)
+      i += 1
+    }
+    linksMemo.put(n, java.lang.Long.valueOf(sum))
+    sum
+  }
+
+  /** Count of descendant <img> (memoized bottom-up). */
+  def imgCount(n: Node): Int = {
+    val hit = imgMemo.get(n)
+    if (hit != null) return hit.intValue()
+    var cnt = 0
+    var i = 0
+    while (i < n.children.length) {
+      val c = n.children(i)
+      cnt += imgCount(c)
+      if (c.tag == "img") cnt += 1
+      i += 1
+    }
+    imgMemo.put(n, Integer.valueOf(cnt))
+    cnt
+  }
+
+  /** Count of descendants with the given tag. */
+  def countTag(n: Node, tag: String): Int = {
+    var cnt = 0
+    def walk(m: Node): Unit = {
+      var i = 0
+      while (i < m.children.length) {
+        val c = m.children(i)
+        if (c.tag == tag) cnt += 1
+        walk(c)
+        i += 1
+      }
+    }
+    walk(n)
+    cnt
+  }
+
+  /** All five clean_conditionally descendant counts in ONE subtree walk
+    * (reference does five separate findall passes, readable.py:250-256). */
+  def conditionalCounts(n: Node): (Int, Int, Int, Int, List[Node]) = {
+    var p, img, li, inputs = 0
+    var embeds: List[Node] = Nil
+    def walk(m: Node): Unit = {
+      var i = 0
+      while (i < m.children.length) {
+        val c = m.children(i)
+        c.tag match {
+          case "p"     => p += 1
+          case "img"   => img += 1
+          case "li"    => li += 1
+          case "input" => inputs += 1
+          case "embed" => embeds = c :: embeds
+          case _       =>
+        }
+        walk(c)
+        i += 1
+      }
+    }
+    walk(n)
+    (p, img, li, inputs, embeds.reverse)
+  }
+
+  /**
+   * ok_embedded_video without serialization: `tounicode(node)` contains a
+   * keyword iff some node part (tag/attr name/attr value/text/descendant
+   * tail) contains it — the serializer's inserted characters (<, >, ", =,
+   * /) cannot complete a keyword across part boundaries, and escaping only
+   * rewrites &, <, >, " which no keyword contains.
+   */
+  def containsVideoKeyword(n: Node): Boolean = {
+    val hit = videoMemo.get(n)
+    if (hit != null) return hit.booleanValue()
+    def part(s: String): Boolean =
+      s != null && (s.contains("youtube") || s.contains("blip.tv") || s.contains("vimeo"))
+    var found = part(n.tag) || part(n.text)
+    if (!found) {
+      val it = n.attrs.iterator
+      while (!found && it.hasNext) {
+        val (k, v) = it.next()
+        found = part(k) || part(v)
+      }
+    }
+    var i = 0
+    while (!found && i < n.children.length) {
+      val c = n.children(i)
+      found = containsVideoKeyword(c) || part(c.tail)
+      i += 1
+    }
+    videoMemo.put(n, java.lang.Boolean.valueOf(found))
+    found
+  }
+
+  /** tounicode(node) includes the node's own tail (lxml with_tail=True) —
+    * the top-level ok_embedded_video check must include it too. */
+  def okEmbeddedVideo(n: Node): Boolean =
+    containsVideoKeyword(n) ||
+      (n.tail != null && (n.tail.contains("youtube") ||
+        n.tail.contains("blip.tv") || n.tail.contains("vimeo")))
+}

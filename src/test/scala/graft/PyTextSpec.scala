@@ -34,6 +34,16 @@ class PyTextSpec extends AnyFunSuite {
     assert(PyText.pyLen("😀") == 1) // astral char
   }
 
+  test("normStrippedLen ≡ pyLen∘normalize∘strip (property)") {
+    val gen = new scala.util.Random(42)
+    val alphabet = "ab ,\t\n\r é😀 x"
+    (1 to 500).foreach { _ =>
+      val s = (1 to gen.nextInt(30)).map(_ => alphabet(gen.nextInt(alphabet.length))).mkString
+      assert(PyText.normStrippedLen(s) ==
+        PyText.pyLen(PyText.normalizeWhitespace(PyText.strip(s))), s"input=${s.getBytes("UTF-8").toList}")
+    }
+  }
+
   test("normalize idempotent (property)") {
     val samples = List("a  b\n c", "\t\t", "", "x", "a \nb", "ľščť žý")
     samples.foreach { s =>
