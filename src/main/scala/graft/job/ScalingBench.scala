@@ -1,0 +1,72 @@
+package graft.job
+
+import org.apache.spark.sql.SparkSession
+import graft.extract.{Extractor, Page}
+import java.nio.file.{Files, Paths}
+
+/**
+ * Two-cluster-size scaling evidence (BASELINE.json north rule): the same
+ * extraction job at local[N] and local[4N] on the same input, efficiency
+ * = throughput(4N) / (4 × throughput(N)).
+ *
+ * The sandbox is a virtualized 32-vCPU guest with noisy-neighbor
+ * variance, so the protocol de-noises: one JVM (same JIT/GC for both
+ * configs), sessions recreated per run, configs interleaved, repeated
+ * `reps` times, best-of taken per config (best ≈ least host
+ * contention). Prints one JSON line.
+ *
+ * Usage: ScalingBench [nLow] [nHigh] [docs] [reps]
+ */
+object ScalingBench {
+
+  def main(args: Array[String]): Unit = {
+    val nLow = if (args.length > 0) args(0).toInt else 8
+    val nHigh = if (args.length > 1) args(1).toInt else 32
+    val docs = if (args.length > 2) args(2).toInt else 12000
+    val reps = if (args.length > 3) args(3).toInt else 3
+
+    val articleDir = sys.env.getOrElse("SPARK_GRAFT_ARTICLES",
+      "/root/repo/src/test/resources/fixtures/articles")
+    val articles = FixtureGen.Articles.map(n =>
+      (n, Files.readAllBytes(Paths.get(articleDir, n))))
+    val totalMB = articles.map(_._2.length.toLong).sum * (docs / articles.length) / 1e6
+
+    def runOnce(cpus: Int, warm: Boolean): Double = {
+      val spark = SparkSession.builder()
+        .appName(s"graft-scaling-$cpus")
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      import spark.implicits._
+      val bc = spark.sparkContext.broadcast(articles)
+      def corpus(n: Int) = spark.range(0, n, 1, cpus * 2).map { i =>
+        val arts = bc.value
+        val (name, html) = arts((i % arts.length).toInt)
+        Page(s"bench://$name/$i", new java.sql.Timestamp(1767225600000L + i * 60000L), html, "", "")
+      }
+      if (warm) corpus(math.min(600, docs)).map(Extractor.extract).count()
+      val t0 = System.nanoTime()
+      val ok = corpus(docs).map(Extractor.extract)
+        .select("status").where($"status" === "ok").count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.stop()
+      ok / sec
+    }
+
+    // JIT warm both configs once, unmeasured
+    runOnce(nHigh, warm = true)
+    val low = new Array[Double](reps)
+    val high = new Array[Double](reps)
+    (0 until reps).foreach { r =>
+      low(r) = runOnce(nLow, warm = r == 0)
+      high(r) = runOnce(nHigh, warm = false)
+    }
+    val bestLow = low.max
+    val bestHigh = high.max
+    val eff = bestHigh / (nHigh.toDouble / nLow) / bestLow
+    println(
+      f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio","n_low":$nLow,"n_high":$nHigh,"docs":$docs,"mb":$totalMB%.0f,"docs_per_sec_low":$bestLow%.1f,"docs_per_sec_high":$bestHigh%.1f,"runs_low":[${low.map(v => f"$v%.1f").mkString(",")}],"runs_high":[${high.map(v => f"$v%.1f").mkString(",")}]}""")
+  }
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import graft.extract.{Extractor, Page}
+
+/**
+ * Structured-Streaming face of the engine. The extractor is a stateless
+ * per-row function (SURVEY.md §1.2), so the batch pipeline lifts to
+ * `readStream → map(extract) → writeStream` unchanged; exactly-once comes
+ * from the checkpointed file source + idempotent parquet sink. A second
+ * query demonstrates watermarked tumbling-window metrics (late data
+ * dropped past the watermark) for continuous crawl monitoring.
+ */
+object ExtractStream {
+
+  val PageSchema: StructType = StructType(Seq(
+    StructField("url", StringType),
+    StructField("warc_ts", TimestampType),
+    StructField("html", BinaryType),
+    StructField("text", StringType),
+    StructField("lang", StringType)))
+
+  /** Continuous extraction: new page files → extracted parquet. */
+  def extractQuery(spark: SparkSession, pagesDir: String, outDir: String,
+                   checkpointDir: String,
+                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import spark.implicits._
+    val pages = spark.readStream
+      .schema(PageSchema)
+      .option("maxFilesPerTrigger", 64) // bounded micro-batches at scale
+      .parquet(pagesDir)
+      .select(col("url"), col("warc_ts"), col("html"),
+        coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("lang"), lit("")).as("lang"))
+      .as[Page]
+
+    pages.map(Extractor.extract)
+      .toDF()
+      .withColumn("warc_day", to_date(col("warc_ts")))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("warc_day")
+      .trigger(trigger)
+      .start()
+  }
+
+  /** Watermarked tumbling-window extraction metrics (1h windows, 2h
+    * allowed lateness). */
+  def metricsQuery(spark: SparkSession, pagesDir: String, outDir: String,
+                   checkpointDir: String,
+                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import spark.implicits._
+    val pages = spark.readStream
+      .schema(PageSchema)
+      .parquet(pagesDir)
+      .select(col("url"), col("warc_ts"), col("html"),
+        coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("lang"), lit("")).as("lang"))
+      .as[Page]
+
+    pages.map(Extractor.extract)
+      .withWatermark("warc_ts", "2 hours")
+      .groupBy(window(col("warc_ts"), "1 hour"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(when(col("status") === "ok", 1L).otherwise(0L)).as("ok_docs"),
+        sum(col("metrics.bytes_in")).as("bytes_in"),
+        sum(col("metrics.bytes_out")).as("bytes_out"))
+      .select(col("window.start").as("window_start"), col("docs"),
+        col("ok_docs"), col("bytes_in"), col("bytes_out"))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(trigger)
+      .start()
+  }
+}
