@@ -269,6 +269,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q24_grouping_rollup" -> ((s, dir) => {
+      // grouping-sets coverage (SURVEY.md §2.3 aggregations): metrics
+      // report with subtotals per priority and a grand total
+      s.read.parquet(s"$dir/orders.parquet")
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("orders"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .select(
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("orders"), col("total"))
+        .orderBy(col("priority"), col("status"))
+    }),
+
     // ---- multimodal plumbing -------------------------------------------
     "q23_multimodal_features" -> ((s, dir) => {
       import s.implicits._
@@ -399,6 +413,13 @@ object SparkEntry {
         |  'Document ' || doc_id AS title,
         |  trim(regexp_replace(text, '\s+', ' ', 'g')) AS extracted_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q24_grouping_rollup" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+        |  coalesce(o_orderstatus, 'ALL') AS status,
+        |  count(*) AS orders, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        |ORDER BY priority, status""".stripMargin,
 
     "q20_knn_brute" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv

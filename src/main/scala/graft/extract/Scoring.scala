@@ -30,6 +30,18 @@ object Scoring {
       "tool|widget",
     Pattern.CASE_INSENSITIVE)
 
+  /** scoring.py:56-69 — md5(serialized node)[:8]. Stable and
+    * content-addressed like the reference's; raw values differ from lxml's
+    * because the serialized bytes are our serializer's. */
+  def generateHashId(node: Node): String = {
+    val content =
+      if (node == null) "None".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      else try graft.html.Serializer.toUnicode(node).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      catch { case _: Throwable => node.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8) }
+    java.security.MessageDigest.getInstance("MD5").digest(content)
+      .take(4).map(b => f"$b%02x").mkString
+  }
+
   /** scoring.py:43-53 */
   def checkNodeAttributes(pattern: Pattern, node: Node, attributes: String*): Boolean =
     attributes.exists { a =>
@@ -83,6 +95,9 @@ object Scoring {
       s
     }
     contentScore += getClassWeight(node)
+
+    /** scoring.py:251-253 */
+    def hashId: String = generateHashId(node)
   }
 
   /**

@@ -106,10 +106,38 @@ object ExtractJob {
     val out = extracted.toDF()
       .withColumn("warc_day", to_date(col("warc_ts")))
 
+    // capture the observe()d metrics of this write and persist as JSON
+    val observed = new java.util.concurrent.atomic.AtomicReference[Map[String, Any]](Map.empty)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit = {
+        qe.observedMetrics.get("extract_metrics").foreach { row =>
+          observed.set(row.schema.fieldNames.zipWithIndex
+            .map { case (f, i) => f -> row.get(i) }.toMap)
+        }
+      }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+
     out.write
       .mode(if (priorOutput) SaveMode.Append else SaveMode.Overwrite)
       .partitionBy("warc_day")
       .parquet(s"$outDir/extracted")
+
+    // QueryExecutionListener delivery is async — poll briefly
+    val deadline = System.nanoTime() + 5000000000L
+    while (observed.get.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    spark.listenerManager.unregister(listener)
+    if (observed.get.nonEmpty) {
+      val json = observed.get.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$outDir/_metrics.json").toAbsolutePath, json)
+    }
 
     // lineage: one tuple per task, collected driver-side — write after the action
     val lineageRows = {
