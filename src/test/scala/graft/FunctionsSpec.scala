@@ -25,6 +25,14 @@ class FunctionsSpec extends AnyFunSuite {
     assert(row.getAs[String]("hid").matches("[0-9a-f]{8}"))
   }
 
+  test("native NormalizeWs expression via SparkSessionExtensions, codegen'd") {
+    val df = spark.sql("""SELECT graft_normalize_ws(' a \t b\nc ') AS n""")
+    assert(df.collect().head.getString(0) == " a b\nc ")
+    // stays inside whole-stage codegen (no UDF boundary)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+  }
+
   test("hash ids: stable across parses, distinct across content (test_scoring.py:16-42)") {
     val h1 = Scoring.generateHashId(Parser.parseFragment("<div>ľščťžýáí</div>"))
     val h2 = Scoring.generateHashId(Parser.parseFragment("<div>ľščťžýáí</div>"))

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.extract.{Article, Extractor, Page}
+import graft.html.{HtmlParseError, Parser}
+
+/** Robustness: the extractor is total — arbitrary bytes become status rows,
+  * never exceptions (scalacheck-style seeded fuzz, deterministic). */
+class FuzzSpec extends AnyFunSuite {
+
+  private val rnd = new scala.util.Random(42)
+
+  private def randomHtmlish(maxLen: Int): String = {
+    val pieces = Array(
+      "<div", "<p", "<a href=\"", "</div>", "</p>", "<br>", "<hr/>", ">",
+      "\"", "'", "text ", "&amp;", "&#x41;", "&bogus;", "<!-- c -->",
+      "<!doctype html>", "<script>var x=1;</script>", "<table><tr><td>",
+      "</table>", "<li>item", "<ul>", "=attr", " class=\"comment\"",
+      " id=\"main\"", "<<<", ">>>", " ", "ľščť", "😀", "<b><i></b></i>",
+      "<p/>", "<style>p{}</style>", "<![CDATA[x]]>", "<?php ?>", "&#0;",
+      "<img src=x>", "</", "<", "&", "\n\t ")
+    val n = rnd.nextInt(maxLen)
+    val sb = new StringBuilder
+    (0 until n).foreach(_ => sb.append(pieces(rnd.nextInt(pieces.length))))
+    sb.toString
+  }
+
+  test("parser: never throws on non-blank soup; blank input raises") {
+    (1 to 300).foreach { i =>
+      val html = randomHtmlish(60)
+      if (html.trim.nonEmpty) {
+        try Parser.parseDocument(html)
+        catch {
+          case _: HtmlParseError => // acceptable only for effectively-empty docs
+          case e: Throwable => fail(s"iteration $i threw ${e.getClass} on: ${html.take(200)}")
+        }
+      }
+    }
+    intercept[HtmlParseError](Parser.parseDocument("   \n\t  "))
+  }
+
+  test("extractor: total over random bytes — always a status row") {
+    (1 to 150).foreach { i =>
+      val bytes = new Array[Byte](rnd.nextInt(2000))
+      rnd.nextBytes(bytes)
+      val out = Extractor.extract(Page(s"fuzz://$i", new java.sql.Timestamp(0), bytes, "", ""))
+      assert(Set("ok", "parsing-error", "error").contains(out.status), out.status)
+    }
+  }
+
+  test("extractor: total over random html-ish text") {
+    (1 to 150).foreach { i =>
+      val bytes = randomHtmlish(80).getBytes("UTF-8")
+      val out = Extractor.extract(Page(s"fuzz2://$i", new java.sql.Timestamp(0), bytes, "", ""))
+      assert(Set("ok", "parsing-error", "error").contains(out.status))
+      assert(out.extracted_text != null)
+    }
+  }
+
+  test("extraction is deterministic over fuzz corpus") {
+    val pages = (1 to 40).map { i =>
+      Page(s"det://$i", new java.sql.Timestamp(0), randomHtmlish(80).getBytes("UTF-8"), "", "")
+    }
+    val a = pages.map(Extractor.extract).map(e => (e.url, e.extracted_text, e.status))
+    val b = pages.map(Extractor.extract).map(e => (e.url, e.extracted_text, e.status))
+    assert(a == b)
+  }
+}

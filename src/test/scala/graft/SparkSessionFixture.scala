@@ -8,6 +8,7 @@ object SparkSessionFixture {
       .appName("graft-test")
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
