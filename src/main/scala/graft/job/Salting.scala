@@ -26,13 +26,16 @@ object Salting {
   def saltedRepartition(df: DataFrame, numPartitions: Int,
                         bigBytes: Long = DefaultBigBytes): DataFrame = {
     val saltSpace = numPartitions * 8
+    // hashes reduced mod saltSpace BEFORE adding — raw xxhash64 sums
+    // overflow Long, which is an error under ANSI mode (Spark 4 default)
     val salted = df.withColumn(
       "_salt",
       pmod(
-        xxhash64(col("url")) +
+        pmod(xxhash64(col("url")), lit(saltSpace.toLong)) +
           when(length(col("html")) > bigBytes,
-            xxhash64(col("url"), length(col("html")))).otherwise(lit(0L)),
-        lit(saltSpace)).cast("int"))
+            pmod(xxhash64(col("url"), length(col("html"))), lit(saltSpace.toLong)))
+            .otherwise(lit(0L)),
+        lit(saltSpace.toLong)).cast("int"))
     salted.repartition(numPartitions, col("_salt")).drop("_salt")
   }
 }

@@ -41,6 +41,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(files.exists(_.startsWith("warc_day=")), files.mkString(","))
   }
 
+  test("salting survives giant rows under ANSI mode (no long overflow)") {
+    import spark.implicits._
+    val big = new Array[Byte](2 * 1024 * 1024)
+    val rows = Seq(
+      graft.extract.Page("g://1", new java.sql.Timestamp(0), big, "", ""),
+      graft.extract.Page("g://2", new java.sql.Timestamp(0), Array[Byte](60, 112, 62), "", ""))
+    val out = graft.job.Salting.saltedRepartition(spark.createDataset(rows).toDF(), 4)
+    assert(out.count() == 2)
+  }
+
   test("extraction stage plan is map-only after one salted shuffle") {
     import spark.implicits._
     val rows = graft.job.FixtureGen.fixtureRows("src/test/resources/fixtures")
