@@ -13,6 +13,7 @@ object Breaks {
     Pattern.compile("""(?:<\s*[bh]r[^>]*>\s*)+""", Pattern.CASE_INSENSITIVE)
 
   def convertBreaksToParagraphs(html: String): String = {
+    if (!hasBreakCandidate(html)) return html // fast path: no <br/<hr at all
     val m = BreakTags.matcher(html)
     val sb = new java.lang.StringBuilder
     while (m.find()) {
@@ -27,6 +28,25 @@ object Breaks {
     }
     m.appendTail(sb)
     sb.toString
+  }
+
+  /** One cheap scan for '<' [ws]* [bBhH][rR] — the regex only ever matches
+    * where this does, so skipping it preserves the rewrite exactly. */
+  private def hasBreakCandidate(s: String): Boolean = {
+    var i = s.indexOf('<')
+    while (i >= 0 && i < s.length - 2) {
+      var j = i + 1
+      while (j < s.length && { val c = s.charAt(j)
+        c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == 0x0B }) j += 1
+      if (j + 1 < s.length) {
+        val c0 = s.charAt(j)
+        val c1 = s.charAt(j + 1)
+        if ((c0 == 'b' || c0 == 'B' || c0 == 'h' || c0 == 'H') && (c1 == 'r' || c1 == 'R'))
+          return true
+      }
+      i = s.indexOf('<', i + 1)
+    }
+    false
   }
 
   private def countOccurrences(s: String, sub: String): Int = {

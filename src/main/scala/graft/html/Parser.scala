@@ -125,10 +125,19 @@ object Parser {
           } else if (isNameStart(c1)) {
             flushText(textBuf); startTag()
           } else {
-            textBuf.append(decodeRefsAdvanceOne())
+            textBuf.append(c); i += 1
           }
+        } else if (c == '&') {
+          val r = tryEntity(i)
+          if (r != null) { textBuf.append(r._1); i = r._2 }
+          else { textBuf.append(c); i += 1 }
         } else {
-          textBuf.append(decodeRefsAdvanceOne())
+          // bulk-copy plain character data up to the next markup char
+          var j = i
+          if (s.charAt(j) == '<') j += 1 // literal trailing '<'
+          while (j < n && { val ch = s.charAt(j); ch != '<' && ch != '&' }) j += 1
+          textBuf.append(s, i, j)
+          i = j
         }
       }
       flushText(textBuf)
@@ -138,17 +147,6 @@ object Parser {
 
     private def isNameStart(c: Char): Boolean =
       (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
-
-    /** Consume one char (or character reference) of text data. */
-    private def decodeRefsAdvanceOne(): String = {
-      val c = s.charAt(i)
-      if (c == '&') {
-        val r = tryEntity(i)
-        if (r != null) { i = r._2; return r._1 }
-      }
-      i += 1
-      String.valueOf(c)
-    }
 
     /**
      * Try to decode a character reference starting at `pos` (at '&').
