@@ -223,7 +223,7 @@ object SparkEntry {
 
     "q17_minhash_lsh" -> ((s, dir) => {
       Dedup.minhashLsh(
-        docs(s, dir).where(pmod(col("doc_id"), lit(5)) === 0),
+        docs(s, dir).where(pmod(col("doc_id"), lit(10)) === 0),
         "doc_id", "text", k = 32, bands = 16, threshold = 0.02)
         .orderBy(col("id_a"), col("id_b"))
     }),

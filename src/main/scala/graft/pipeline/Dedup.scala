@@ -72,10 +72,12 @@ object Dedup {
     }
   }
 
-  /** MinHash signature as an array column of k minima (overflow-safe:
-    * base hash reduced mod 2^31-1 before the affine map). */
-  def minhashSignature(text: Column, k: Int = 32): Column = {
-    val hashes = shingleHashes(text)
+  /** MinHash signature over an ALREADY-MATERIALIZED shingle-hash array
+    * column (overflow-safe: base hash reduced mod 2^31-1 before the affine
+    * map). Callers must project the shingle hashes in a prior select —
+    * inlining `shingleHashes` here would re-tokenize the document once per
+    * hash function when the expression falls out of codegen. */
+  def minhashSignatureFromHashes(hashes: Column, k: Int = 32): Column = {
     val mins = hashParams(k).map { case (a, b) =>
       array_min(transform(hashes, h =>
         pmod(pmod(h, lit(Int.MaxValue.toLong)) * lit(a) + lit(b), lit(MersennePrime))))
@@ -93,10 +95,12 @@ object Dedup {
                  k: Int = 32, bands: Int = 8,
                  threshold: Double = 0.8): DataFrame = {
     val rows = k / bands
-    val withSig = df.select(
+    val withSh = df.select(
       col(idCol).as("id"),
-      shingleHashes(col(textCol)).as("sh"),
-      minhashSignature(col(textCol), k).as("sig"))
+      shingleHashes(col(textCol)).as("sh"))
+    val withSig = withSh.select(
+      col("id"), col("sh"),
+      minhashSignatureFromHashes(col("sh"), k).as("sig"))
 
     val banded = withSig.select(
       col("id"), col("sh"),
@@ -131,8 +135,9 @@ object Dedup {
    * has it. Near-dups = pairs within Hamming distance `maxDist`, found by
    * 4-way table-split blocking (any identical 16-bit quarter → candidate).
    */
-  def simhash(text: Column): Column = {
-    val hs = transform(tokens(text), t => xxhash64(t))
+  /** SimHash over an already-materialized token-hash array column (same
+    * projection discipline as minhashSignatureFromHashes). */
+  def simhashFromHashes(hs: Column): Column = {
     val n = size(hs)
     val bits = (0 until 64).map { b =>
       val cnt = aggregate(hs, lit(0),
@@ -142,9 +147,15 @@ object Dedup {
     bits.reduce((x, y) => x.bitwiseOR(y))
   }
 
+  def simhash(text: Column): Column =
+    simhashFromHashes(transform(tokens(text), t => xxhash64(t)))
+
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
-    val withSig = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val withSig = df
+      .select(col(idCol).as("id"),
+        transform(tokens(col(textCol)), t => xxhash64(t)).as("hs"))
+      .select(col("id"), simhashFromHashes(col("hs")).as("sig"))
     // block on 16-bit quarters (pigeonhole: dist<=3 ⇒ some quarter equal)
     val quarters = withSig.select(
       col("id"), col("sig"),
