@@ -63,7 +63,42 @@ object Decode {
       return decodeIgnore(html, java.nio.charset.StandardCharsets.UTF_8)
     }
 
-    // deterministic fallback in place of chardet (document.py:56-61)
-    decodeIgnore(html, Charset.forName("windows-1252"))
+    // deterministic fallback in place of chardet (document.py:56-61):
+    // score a small candidate set by letter/printable ratio of the decoded
+    // text and keep the best — covers the common non-UTF-8 web encodings
+    // without a trained model. Logged nowhere (pure function); the metric
+    // for "fallback fired" is derivable from status + declared-charset.
+    bestGuessDecode(textBytes)
+      .map(cs => decodeIgnore(html, cs))
+      .getOrElse(decodeIgnore(html, Charset.forName("windows-1252")))
+  }
+
+  /** Candidate single-byte/legacy encodings by web prevalence. */
+  private val FallbackCharsets: Seq[String] = Seq(
+    "windows-1252", "windows-1251", "iso-8859-2", "windows-1250",
+    "iso-8859-15", "koi8-r", "shift_jis", "gbk", "big5", "euc-kr")
+
+  private def bestGuessDecode(textBytes: Array[Byte]): Option[Charset] = {
+    var best: Charset = null
+    var bestScore = -1.0
+    FallbackCharsets.foreach { name =>
+      lookup(name).foreach { cs =>
+        val decoded = decodeIgnore(textBytes, cs)
+        if (decoded.nonEmpty) {
+          var letters = 0
+          var control = 0
+          var i = 0
+          while (i < decoded.length) {
+            val c = decoded.charAt(i)
+            if (Character.isLetter(c)) letters += 1
+            else if (Character.isISOControl(c) && c != '\n' && c != '\r' && c != '\t') control += 1
+            i += 1
+          }
+          val score = (letters - 4.0 * control).toDouble / decoded.length
+          if (score > bestScore) { bestScore = score; best = cs }
+        }
+      }
+    }
+    Option(best)
   }
 }

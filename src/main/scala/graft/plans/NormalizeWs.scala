@@ -46,5 +46,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_normalize_ws"),
       new ExpressionInfo(classOf[NormalizeWs].getName, "graft_normalize_ws"),
       (children: Seq[Expression]) => NormalizeWs(children.head)))
+    ext.injectPlannerStrategy(_ => ExtractStrategy)
   }
 }

@@ -1,0 +1,18 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{Dataset => ClassicDataset, SparkSession => ClassicSparkSession}
+
+/**
+ * Minimal bridge into the `sql`-private Dataset constructor so a library
+ * package can materialize a DataFrame from a custom LogicalPlan (the
+ * standard pattern for third-party operators; Spark offers no public
+ * factory for this).
+ */
+object GraftSqlShim {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    ClassicDataset.ofRows(spark.asInstanceOf[ClassicSparkSession], plan)
+
+  def logicalPlan(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[ClassicDataset[Row]].logicalPlan
+}

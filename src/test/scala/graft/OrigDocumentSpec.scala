@@ -51,6 +51,20 @@ class OrigDocumentSpec extends AnyFunSuite {
     assert(html != null && html.nonEmpty)
   }
 
+  test("encoding fallback recovers Czech iso-8859-2 body without meta tag") {
+    val czech = "Příliš žluťoučký kůň úpěl ďábelské ódy. " * 20
+    val html = s"<html><body><p>$czech</p></body></html>"
+    val decoded = Decode.decodeHtml(html.getBytes("iso-8859-2"))
+    assert(decoded.contains("žluťoučký"), decoded.take(120))
+  }
+
+  test("encoding fallback recovers Russian windows-1251 body without meta tag") {
+    val ru = "Съешь же ещё этих мягких французских булок да выпей чаю. " * 20
+    val html = s"<html><body><p>$ru</p></body></html>"
+    val decoded = Decode.decodeHtml(html.getBytes("windows-1251"))
+    assert(decoded.contains("французских"), decoded.take(120))
+  }
+
   test("encoding: short utf-8 round trip (test_orig_document.py:108-113)") {
     val text = "ľščťžýáíé".getBytes("utf-8")
     assert(Decode.decodeHtml(text) == "ľščťžýáíé")
