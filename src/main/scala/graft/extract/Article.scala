@@ -21,6 +21,10 @@ final class Article private (html: String, url: String) {
     dom
   }
 
+  /** OriginalDocument.links (document.py:139-142). */
+  def links: List[Node] =
+    try originalDom.findAll("a") catch { case _: Throwable => Nil }
+
   /** document.py:145-151 */
   lazy val title: String = {
     try {

@@ -6,6 +6,10 @@ import java.util.regex.{Matcher, Pattern}
  * E2 — string-level `<br>`/`<hr>` run → `</p><p>` rewrite
  * (breadability/document.py:64-87): a run of break tags is replaced iff it
  * contains an `<hr` or at least two `<br`; otherwise left untouched.
+ *
+ * The hot path is a hand-rolled scanner; `convertBreaksViaRegex` keeps the
+ * direct transliteration of the reference's regex and a property test pins
+ * scanner ≡ regex on break-tag soup.
  */
 object Breaks {
 
@@ -13,13 +17,74 @@ object Breaks {
     Pattern.compile("""(?:<\s*[bh]r[^>]*>\s*)+""", Pattern.CASE_INSENSITIVE)
 
   def convertBreaksToParagraphs(html: String): String = {
-    if (!hasBreakCandidate(html)) return html // fast path: no <br/<hr at all
+    val n = html.length
+    var i = html.indexOf('<')
+    if (i < 0) return html
+    var sb: java.lang.StringBuilder = null
+    var copied = 0
+    while (i >= 0 && i < n) {
+      val runEnd = matchRun(html, i)
+      if (runEnd > i) {
+        val run = html.substring(i, runEnd)
+        // NOTE: the reference's replacement callback is case-SENSITIVE even
+        // though the run pattern is case-insensitive (document.py:79-87)
+        val replace = run.contains("<hr") || countOccurrences(run, "<br") > 1
+        if (replace) {
+          if (sb == null) sb = new java.lang.StringBuilder(n + 16)
+          sb.append(html, copied, i).append("</p><p>")
+          copied = runEnd
+        }
+        i = html.indexOf('<', runEnd)
+      } else {
+        i = html.indexOf('<', i + 1)
+      }
+    }
+    if (sb == null) html
+    else { sb.append(html, copied, n); sb.toString }
+  }
+
+  /** End index of the maximal `(?:<\s*[bh]r[^>]*>\s*)+` run starting at
+    * `start` (which must be '<'), or `start` when there is no match. */
+  private def matchRun(s: String, start: Int): Int = {
+    val n = s.length
+    var pos = start
+    var end = start // end of last complete tag+trailing-ws
+    var matched = false
+    var continue = true
+    while (continue) {
+      var j = pos
+      if (j >= n || s.charAt(j) != '<') continue = false
+      else {
+        j += 1
+        while (j < n && isJavaWs(s.charAt(j))) j += 1
+        if (j + 1 < n && { val c = s.charAt(j)
+          c == 'b' || c == 'B' || c == 'h' || c == 'H' } && {
+          val c = s.charAt(j + 1); c == 'r' || c == 'R' }) {
+          j += 2
+          while (j < n && s.charAt(j) != '>') j += 1
+          if (j < n) { // found '>'
+            j += 1
+            while (j < n && isJavaWs(s.charAt(j))) j += 1
+            matched = true
+            end = j
+            pos = j
+          } else continue = false // unterminated tag — no match
+        } else continue = false
+      }
+    }
+    if (matched) end else start
+  }
+
+  private def isJavaWs(c: Char): Boolean = // Java regex \s
+    c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
+
+  /** Direct transliteration of the reference regex path (used by the
+    * equivalence property test). */
+  def convertBreaksViaRegex(html: String): String = {
     val m = BreakTags.matcher(html)
     val sb = new java.lang.StringBuilder
     while (m.find()) {
       val tags = m.group()
-      // NOTE: the reference's replacement callback is case-SENSITIVE even
-      // though the run pattern is case-insensitive (document.py:79-87).
       val replacement =
         if (tags.contains("<hr")) "</p><p>"
         else if (countOccurrences(tags, "<br") > 1) "</p><p>"
@@ -28,25 +93,6 @@ object Breaks {
     }
     m.appendTail(sb)
     sb.toString
-  }
-
-  /** One cheap scan for '<' [ws]* [bBhH][rR] — the regex only ever matches
-    * where this does, so skipping it preserves the rewrite exactly. */
-  private def hasBreakCandidate(s: String): Boolean = {
-    var i = s.indexOf('<')
-    while (i >= 0 && i < s.length - 2) {
-      var j = i + 1
-      while (j < s.length && { val c = s.charAt(j)
-        c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == 0x0B }) j += 1
-      if (j + 1 < s.length) {
-        val c0 = s.charAt(j)
-        val c1 = s.charAt(j + 1)
-        if ((c0 == 'b' || c0 == 'B' || c0 == 'h' || c0 == 'H') && (c1 == 'r' || c1 == 'R'))
-          return true
-      }
-      i = s.indexOf('<', i + 1)
-    }
-    false
   }
 
   private def countOccurrences(s: String, sub: String): Int = {

@@ -3,6 +3,84 @@ package graft.html
 import scala.collection.mutable
 
 /**
+ * Compact insertion-ordered attribute map. Most nodes carry zero or very
+ * few attributes — parallel arrays with linear scans beat a hash map on
+ * both memory and speed here, and allocation pressure is what caps the
+ * engine's multi-core scaling (BENCH.md §2).
+ */
+final class AttrMap {
+  private var ks: Array[String] = _
+  private var vs: Array[String] = _
+  private var n = 0
+
+  def size: Int = n
+  def isEmpty: Boolean = n == 0
+  def nonEmpty: Boolean = n > 0
+
+  private def indexOf(k: String): Int = {
+    var i = 0
+    while (i < n) { if (ks(i) == k) return i; i += 1 }
+    -1
+  }
+
+  def contains(k: String): Boolean = indexOf(k) >= 0
+
+  def apply(k: String): String = {
+    val i = indexOf(k)
+    if (i < 0) throw new NoSuchElementException(k)
+    vs(i)
+  }
+
+  def get(k: String): Option[String] = {
+    val i = indexOf(k)
+    if (i < 0) None else Some(vs(i))
+  }
+
+  def getOrElse(k: String, default: => String): String = {
+    val i = indexOf(k)
+    if (i < 0) default else vs(i)
+  }
+
+  /** Insert-or-replace, preserving first-insertion order. */
+  def update(k: String, v: String): Unit = {
+    val i = indexOf(k)
+    if (i >= 0) { vs(i) = v; return }
+    if (ks == null) { ks = new Array[String](4); vs = new Array[String](4) }
+    else if (n == ks.length) {
+      ks = java.util.Arrays.copyOf(ks, n * 2)
+      vs = java.util.Arrays.copyOf(vs, n * 2)
+    }
+    ks(n) = k; vs(n) = v; n += 1
+  }
+
+  def remove(k: String): Unit = {
+    val i = indexOf(k)
+    if (i < 0) return
+    var j = i
+    while (j < n - 1) { ks(j) = ks(j + 1); vs(j) = vs(j + 1); j += 1 }
+    n -= 1
+    ks(n) = null; vs(n) = null
+  }
+
+  def foreach[U](f: ((String, String)) => U): Unit = {
+    var i = 0
+    while (i < n) { f((ks(i), vs(i))); i += 1 }
+  }
+
+  def iterator: Iterator[(String, String)] = new Iterator[(String, String)] {
+    private var i = 0
+    override def hasNext: Boolean = i < n
+    override def next(): (String, String) = { val t = (ks(i), vs(i)); i += 1; t }
+  }
+
+  def keysIterator: Iterator[String] = new Iterator[String] {
+    private var i = 0
+    override def hasNext: Boolean = i < n
+    override def next(): String = { val k = ks(i); i += 1; k }
+  }
+}
+
+/**
  * Mutable DOM node with lxml-style text/tail semantics.
  *
  * The reference engine (bookieio/breadability) mutates lxml `HtmlElement`
@@ -19,7 +97,7 @@ final class Node(var tag: String) {
   var text: String = null
   var tail: String = null
   var parent: Node = null
-  val attrs: mutable.LinkedHashMap[String, String] = mutable.LinkedHashMap.empty
+  val attrs: AttrMap = new AttrMap
   val children: mutable.ArrayBuffer[Node] = mutable.ArrayBuffer.empty
 
   def get(name: String): Option[String] = attrs.get(name)
@@ -202,5 +280,6 @@ final class Node(var tag: String) {
     }
   }
 
-  override def toString: String = s"<$tag ${attrs.map { case (k, v) => s"$k=$v" }.mkString(" ")}>"
+  override def toString: String =
+    s"<$tag ${attrs.iterator.map { case (k, v) => s"$k=$v" }.mkString(" ")}>"
 }

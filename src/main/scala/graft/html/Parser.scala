@@ -231,7 +231,7 @@ object Parser {
       val rawName = s.substring(i + 1, j)
       val name = rawName.toLowerCase(java.util.Locale.ROOT)
       i = j
-      val attrs = mutable.LinkedHashMap.empty[String, String]
+      val attrs = new AttrMap
       var selfClosing = false
       var closed = false
       while (!closed && i < n) {
@@ -303,7 +303,7 @@ object Parser {
       }
     }
 
-    private def insertElement(name: String, attrs: mutable.LinkedHashMap[String, String], selfClosing: Boolean): Unit = {
+    private def insertElement(name: String, attrs: AttrMap, selfClosing: Boolean): Unit = {
       name match {
         case "html" =>
           ensureHtml()

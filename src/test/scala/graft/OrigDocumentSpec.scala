@@ -18,6 +18,19 @@ class OrigDocumentSpec extends AnyFunSuite {
     assert(returned == "<div>HI</p><p>How are you?</p><p>Fine\n I guess</div>")
   }
 
+  test("break-rewrite scanner ≡ reference regex (property)") {
+    val rnd = new scala.util.Random(7)
+    val pieces = Array(
+      "<br>", "<br/>", "<br >", "<BR>", "<Br/>", "< br>", "<\tbr>", "<hr>",
+      "<hr/>", "<HR class=x>", "<br", "<b>", "<h1>", "text", " ", "\n",
+      ">", "<", "<br attr='v'>", "<hr\n>", "x<bry>", "<brr>", "<h r>")
+    (1 to 800).foreach { _ =>
+      val s = (0 until rnd.nextInt(12)).map(_ => pieces(rnd.nextInt(pieces.length))).mkString
+      assert(Breaks.convertBreaksToParagraphs(s) == Breaks.convertBreaksViaRegex(s),
+        s"input=$s")
+    }
+  }
+
   test("read min document: title (test_orig_document.py:38-43)") {
     val a = Article.fromBytes(Fixtures.snippetBytes("document_min.html"))
     assert(a.title == "Min Document Title")
