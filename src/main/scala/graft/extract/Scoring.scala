@@ -49,6 +49,35 @@ object Scoring {
       v != null && pattern.matcher(v).find()
     }
 
+  /** Thread-local memo of `pattern.find(value)` — class/id strings repeat
+    * heavily within and across documents, and these four regexes are the
+    * per-node cost driver of the scoring pass. Pure function of the
+    * string; bounded (cleared at 8k entries). */
+  private final class MemoPattern(p: Pattern) {
+    private val tl = ThreadLocal.withInitial(
+      () => new java.util.HashMap[String, java.lang.Boolean](512))
+    def find(s: String): Boolean = {
+      val m = tl.get()
+      val hit = m.get(s)
+      if (hit != null) return hit.booleanValue()
+      if (m.size > 8192) m.clear()
+      val r = p.matcher(s).find()
+      m.put(s, java.lang.Boolean.valueOf(r))
+      r
+    }
+    def check(node: Node, a1: String): Boolean = {
+      val v = node.attrs.getOrElse(a1, null)
+      v != null && find(v)
+    }
+    def check(node: Node, a1: String, a2: String): Boolean =
+      check(node, a1) || check(node, a2)
+  }
+
+  private val MemoUnlikely = new MemoPattern(ClsUnlikely)
+  private val MemoMaybe = new MemoPattern(ClsMaybe)
+  private val MemoPos = new MemoPattern(ClsWeightPositive)
+  private val MemoNeg = new MemoPattern(ClsWeightNegative)
+
   /** scoring.py:72-100 — link-text / text ratio with the 50-chars-per-img bonus. */
   def getLinkDensity(node: Node, nodeText: String = null): Double =
     getLinkDensityCached(node, new TextCache)
@@ -67,17 +96,17 @@ object Scoring {
   /** scoring.py:107-125 — class and id weighed independently (±25 each). */
   def getClassWeight(node: Node): Int = {
     var weight = 0
-    if (checkNodeAttributes(ClsWeightNegative, node, "class")) weight -= 25
-    if (checkNodeAttributes(ClsWeightPositive, node, "class")) weight += 25
-    if (checkNodeAttributes(ClsWeightNegative, node, "id")) weight -= 25
-    if (checkNodeAttributes(ClsWeightPositive, node, "id")) weight += 25
+    if (MemoNeg.check(node, "class")) weight -= 25
+    if (MemoPos.check(node, "class")) weight += 25
+    if (MemoNeg.check(node, "id")) weight -= 25
+    if (MemoPos.check(node, "id")) weight += 25
     weight
   }
 
   /** scoring.py:128-138 — <body> is never unlikely. */
   def isUnlikelyNode(node: Node): Boolean = {
-    val unlikely = checkNodeAttributes(ClsUnlikely, node, "class", "id")
-    val maybe = checkNodeAttributes(ClsMaybe, node, "class", "id")
+    val unlikely = MemoUnlikely.check(node, "class", "id")
+    val maybe = MemoMaybe.check(node, "class", "id")
     unlikely && !maybe && node.tag != "body"
   }
 
