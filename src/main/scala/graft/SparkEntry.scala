@@ -283,6 +283,42 @@ object SparkEntry {
         .orderBy(col("priority"), col("status"))
     }),
 
+    "q25_url_parse" -> ((s, dir) => {
+      // URL normalization ops a crawl pipeline needs: host + path depth
+      val hosts = typedlit(Seq("example.com", "news.example.org", "blog.test.net", "docs.spark.io"))
+      val url = concat(lit("https://"),
+        element_at(hosts, (pmod(col("doc_id"), lit(4)) + 1).cast("int")),
+        lit("/p/"), col("doc_id"))
+      docs(s, dir)
+        .select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"), col("url"),
+          regexp_extract(col("url"), "^https?://([^/]+)/", 1).as("host"),
+          (length(col("url")) - length(regexp_replace(col("url"), "/", ""))).as("slashes"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q26_dup_clusters" -> ((s, dir) => {
+      // near-dup pairs collapsed to duplicate clusters (connected
+      // components via iterative min-label propagation)
+      val sub = docs(s, dir).where(pmod(col("doc_id"), lit(5)) === 0)
+      val sh = sub.select(col("doc_id").as("id"), col("lang"),
+        Dedup.shingleHashes(col("text")).as("sh"))
+        .withColumn("n", size(col("sh")))
+      val postings = sh.select(col("id"), col("lang"), col("n"), explode(col("sh")).as("s"))
+      val a = postings.select(col("s"), col("lang"), col("id").as("id_a"), col("n").as("n_a"))
+      val b = postings.select(col("s"), col("lang"), col("id").as("id_b"), col("n").as("n_b"))
+      val pairs = a.join(b, Seq("s", "lang"))
+        .where(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("jaccard",
+          round(col("inter").cast("double") /
+            (col("n_a") + col("n_b") - col("inter")).cast("double"), 4))
+        .where(col("jaccard") >= 0.02)
+        .select(col("id_a"), col("id_b"))
+      Dedup.duplicateClusters(pairs).orderBy(col("id"))
+    }),
+
     // ---- multimodal plumbing -------------------------------------------
     "q23_multimodal_features" -> ((s, dir) => {
       import s.implicits._
@@ -420,6 +456,43 @@ object SparkEntry {
         |  count(*) AS orders, round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
         |ORDER BY priority, status""".stripMargin,
+
+    "q25_url_parse" -> {
+      val hostsList = "['example.com', 'news.example.org', 'blog.test.net', 'docs.spark.io']"
+      s"""SELECT doc_id,
+         |  'https://' || $hostsList[(doc_id % 4) + 1] || '/p/' || doc_id AS url,
+         |  regexp_extract('https://' || $hostsList[(doc_id % 4) + 1] || '/p/' || doc_id,
+         |                 '^https?://([^/]+)/', 1) AS host,
+         |  length('https://' || $hostsList[(doc_id % 4) + 1] || '/p/' || doc_id)
+         |    - length(replace('https://' || $hostsList[(doc_id % 4) + 1] || '/p/' || doc_id, '/', '')) AS slashes
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "q26_dup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |sh AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(CASE WHEN len(t) >= 3
+        |      THEN [hash(array_to_string(t[i:i+2], ' ')) for i in range(1, len(t) - 1)]
+        |      ELSE [hash(array_to_string(t, ' '))] END) AS s
+        |  FROM toks),
+        |n AS (SELECT doc_id, lang, len(s) AS n, s FROM sh),
+        |post AS (SELECT doc_id, lang, n, unnest(s) AS h FROM n),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM post a JOIN post b ON a.h = b.h AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |  HAVING round(count(*)::DOUBLE / (any_value(a.n) + any_value(b.n) - count(*)), 4) >= 0.02),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)
+        |SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
 
     "q20_knn_brute" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv

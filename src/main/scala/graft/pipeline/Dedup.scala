@@ -198,6 +198,48 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  // ---- duplicate clusters (connected components) -----------------------
+
+  /**
+   * Collapse near-dup PAIRS into duplicate CLUSTERS: connected components
+   * by iterative min-label propagation (each round: every node adopts the
+   * smallest label among itself and its neighbors; converges in
+   * O(component diameter) rounds — near-dup components are tiny, so a few
+   * equi-join rounds suffice; each round is one shuffle).
+   *
+   * Input: pairs (id_a, id_b); output: (id, component) with component =
+   * min id in the node's component.
+   */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst2").withColumnRenamed("component", "nc"),
+          col("dst") === col("dst2"))
+        .groupBy(col("src"))
+        .agg(min(col("nc")).as("neighbor_component"))
+      val updated = labels
+        .join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(labels("id"),
+          least(col("component"), coalesce(col("neighbor_component"), col("component")))
+            .as("component"))
+      val changed = updated.alias("u")
+        .join(labels.alias("l"), col("u.id") === col("l.id"))
+        .where(col("u.component") =!= col("l.component"))
+        .limit(1).count()
+      labels = updated.localCheckpoint(true) // cut lineage growth per round
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   // ---- embedding cosine near-dup --------------------------------------
 
   /** Cosine similarity of two float-array columns in double precision. */

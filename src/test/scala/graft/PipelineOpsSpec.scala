@@ -56,6 +56,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.head.getAs[Double]("jaccard") == 1.0)
   }
 
+  test("duplicate clusters: chained pairs collapse to min-id components") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (3L, 7L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("brute knn: duplicate vector is its own nearest neighbor at cos 1") {
     import spark.implicits._
     val vecs = Seq(
