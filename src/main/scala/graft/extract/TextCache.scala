@@ -29,6 +29,61 @@ final class TextCache {
   private val normLenMemo = new IdentityHashMap[Node, Integer]()
   private val videoMemo = new IdentityHashMap[Node, java.lang.Boolean]()
 
+  // ---- prefix sums over the text stream --------------------------------
+  // One O(n) pass makes every per-node metric O(1) + short boundary scans
+  // (JFR showed the repeated segment scans were the scoring hot spot).
+  // Bounded: docs above the threshold fall back to direct scans so peak
+  // memory stays small on giant pages.
+  private[extract] var arrayThreshold: Int = 1 << 21 // 2M chars ≈ 40MB of ints
+  private var snap: String = null
+  private var pT: Array[Int] = null // total code points in [0,i)
+  private var pP: Array[Int] = null // non-whitespace code points in [0,i)
+  private var pR: Array[Int] = null // whitespace-run starts in [0,i)
+  private var pC: Array[Int] = null // ',' chars in [0,i)
+  private var pQ: Array[Int] = null // '"' chars in [0,i)
+
+  /** Build the prefix arrays if the buffer is within bounds; returns
+    * whether the fast path is available. */
+  private def ensureArrays(): Boolean = {
+    if (snap != null && snap.length == buf.length) return pT != null
+    snap = buf.toString // (re)take — a new root may have been indexed
+    val len = snap.length
+    if (len > arrayThreshold) return false
+    val t = new Array[Int](len + 1)
+    val p = new Array[Int](len + 1)
+    val r = new Array[Int](len + 1)
+    val c = new Array[Int](len + 1)
+    val q = new Array[Int](len + 1)
+    var i = 0
+    var prevWs = false
+    var vt = 0; var vp = 0; var vr = 0; var vc = 0; var vq = 0
+    while (i < len) {
+      val cp = snap.codePointAt(i)
+      val w = Character.charCount(cp)
+      val ws = PyText.isPySpace(cp)
+      vt += 1
+      if (!ws) vp += 1
+      if (ws && !prevWs) vr += 1
+      if (cp == ',') vc += 1
+      else if (cp == '"') vq += 1
+      t(i + 1) = vt; p(i + 1) = vp; r(i + 1) = vr; c(i + 1) = vc; q(i + 1) = vq
+      if (w == 2) { t(i + 2) = vt; p(i + 2) = vp; r(i + 2) = vr; c(i + 2) = vc; q(i + 2) = vq }
+      prevWs = ws
+      i += w
+    }
+    pT = t; pP = p; pR = r; pC = c; pQ = q
+    true
+  }
+
+  /** Stripped bounds of [a0,b0) in the snapshot (short boundary scans). */
+  private def strippedBounds(a0: Int, b0: Int): Long = {
+    var a = a0
+    var b = b0
+    while (a < b && PyText.isPySpace(snap.codePointAt(a))) a += Character.charCount(snap.codePointAt(a))
+    while (b > a && PyText.isPySpace(snap.codePointBefore(b))) b -= Character.charCount(snap.codePointBefore(b))
+    (a.toLong << 32) | b.toLong
+  }
+
   private def ensure(n: Node): Unit =
     if (!startIdx.containsKey(n)) index(n.root)
 
@@ -52,66 +107,88 @@ final class TextCache {
     buf.substring(startIdx.get(n).intValue(), endIdx.get(n).intValue())
   }
 
-  /** (strippedPyLen, commas, quotes) of text_content() in one scan —
+  /** (strippedPyLen, commas, quotes) of text_content() —
     * everything score_candidates needs per scorable (scoring.py:161-196).
     * Commas/quotes are whitespace-free so stripping cannot change them. */
   def innerTextMetrics(n: Node): (Int, Int, Int) = {
     ensure(n)
     val from = startIdx.get(n).intValue()
     val to = endIdx.get(n).intValue()
+    if (ensureArrays()) {
+      val ab = strippedBounds(from, to)
+      val a = (ab >>> 32).toInt
+      val b = (ab & 0xFFFFFFFFL).toInt
+      return (pT(b) - pT(a), pC(to) - pC(from), pQ(to) - pQ(from))
+    }
     var commas = 0
     var quotes = 0
     var i = from
     while (i < to) {
-      val ch = buf.charAt(i)
+      val ch = snap.charAt(i)
       if (ch == ',') commas += 1 else if (ch == '"') quotes += 1
       i += 1
     }
-    // stripped code-point length
-    var a = from
-    var b = to
-    while (a < b && PyText.isPySpace(buf.codePointAt(a))) a += Character.charCount(buf.codePointAt(a))
-    while (b > a && PyText.isPySpace(buf.codePointBefore(b))) b -= Character.charCount(buf.codePointBefore(b))
-    (buf.codePointCount(a, b), commas, quotes)
+    val ab = strippedBounds(from, to)
+    val a = (ab >>> 32).toInt
+    val b = (ab & 0xFFFFFFFFL).toInt
+    (snap.codePointCount(a, b), commas, quotes)
   }
 
   /** Python len(text_content()) — raw code points. */
   def rawPyLen(n: Node): Int = {
     ensure(n)
-    buf.codePointCount(startIdx.get(n).intValue(), endIdx.get(n).intValue())
+    val from = startIdx.get(n).intValue()
+    val to = endIdx.get(n).intValue()
+    if (ensureArrays()) pT(to) - pT(from)
+    else snap.codePointCount(from, to)
   }
 
   /** Python text_content().count(','). */
   def commaCount(n: Node): Int = {
     ensure(n)
-    var cnt = 0
-    var i = startIdx.get(n).intValue()
+    val from = startIdx.get(n).intValue()
     val to = endIdx.get(n).intValue()
-    while (i < to) { if (buf.charAt(i) == ',') cnt += 1; i += 1 }
+    if (ensureArrays()) return pC(to) - pC(from)
+    var cnt = 0
+    var i = from
+    while (i < to) { if (snap.charAt(i) == ',') cnt += 1; i += 1 }
     cnt
   }
 
-  /** len(normalize_whitespace(text_content().strip())) — density terms. */
+  /** len(normalize_whitespace(text_content().strip())) — density terms.
+    * Fast path: (#non-ws cps) + (#ws runs) within the stripped bounds —
+    * each run contributes exactly one output char; with the bounds sitting
+    * on non-ws code points, every overlapping run starts inside them. */
   def normStrippedLen(n: Node): Int = {
     val hit = normLenMemo.get(n)
     if (hit != null) return hit.intValue()
     ensure(n)
-    var a = startIdx.get(n).intValue()
-    var b = endIdx.get(n).intValue()
-    while (a < b && PyText.isPySpace(buf.codePointAt(a))) a += Character.charCount(buf.codePointAt(a))
-    while (b > a && PyText.isPySpace(buf.codePointBefore(b))) b -= Character.charCount(buf.codePointBefore(b))
-    var cnt = 0
-    var i = a
-    while (i < b) {
-      val cp = buf.codePointAt(i)
-      if (PyText.isPySpace(cp)) {
-        cnt += 1
-        while (i < b && PyText.isPySpace(buf.codePointAt(i))) i += Character.charCount(buf.codePointAt(i))
+    val from = startIdx.get(n).intValue()
+    val to = endIdx.get(n).intValue()
+    val cnt =
+      if (ensureArrays()) {
+        val ab = strippedBounds(from, to)
+        val a = (ab >>> 32).toInt
+        val b = (ab & 0xFFFFFFFFL).toInt
+        (pP(b) - pP(a)) + (pR(b) - pR(a))
       } else {
-        cnt += 1
-        i += Character.charCount(cp)
+        val ab = strippedBounds(from, to)
+        val a = (ab >>> 32).toInt
+        val b = (ab & 0xFFFFFFFFL).toInt
+        var c = 0
+        var i = a
+        while (i < b) {
+          val cp = snap.codePointAt(i)
+          if (PyText.isPySpace(cp)) {
+            c += 1
+            while (i < b && PyText.isPySpace(snap.codePointAt(i))) i += Character.charCount(snap.codePointAt(i))
+          } else {
+            c += 1
+            i += Character.charCount(cp)
+          }
+        }
+        c
       }
-    }
     normLenMemo.put(n, Integer.valueOf(cnt))
     cnt
   }

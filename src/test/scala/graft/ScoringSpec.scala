@@ -129,6 +129,20 @@ class ScoringSpec extends AnyFunSuite {
     assert(s300 == s400)
   }
 
+  test("TextCache prefix-sum fast path ≡ scan fallback on a real article") {
+    import graft.extract.TextCache
+    val dom = Parser.parseDocument(Fixtures.article("ars.001.html"))
+    val fast = new TextCache
+    val slow = new TextCache
+    slow.arrayThreshold = 0 // force the direct-scan fallback
+    dom.iterAll.take(800).foreach { n =>
+      assert(fast.innerTextMetrics(n) == slow.innerTextMetrics(n), n.tag)
+      assert(fast.normStrippedLen(n) == slow.normStrippedLen(n), n.tag)
+      assert(fast.rawPyLen(n) == slow.rawPyLen(n), n.tag)
+      assert(fast.commaCount(n) == slow.commaCount(n), n.tag)
+    }
+  }
+
   test("link density within [0,1] on ars.001 (test_readable.py:283-290)") {
     val dom = Parser.parseDocument(Fixtures.article("ars.001.html"))
     dom.iterAll.filter(n => Set("p", "td", "pre").contains(n.tag)).foreach { n =>
