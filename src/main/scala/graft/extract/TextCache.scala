@@ -34,7 +34,7 @@ final class TextCache {
   // (JFR showed the repeated segment scans were the scoring hot spot).
   // Bounded: docs above the threshold fall back to direct scans so peak
   // memory stays small on giant pages.
-  private[extract] var arrayThreshold: Int = 1 << 21 // 2M chars ≈ 40MB of ints
+  private[graft] var arrayThreshold: Int = 1 << 21 // 2M chars ≈ 40MB of ints
   private var snap: String = null
   private var pT: Array[Int] = null // total code points in [0,i)
   private var pP: Array[Int] = null // non-whitespace code points in [0,i)
