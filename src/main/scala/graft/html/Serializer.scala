@@ -9,10 +9,13 @@ package graft.html
  */
 object Serializer {
 
+  // libxml2's HTML4 empty-element set (htmlElemDesc) — NOT the HTML5 list:
+  // embed/source/track/wbr/keygen/command are ordinary container elements
+  // to libxml2, and parity with the reference's lxml trees requires
+  // treating them the same way.
   private val Void = Set(
-    "area", "base", "basefont", "br", "col", "command", "embed", "frame",
-    "hr", "img", "input", "isindex", "keygen", "link", "meta", "param",
-    "source", "track", "wbr")
+    "area", "base", "basefont", "br", "col", "frame", "hr", "img",
+    "input", "isindex", "link", "meta", "param")
 
   private val RawText = Set("script", "style")
 
