@@ -411,6 +411,56 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin
     },
 
+    "q12_lang_id" -> {
+      def hits(words: Seq[String]) = words
+        .map(w => s"(len(string_split_regex(padded, '\\s$w\\s')) - 1)")
+        .mkString("(", " + ", ")")
+      val en = hits(Seq("the", "and", "of", "a", "to", "is"))
+      val de = hits(Seq("der", "die", "und", "das", "ist", "ein"))
+      val fr = hits(Seq("le", "la", "et", "les", "des", "est"))
+      val es = hits(Seq("el", "de", "y", "que", "los", "una"))
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    ' ' || lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) || ' ' AS padded
+         |  FROM documents),
+         |h AS (SELECT doc_id, $en AS en, $de AS de, $fr AS fr, $es AS es FROM p)
+         |SELECT doc_id,
+         |  CASE WHEN greatest(en, de, fr, es) <= 0 THEN 'und'
+         |       WHEN en = greatest(en, de, fr, es) THEN 'en'
+         |       WHEN de = greatest(en, de, fr, es) THEN 'de'
+         |       WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+         |       ELSE 'es' END AS pred_lang
+         |FROM h ORDER BY doc_id""".stripMargin
+    },
+
+    "q13_quality_score" ->
+      """WITH n0 AS (
+        |  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    length(norm)::DOUBLE AS len,
+        |    len(string_split_regex(trim(norm), '\s+'))::DOUBLE AS words,
+        |    length(regexp_replace(norm, '[^.!?]', '', 'g'))::DOUBLE AS punct,
+        |    length(regexp_replace(norm, '[\p{L}\p{N}\s.,;:!?''"()-]', '', 'g'))::DOUBLE AS symbols,
+        |    (len(string_split_regex(' ' || lower(norm) || ' ', '\s(the|and|of|a|to|is)\s')) - 1)::DOUBLE AS stop_hits
+        |  FROM n0),
+        |r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len >= 200 AND len <= 20000 THEN 1.0
+        |         WHEN len >= 50 THEN 0.5 ELSE 0.0 END AS length_band,
+        |    CASE WHEN (CASE WHEN words > 0 THEN len / words ELSE 0.0 END) >= 3
+        |          AND (CASE WHEN words > 0 THEN len / words ELSE 0.0 END) <= 12
+        |         THEN 1.0 ELSE 0.3 END AS word_shape,
+        |    least(punct / greatest(words, 1.0) * 10.0, 1.0) AS punct_rate,
+        |    least(stop_hits / greatest(words, 1.0) * 5.0, 1.0) AS stop_rate,
+        |    least(symbols / greatest(len, 1.0) * 20.0, 1.0) AS noise
+        |  FROM m)
+        |SELECT doc_id,
+        |  round((length_band * 0.3 + word_shape * 0.2 + punct_rate * 0.2
+        |         + stop_rate * 0.3) * (1.0 - noise * 0.5), 4) AS quality
+        |FROM r ORDER BY doc_id""".stripMargin,
+
     "q14_fingerprint" ->
       """SELECT doc_id,
         |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
