@@ -34,29 +34,23 @@ final class TextCache {
   // (JFR showed the repeated segment scans were the scoring hot spot).
   // Bounded: docs above the threshold fall back to direct scans so peak
   // memory stays small on giant pages.
-  private[graft] var arrayThreshold: Int = 1 << 21 // 2M chars ≈ 40MB of ints
+  private[graft] var arrayThreshold: Int = 1 << 21 // 2M chars ≈ 16MB of longs
   private var snap: String = null
-  private var pT: Array[Int] = null // total code points in [0,i)
-  private var pP: Array[Int] = null // non-whitespace code points in [0,i)
-  private var pR: Array[Int] = null // whitespace-run starts in [0,i)
-  private var pC: Array[Int] = null // ',' chars in [0,i)
-  private var pQ: Array[Int] = null // '"' chars in [0,i)
+  // packed per char index i: totalCps<<42 | nonWsCps<<21 | wsRunStarts,
+  // each counting [0,i). 21 bits each covers the threshold. One long array
+  // instead of parallel ints keeps the memory traffic low — at 32 threads
+  // the prefix arrays themselves are a bandwidth term (BENCH.md §2).
+  private var pPacked: Array[Long] = null
 
-  /** Build the prefix arrays if the buffer is within bounds; returns
-    * whether the fast path is available. */
   private def ensureArrays(): Boolean = {
-    if (snap != null && snap.length == buf.length) return pT != null
+    if (snap != null && snap.length == buf.length) return pPacked != null
     snap = buf.toString // (re)take — a new root may have been indexed
     val len = snap.length
     if (len > arrayThreshold) return false
-    val t = new Array[Int](len + 1)
-    val p = new Array[Int](len + 1)
-    val r = new Array[Int](len + 1)
-    val c = new Array[Int](len + 1)
-    val q = new Array[Int](len + 1)
+    val packed = new Array[Long](len + 1)
     var i = 0
     var prevWs = false
-    var vt = 0; var vp = 0; var vr = 0; var vc = 0; var vq = 0
+    var vt = 0L; var vp = 0L; var vr = 0L
     while (i < len) {
       val cp = snap.codePointAt(i)
       val w = Character.charCount(cp)
@@ -64,16 +58,19 @@ final class TextCache {
       vt += 1
       if (!ws) vp += 1
       if (ws && !prevWs) vr += 1
-      if (cp == ',') vc += 1
-      else if (cp == '"') vq += 1
-      t(i + 1) = vt; p(i + 1) = vp; r(i + 1) = vr; c(i + 1) = vc; q(i + 1) = vq
-      if (w == 2) { t(i + 2) = vt; p(i + 2) = vp; r(i + 2) = vr; c(i + 2) = vc; q(i + 2) = vq }
+      val v = (vt << 42) | (vp << 21) | vr
+      packed(i + 1) = v
+      if (w == 2) packed(i + 2) = v
       prevWs = ws
       i += w
     }
-    pT = t; pP = p; pR = r; pC = c; pQ = q
+    pPacked = packed
     true
   }
+
+  @inline private def totalAt(i: Int): Int = (pPacked(i) >>> 42).toInt
+  @inline private def nonWsAt(i: Int): Int = ((pPacked(i) >>> 21) & 0x1FFFFF).toInt
+  @inline private def runsAt(i: Int): Int = (pPacked(i) & 0x1FFFFF).toInt
 
   /** Stripped bounds of [a0,b0) in the snapshot (short boundary scans). */
   private def strippedBounds(a0: Int, b0: Int): Long = {
@@ -114,14 +111,10 @@ final class TextCache {
     ensure(n)
     val from = startIdx.get(n).intValue()
     val to = endIdx.get(n).intValue()
-    if (ensureArrays()) {
-      val ab = strippedBounds(from, to)
-      val a = (ab >>> 32).toInt
-      val b = (ab & 0xFFFFFFFFL).toInt
-      return (pT(b) - pT(a), pC(to) - pC(from), pQ(to) - pQ(from))
-    }
+    // commas/quotes: direct scan (rare chars, one scan per scorable)
     var commas = 0
     var quotes = 0
+    val fast = ensureArrays()
     var i = from
     while (i < to) {
       val ch = snap.charAt(i)
@@ -131,7 +124,8 @@ final class TextCache {
     val ab = strippedBounds(from, to)
     val a = (ab >>> 32).toInt
     val b = (ab & 0xFFFFFFFFL).toInt
-    (snap.codePointCount(a, b), commas, quotes)
+    val stripped = if (fast) totalAt(b) - totalAt(a) else snap.codePointCount(a, b)
+    (stripped, commas, quotes)
   }
 
   /** Python len(text_content()) — raw code points. */
@@ -139,16 +133,16 @@ final class TextCache {
     ensure(n)
     val from = startIdx.get(n).intValue()
     val to = endIdx.get(n).intValue()
-    if (ensureArrays()) pT(to) - pT(from)
+    if (ensureArrays()) totalAt(to) - totalAt(from)
     else snap.codePointCount(from, to)
   }
 
   /** Python text_content().count(','). */
   def commaCount(n: Node): Int = {
     ensure(n)
+    ensureArrays() // ensures snap is current
     val from = startIdx.get(n).intValue()
     val to = endIdx.get(n).intValue()
-    if (ensureArrays()) return pC(to) - pC(from)
     var cnt = 0
     var i = from
     while (i < to) { if (snap.charAt(i) == ',') cnt += 1; i += 1 }
@@ -170,7 +164,7 @@ final class TextCache {
         val ab = strippedBounds(from, to)
         val a = (ab >>> 32).toInt
         val b = (ab & 0xFFFFFFFFL).toInt
-        (pP(b) - pP(a)) + (pR(b) - pR(a))
+        (nonWsAt(b) - nonWsAt(a)) + (runsAt(b) - runsAt(a))
       } else {
         val ab = strippedBounds(from, to)
         val a = (ab >>> 32).toInt
