@@ -231,8 +231,7 @@ object Parser {
       // at '<', next char is a letter
       var j = i + 1
       while (j < n && isNamePart(s.charAt(j))) j += 1
-      val rawName = s.substring(i + 1, j)
-      val name = rawName.toLowerCase(java.util.Locale.ROOT)
+      val name = lowerSlice(i + 1, j)
       i = j
       val attrs = new AttrMap
       var selfClosing = false
@@ -274,7 +273,21 @@ object Parser {
       val start = i
       while (i < n && { val c = s.charAt(i)
         c != '=' && c != '>' && c != '/' && c != ' ' && c != '\t' && c != '\n' && c != '\r' && c != '\f' }) i += 1
-      s.substring(start, i).toLowerCase(java.util.Locale.ROOT)
+      lowerSlice(start, i)
+    }
+
+    /** Lowercased substring without the extra toLowerCase allocation when
+      * the slice is already lowercase ASCII (the common case). */
+    private def lowerSlice(from: Int, until: Int): String = {
+      var k = from
+      var needsLower = false
+      while (k < until && !needsLower) {
+        val c = s.charAt(k)
+        if (c >= 'A' && c <= 'Z') needsLower = true
+        k += 1
+      }
+      val sub = s.substring(from, until)
+      if (needsLower) sub.toLowerCase(java.util.Locale.ROOT) else sub
     }
 
     private def parseAttrValue(): String = {
@@ -398,7 +411,7 @@ object Parser {
       // at '</'
       var j = i + 2
       while (j < n && isNamePart(s.charAt(j))) j += 1
-      val name = s.substring(i + 2, j).toLowerCase(java.util.Locale.ROOT)
+      val name = lowerSlice(i + 2, j)
       val gt = s.indexOf('>', j)
       i = if (gt < 0) n else gt + 1
       if (name.isEmpty) return
