@@ -64,6 +64,64 @@ object SparkEntry {
   private val SqlClsList = ClsChoices.map(c => s"'$c'").mkString("[", ", ", "]")
   private def sqlSynthCls(id: String) = s"($SqlClsList)[($id % ${ClsChoices.length}) + 1]"
 
+  /** q16/q26 shared pair generation: blocked n-gram Jaccard over every-5th
+    * doc, same-lang postings, with a document-frequency cap on shingles
+    * (stop-shingle removal — the fix for the quadratic posting bucket a
+    * common 3-gram creates at web scale). The cap is deliberately low (2)
+    * on the tiny synthetic corpus so the drop path actually fires and the
+    * DuckDB oracle verifies its semantics; production default is
+    * Dedup.ngramJaccard's maxDf=1000. Jaccard is over the post-cap shingle
+    * space (per-doc sizes recomputed after the drop). */
+  private val JaccardMaxDf = 2
+  private def cappedJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val sub = docs(s, dir).where(pmod(col("doc_id"), lit(5)) === 0)
+    val sh = sub.select(col("doc_id").as("id"), col("lang"),
+      Dedup.shingleHashes(col("text")).as("sh"))
+    val postings = sh.select(col("id"), col("lang"), explode(col("sh")).as("s"))
+    val rare = postings.groupBy(col("s"), col("lang"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") <= JaccardMaxDf)
+      .select(col("s"), col("lang"))
+    val kept = postings.join(rare, Seq("s", "lang"), "left_semi")
+    val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val a = kept.select(col("s"), col("lang"), col("id").as("id_a"))
+    val b = kept.select(col("s"), col("lang"), col("id").as("id_b"))
+    a.join(b, Seq("s", "lang"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"), 4))
+      .where(col("jaccard") >= 0.02)
+  }
+
+  /** DuckDB mirror of cappedJaccardPairs through the `pairs` CTE stage. */
+  private def sqlJaccardCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS t
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |sh AS (
+       |  SELECT doc_id, lang,
+       |    list_distinct(CASE WHEN len(t) >= 3
+       |      THEN [hash(array_to_string(t[i:i+2], ' ')) for i in range(1, len(t) - 1)]
+       |      ELSE [hash(array_to_string(t, ' '))] END) AS s
+       |  FROM toks),
+       |post AS (SELECT doc_id, lang, unnest(s) AS h FROM sh),
+       |rare AS (SELECT h, lang FROM post GROUP BY h, lang HAVING count(*) <= $JaccardMaxDf),
+       |kept AS (SELECT post.* FROM post JOIN rare USING (h, lang)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+       |jpairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+       |    round(count(*)::DOUBLE / (any_value(sa.n) + any_value(sb.n) - count(*)), 4) AS jaccard
+       |  FROM kept a JOIN kept b ON a.h = b.h AND a.lang = b.lang AND a.doc_id < b.doc_id
+       |  JOIN sizes sa ON sa.doc_id = a.doc_id
+       |  JOIN sizes sb ON sb.doc_id = b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |  HAVING round(count(*)::DOUBLE / (any_value(sa.n) + any_value(sb.n) - count(*)), 4) >= 0.02)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- relational / job-level ops ----------------------------------
@@ -199,39 +257,28 @@ object SparkEntry {
         .orderBy(col("fp"))
     }),
 
-    "q16_ngram_jaccard" -> ((s, dir) => {
-      // blocked to every-20th doc + same-lang pairs to bound the postings
-      // join fanout on the vocabulary-limited synthetic corpus
-      val sub = docs(s, dir).where(pmod(col("doc_id"), lit(5)) === 0)
-      val sh = sub.select(col("doc_id").as("id"), col("lang"),
-        Dedup.shingleHashes(col("text")).as("sh"))
-        .withColumn("n", size(col("sh")))
-      val postings = sh.select(col("id"), col("lang"), col("n"), explode(col("sh")).as("s"))
-      val a = postings.select(col("s"), col("lang"), col("id").as("id_a"), col("n").as("n_a"))
-      val b = postings.select(col("s"), col("lang"), col("id").as("id_b"), col("n").as("n_b"))
-      a.join(b, Seq("s", "lang"))
-        .where(col("id_a") < col("id_b"))
-        .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
-        .agg(count(lit(1)).as("inter"))
-        .withColumn("jaccard",
-          round(col("inter").cast("double") /
-            (col("n_a") + col("n_b") - col("inter")).cast("double"), 4))
-        .where(col("jaccard") >= 0.02)
+    "q16_ngram_jaccard" -> ((s, dir) =>
+      cappedJaccardPairs(s, dir)
         .select(col("id_a"), col("id_b"), col("inter"), col("jaccard"))
-        .orderBy(col("id_a"), col("id_b"))
-    }),
+        .orderBy(col("id_a"), col("id_b"))),
 
     "q17_minhash_lsh" -> ((s, dir) => {
+      // md5Hash60 shingle hashes so DuckDB reproduces the exact minhash
+      // signatures (band-bucket equality is value-dependent)
       Dedup.minhashLsh(
-        docs(s, dir).where(pmod(col("doc_id"), lit(10)) === 0),
-        "doc_id", "text", k = 32, bands = 16, threshold = 0.02)
+        docs(s, dir).where(pmod(col("doc_id"), lit(5)) === 0),
+        "doc_id", "text", k = 32, bands = 32, threshold = 0.02,
+        shingleHash = Dedup.md5Hash60)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
     "q18_simhash" -> ((s, dir) => {
-      Dedup.simhashPairs(
-        docs(s, dir).where(pmod(col("doc_id"), lit(10)) === 0),
-        "doc_id", "text", maxDist = 16)
+      // md5Hash60 token hashes (oracle-replicable signatures)
+      val withSig = docs(s, dir).where(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("doc_id").as("id"),
+          transform(Dedup.tokens(col("text")), t => Dedup.md5Hash60(t)).as("hs"))
+        .select(col("id"), Dedup.simhashFromHashes(col("hs")).as("sig"))
+      Dedup.simhashPairsFromSigs(withSig, maxDist = 16)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -300,22 +347,7 @@ object SparkEntry {
     "q26_dup_clusters" -> ((s, dir) => {
       // near-dup pairs collapsed to duplicate clusters (connected
       // components via iterative min-label propagation)
-      val sub = docs(s, dir).where(pmod(col("doc_id"), lit(5)) === 0)
-      val sh = sub.select(col("doc_id").as("id"), col("lang"),
-        Dedup.shingleHashes(col("text")).as("sh"))
-        .withColumn("n", size(col("sh")))
-      val postings = sh.select(col("id"), col("lang"), col("n"), explode(col("sh")).as("s"))
-      val a = postings.select(col("s"), col("lang"), col("id").as("id_a"), col("n").as("n_a"))
-      val b = postings.select(col("s"), col("lang"), col("id").as("id_b"), col("n").as("n_b"))
-      val pairs = a.join(b, Seq("s", "lang"))
-        .where(col("id_a") < col("id_b"))
-        .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
-        .agg(count(lit(1)).as("inter"))
-        .withColumn("jaccard",
-          round(col("inter").cast("double") /
-            (col("n_a") + col("n_b") - col("inter")).cast("double"), 4))
-        .where(col("jaccard") >= 0.02)
-        .select(col("id_a"), col("id_b"))
+      val pairs = cappedJaccardPairs(s, dir).select(col("id_a"), col("id_b"))
       Dedup.duplicateClusters(pairs).orderBy(col("id"))
     }),
 
@@ -472,23 +504,9 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
 
     "q16_ngram_jaccard" ->
-      """WITH toks AS (
-        |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS t
-        |  FROM documents WHERE doc_id % 5 = 0),
-        |sh AS (
-        |  SELECT doc_id, lang,
-        |    list_distinct(CASE WHEN len(t) >= 3
-        |      THEN [hash(array_to_string(t[i:i+2], ' ')) for i in range(1, len(t) - 1)]
-        |      ELSE [hash(array_to_string(t, ' '))] END) AS s
-        |  FROM toks),
-        |n AS (SELECT doc_id, lang, len(s) AS n, s FROM sh),
-        |post AS (SELECT doc_id, lang, n, unnest(s) AS h FROM n)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
-        |  round(count(*)::DOUBLE / (any_value(a.n) + any_value(b.n) - count(*)), 4) AS jaccard
-        |FROM post a JOIN post b ON a.h = b.h AND a.lang = b.lang AND a.doc_id < b.doc_id
-        |GROUP BY a.doc_id, b.doc_id
-        |HAVING round(count(*)::DOUBLE / (any_value(a.n) + any_value(b.n) - count(*)), 4) >= 0.02
-        |ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH $sqlJaccardCtes
+         |SELECT id_a, id_b, inter, jaccard FROM jpairs
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // The engine's own E1→E16 pipeline on synthesized single-article pages
     // reduces to whitespace normalization of the payload text (every doc is
@@ -499,6 +517,60 @@ object SparkEntry {
         |  'Document ' || doc_id AS title,
         |  trim(regexp_replace(text, '\s+', ' ', 'g')) AS extracted_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q17_minhash_lsh" -> {
+      // identical affine constants as Dedup.minhashSignatureFromHashes
+      val k = 32; val bands = 32; val rows = k / bands
+      val mins = Dedup.hashParams(k).zipWithIndex.map { case ((a, b), i) =>
+        s"min(($a * (h % 2147483647) + $b) % ${Dedup.MersennePrime}) AS m$i"
+      }.mkString(",\n    ")
+      val sigList = (0 until k).map(i => s"m$i").mkString("[", ", ", "]")
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(CASE WHEN len(t) >= 3
+         |      THEN [('0x' || substring(md5(array_to_string(t[i:i+2], ' ')), 1, 15))::UBIGINT::BIGINT
+         |            for i in range(1, len(t) - 1)]
+         |      ELSE [('0x' || substring(md5(array_to_string(t, ' ')), 1, 15))::UBIGINT::BIGINT]
+         |      END) AS s
+         |  FROM toks),
+         |post AS (SELECT doc_id, unnest(s) AS h FROM sh),
+         |mh AS (SELECT doc_id,
+         |    $mins
+         |  FROM post GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $sigList AS sig FROM mh),
+         |bands AS (SELECT doc_id, b, array_to_string(sig[$rows*b+1 : $rows*b+$rows], ',') AS key
+         |          FROM sig, range($bands) r(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bands a JOIN bands b
+         |           ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+         |j AS (SELECT id_a, id_b,
+         |        len(list_intersect(sa.s, sb.s))::DOUBLE
+         |          / len(list_distinct(list_concat(sa.s, sb.s))) AS jac
+         |      FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
+         |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM j WHERE jac >= 0.02
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q18_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |h AS (SELECT doc_id, ('0x' || substring(md5(t), 1, 15))::UBIGINT::BIGINT AS h FROM toks),
+        |bits AS (
+        |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE 0 END) AS ones, count(*) AS n
+        |  FROM h, range(64) r(b) GROUP BY doc_id, b),
+        |sig AS (SELECT doc_id, sum(CASE WHEN ones * 2 >= n THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sig
+        |        FROM bits GROUP BY doc_id),
+        |q AS (SELECT doc_id, sig, b AS q, (sig >> (b * 16)) & 65535 AS qv FROM sig, range(4) r(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+        |  FROM q a JOIN q b ON a.q = b.q AND a.qv = b.qv AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, bit_count(xor(sig_a, sig_b))::INTEGER AS hamming
+        |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 16
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q24_grouping_rollup" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
@@ -519,30 +591,66 @@ object SparkEntry {
     },
 
     "q26_dup_clusters" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS t
-        |  FROM documents WHERE doc_id % 5 = 0),
-        |sh AS (
-        |  SELECT doc_id, lang,
-        |    list_distinct(CASE WHEN len(t) >= 3
-        |      THEN [hash(array_to_string(t[i:i+2], ' ')) for i in range(1, len(t) - 1)]
-        |      ELSE [hash(array_to_string(t, ' '))] END) AS s
-        |  FROM toks),
-        |n AS (SELECT doc_id, lang, len(s) AS n, s FROM sh),
-        |post AS (SELECT doc_id, lang, n, unnest(s) AS h FROM n),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM post a JOIN post b ON a.h = b.h AND a.lang = b.lang AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id
-        |  HAVING round(count(*)::DOUBLE / (any_value(a.n) + any_value(b.n) - count(*)), 4) >= 0.02),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-        |          UNION SELECT id_b, id_a FROM pairs),
-        |nodes AS (SELECT DISTINCT src AS id FROM edges),
-        |reach(id, r) AS (
-        |  SELECT id, id FROM nodes
-        |  UNION
-        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)
-        |SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
+      s"""WITH RECURSIVE $sqlJaccardCtes,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM jpairs
+         |          UNION SELECT id_b, id_a FROM jpairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)
+         |SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    "q19_embedding_neardup" -> {
+      val planes = 6; val tables = 8
+      // the exact hyperplane doubles the Spark side uses (toString
+      // round-trips, so DuckDB parses identical values)
+      val sigList = (0 until tables).map { t =>
+        (0 until planes).map { p =>
+          val pv = Dedup.hyperplane(t, p).mkString("[", ", ", "]")
+          s"(CASE WHEN list_dot_product(v, $pv) >= 0 THEN ${1L << p} ELSE 0 END)"
+        }.mkString("(", " + ", ")")
+      }.mkString("[", ",\n    ", "]")
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |sig AS (SELECT id, r.b AS t, ($sigList)[r.b + 1] AS sig
+         |        FROM e, range($tables) r(b)),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |         FROM sig a JOIN sig b ON a.t = b.t AND a.sig = b.sig AND a.id < b.id),
+         |j AS (SELECT id_a, id_b,
+         |        list_dot_product(ea.v, eb.v)
+         |          / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cos
+         |      FROM cand JOIN e ea ON ea.id = id_a JOIN e eb ON eb.id = id_b)
+         |SELECT id_a, id_b, round(cos, 4) AS cos FROM j WHERE cos >= 0.45
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q21_knn_ivf" -> {
+      val planes = 6; val tables = 4; val dim = 64
+      def sigList(vcol: String) = (0 until tables).map { t =>
+        (0 until planes).map { p =>
+          val pv = Similarity.ivfPlane(t, p, dim).mkString("[", ", ", "]")
+          s"(CASE WHEN list_dot_product($vcol, $pv) >= 0 THEN ${1L << p} ELSE 0 END)"
+        }.mkString("(", " + ", ")")
+      }.mkString("[", ",\n    ", "]")
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+         |csig AS (SELECT id, r.b AS t, (${sigList("v")})[r.b + 1] AS bucket
+         |         FROM e, range($tables) r(b)),
+         |qsig AS (SELECT qid, r.b AS t, (${sigList("qv")})[r.b + 1] AS bucket
+         |         FROM q, range($tables) r(b)),
+         |cand AS (SELECT DISTINCT qid, id
+         |         FROM csig JOIN qsig ON csig.t = qsig.t AND csig.bucket = qsig.bucket
+         |         WHERE id <> qid),
+         |scored AS (SELECT cand.qid, cand.id,
+         |    round(list_dot_product(e.v, q.qv)
+         |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+         |  FROM cand JOIN e ON e.id = cand.id JOIN q ON q.qid = cand.qid),
+         |ranked AS (SELECT qid, id, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank
+         |  FROM scored)
+         |SELECT qid, rank, id, cos FROM ranked WHERE rank <= 10
+         |ORDER BY qid, rank""".stripMargin
+    },
 
     "q20_knn_brute" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv

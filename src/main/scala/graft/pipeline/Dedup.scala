@@ -39,6 +39,17 @@ object Dedup {
   def shingleHashes(text: Column, n: Int = 3): Column =
     array_distinct(transform(shingles(text, n), s => xxhash64(s)))
 
+  /** Oracle-replicable 60-bit hash: decimal value of the first 15 hex
+    * digits of md5. Slower than xxhash64 (use it for verification paths);
+    * DuckDB computes the identical value via
+    * `('0x' || substring(md5(x),1,15))::UBIGINT`. */
+  def md5Hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** shingleHashes with a pluggable hash (md5Hash60 for oracled queries). */
+  def shingleHashesWith(text: Column, hashFn: Column => Column, n: Int = 3): Column =
+    array_distinct(transform(shingles(text, n), hashFn))
+
   // ---- exact ----------------------------------------------------------
 
   /**
@@ -55,8 +66,9 @@ object Dedup {
 
   /** Deterministic affine hash family over a base xxhash64 (Carter-Wegman
     * style): h_i(x) = (a_i*x + b_i) mod 2^61-1. */
-  private val MersennePrime = (1L << 61) - 1
-  private def hashParams(k: Int): Seq[(Long, Long)] = {
+  val MersennePrime: Long = (1L << 61) - 1
+  /** Public so oracle SQL generators can embed the identical constants. */
+  def hashParams(k: Int): Seq[(Long, Long)] = {
     // splitmix64 stream from seed 42 — deterministic, no RNG object
     def mix(z0: Long): Long = {
       var z = z0 + 0x9E3779B97F4A7C15L
@@ -90,20 +102,28 @@ object Dedup {
    * k minhashes in `bands` bands of k/bands rows: docs sharing any full
    * band land in a bucket; bucket equi-join yields candidates; true
    * n-gram Jaccard filters to `threshold`.
+   *
+   * Scale shape: the band self-join carries ONLY (band, band_hash, id) —
+   * candidate pairs are ids; the shingle arrays needed for Jaccard
+   * verification are re-joined by id afterwards. At web scale the pair
+   * stage dominates shuffle volume, so its payload must not include the
+   * (large) shingle arrays. `shingleHash` is pluggable so oracled queries
+   * can use md5Hash60 (DuckDB-replicable) instead of xxhash64.
    */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  k: Int = 32, bands: Int = 8,
-                 threshold: Double = 0.8): DataFrame = {
+                 threshold: Double = 0.8,
+                 shingleHash: Column => Column = xxhash64(_)): DataFrame = {
     val rows = k / bands
     val withSh = df.select(
       col(idCol).as("id"),
-      shingleHashes(col(textCol)).as("sh"))
+      shingleHashesWith(col(textCol), shingleHash).as("sh"))
     val withSig = withSh.select(
-      col("id"), col("sh"),
+      col("id"),
       minhashSignatureFromHashes(col("sh"), k).as("sig"))
 
     val banded = withSig.select(
-      col("id"), col("sh"),
+      col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(
           concat_ws(",", transform(slice(col("sig"), b * lit(rows) + lit(1), lit(rows)),
@@ -112,14 +132,19 @@ object Dedup {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
 
-    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
     val pairs = a.join(b, Seq("band", "band_hash"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
 
+    // verification payload joined back by id (ids-only pair shuffle above)
+    val shA = withSh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val shB = withSh.select(col("id").as("id_b"), col("sh").as("sh_b"))
     pairs
+      .join(shA, Seq("id_a"))
+      .join(shB, Seq("id_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
@@ -150,20 +175,63 @@ object Dedup {
   def simhash(text: Column): Column =
     simhashFromHashes(transform(tokens(text), t => xxhash64(t)))
 
+  /**
+   * Blocking keys for `maxDist <= 2`: the 6 quarter-PAIRS (32-bit values).
+   * Pigeonhole: dist<=2 flips bits in at most 2 of the 4 quarters, so at
+   * least 2 quarters are equal — the pair (i,j) of equal quarters matches.
+   * 32-bit keys give ~4×10^9 bucket values, so at 10^9+ docs the expected
+   * bucket holds O(1) docs where the 16-bit keys (65,536 values) would
+   * hold ~15k–15M and make in-bucket pair generation quadratic.
+   */
+  private def quarterPairKeys(sig: Column): Column = {
+    def quarter(i: Int): Column =
+      shiftrightunsigned(sig, i * 16).bitwiseAND(lit(0xFFFFL))
+    val pairs = for { i <- 0 until 4; j <- i + 1 until 4 } yield
+      quarter(i) * lit(65536L) + quarter(j)
+    array(pairs: _*)
+  }
+
+  /**
+   * Near-dup pairs within Hamming distance `maxDist` of the 64-bit SimHash.
+   *
+   *  - maxDist <= 2: 6 tables keyed by 32-bit quarter-pairs (exact recall,
+   *    bounded buckets at web scale).
+   *  - maxDist == 3: 4 tables keyed by 16-bit quarters (exact recall, but
+   *    16-bit keys go quadratic at 10^9+ docs); `maxBucket > 0` caps the
+   *    bucket size by dropping over-full blocking buckets (recall trade-off,
+   *    logged via the returned plan's filter, never silently quadratic).
+   *  - maxDist > 3: same 16-bit blocking, approximate by construction
+   *    (a pair can differ in all 4 quarters); kept for exploratory use.
+   */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 3): DataFrame = {
+                   maxDist: Int = 3, maxBucket: Int = 0): DataFrame = {
     val withSig = df
       .select(col(idCol).as("id"),
         transform(tokens(col(textCol)), t => xxhash64(t)).as("hs"))
       .select(col("id"), simhashFromHashes(col("hs")).as("sig"))
-    // block on 16-bit quarters (pigeonhole: dist<=3 ⇒ some quarter equal)
-    val quarters = withSig.select(
-      col("id"), col("sig"),
-      posexplode(array((0 until 4).map(q =>
-        shiftrightunsigned(col("sig"), q * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+    simhashPairsFromSigs(withSig, maxDist, maxBucket)
+  }
+
+  /** Pair generation from a prebuilt (id, sig) frame — shared by the
+    * xxhash64 production path and the md5-based oracled path. */
+  def simhashPairsFromSigs(withSig: DataFrame, maxDist: Int,
+                           maxBucket: Int = 0): DataFrame = {
+    val keys =
+      if (maxDist <= 2) quarterPairKeys(col("sig"))
+      else array((0 until 4).map(q =>
+        shiftrightunsigned(col("sig"), q * 16).bitwiseAND(lit(0xFFFFL))): _*)
+    val blocked0 = withSig.select(col("id"), col("sig"), posexplode(keys))
       .withColumnRenamed("pos", "q").withColumnRenamed("col", "qv")
-    val a = quarters.select(col("q"), col("qv"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = quarters.select(col("q"), col("qv"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val blocked =
+      if (maxBucket > 0) {
+        val small = blocked0.groupBy(col("q"), col("qv"))
+          .agg(count(lit(1)).as("bsz"))
+          .where(col("bsz") <= maxBucket)
+          .select(col("q"), col("qv"))
+        blocked0.join(small, Seq("q", "qv"), "left_semi")
+      } else blocked0
+    val a = blocked.select(col("q"), col("qv"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = blocked.select(col("q"), col("qv"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("q", "qv"))
       .where(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
@@ -179,18 +247,33 @@ object Dedup {
    * postings on the shingle (equi-join, one shuffle), count shared
    * shingles per pair, derive Jaccard from |A|+|B|−|A∩B|. Blocking comes
    * free from the postings join (pairs sharing nothing never meet).
+   *
+   * `maxDf` caps the posting-list length per shingle: a stop-shingle shared
+   * by d documents contributes d² candidate rows to the self-join, so one
+   * 3-gram appearing in 1% of a 10^9-doc corpus is a 10^14-row skew bomb.
+   * Shingles with document frequency > maxDf are dropped BEFORE the join
+   * (standard stop-shingle removal) and Jaccard is computed over the
+   * surviving shingle space (per-doc sizes recomputed post-cap, so the
+   * measure stays a true Jaccard on the reduced universe).
    */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-                   threshold: Double = 0.5): DataFrame = {
+                   threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
     val sh = df.select(col(idCol).as("id"), shingleHashes(col(textCol)).as("sh"))
-      .withColumn("n", size(col("sh")))
-    val postings = sh.select(col("id"), col("n"), explode(col("sh")).as("s"))
-    val a = postings.select(col("s"), col("id").as("id_a"), col("n").as("n_a"))
-    val b = postings.select(col("s"), col("id").as("id_b"), col("n").as("n_b"))
+    val postings = sh.select(col("id"), explode(col("sh")).as("s"))
+    val rare = postings.groupBy(col("s"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf)
+      .select(col("s"))
+    val kept = postings.join(rare, Seq("s"), "left_semi")
+    val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val a = kept.select(col("s"), col("id").as("id_a"))
+    val b = kept.select(col("s"), col("id").as("id_b"))
     a.join(b, Seq("s"))
       .where(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("n_a") + col("n_b") - col("inter")).cast("double"))
@@ -211,11 +294,16 @@ object Dedup {
    * min id in the node's component.
    */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // Materialize the edge list ONCE: every propagation round re-reads it,
+    // and without this the (expensive) upstream pair-generation join would
+    // re-run 2–3× per round — the dominant cost at any scale.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -224,17 +312,17 @@ object Dedup {
           col("dst") === col("dst2"))
         .groupBy(col("src"))
         .agg(min(col("nc")).as("neighbor_component"))
+      // one real job per round: the eager checkpoint materializes the join;
+      // the convergence probe is then a scan of cached blocks, not a re-run
       val updated = labels
         .join(neighborMin, labels("id") === neighborMin("src"), "left")
         .select(labels("id"),
           least(col("component"), coalesce(col("neighbor_component"), col("component")))
-            .as("component"))
-      val changed = updated.alias("u")
-        .join(labels.alias("l"), col("u.id") === col("l.id"))
-        .where(col("u.component") =!= col("l.component"))
-        .limit(1).count()
-      labels = updated.localCheckpoint(true) // cut lineage growth per round
-      converged = changed == 0
+            .as("component"),
+          (col("neighbor_component") < col("component")).as("changed"))
+        .localCheckpoint(true)
+      converged = updated.where(col("changed")).limit(1).count() == 0
+      labels = updated.select(col("id"), col("component"))
       iter += 1
     }
     labels
@@ -256,40 +344,50 @@ object Dedup {
    * table, `tables` tables; docs sharing a full sign pattern in any table
    * are candidates; verified by exact cosine.
    */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic hyperplane: component c of plane p in table `table`,
+    * uniform in [-1,1]. Public so oracle SQL can embed the exact doubles
+    * (Double.toString round-trips, so DuckDB parses identical values). */
+  def hyperplane(table: Int, p: Int, dim: Int = 64): Seq[Double] =
+    (0 until dim).map(c => mix64(table * 1009L + p * 131L + c).toDouble / Long.MaxValue)
+
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double = 0.95,
                        planes: Int = 12, tables: Int = 4): DataFrame = {
-    val dim = 64
-    def mix(z0: Long): Long = {
-      var z = z0 + 0x9E3779B97F4A7C15L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^ (z >>> 31)
-    }
-    // deterministic hyperplanes: component c of plane p = mix-based in [-1,1]
-    def planeVec(table: Int, p: Int): Seq[Double] =
-      (0 until dim).map(c => (mix(table * 1009L + p * 131L + c).toDouble / Long.MaxValue))
-
     val sigCols = (0 until tables).map { t =>
       val bits = (0 until planes).map { p =>
-        val pv = planeVec(t, p)
+        val pv = hyperplane(t, p)
         val dot = aggregate(
-          zip_with(col(vecCol), typedlit(pv), (x, w) => x.cast("double") * w),
+          zip_with(col("v"), typedlit(pv), (x, w) => x.cast("double") * w),
           lit(0.0), (acc, x) => acc + x)
         when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
       }
       bits.reduce((x, y) => x.bitwiseOR(y)).as(s"sig_$t")
     }
 
-    val withSig = df.select((Seq(col(idCol).as("id"), col(vecCol).as("v")) ++ sigCols): _*)
-    val exploded = withSig.select(col("id"), col("v"),
+    // ids-only pair join; vectors re-joined by id for the cosine verify
+    // (same payload discipline as minhashLsh — at web scale the candidate
+    // shuffle must not carry the embedding arrays)
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val withSig = base.select((Seq(col("id")) ++ sigCols): _*)
+    val exploded = withSig.select(col("id"),
       posexplode(array((0 until tables).map(t => col(s"sig_$t")): _*)))
       .withColumnRenamed("pos", "t").withColumnRenamed("col", "sig")
-    val a = exploded.select(col("t"), col("sig"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = exploded.select(col("t"), col("sig"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("t", "sig"))
+    val a = exploded.select(col("t"), col("sig"), col("id").as("id_a"))
+    val b = exploded.select(col("t"), col("sig"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("t", "sig"))
       .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    pairs
+      .join(base.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .withColumn("cos", cosine(col("v_a"), col("v_b")))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))

@@ -39,16 +39,22 @@ object Similarity {
       .select(col("qid"), col("rank"), col("id"), col("cos"))
   }
 
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic IVF hyperplane (distinct seed family from
+    * Dedup.hyperplane). Public so oracle SQL can embed the exact doubles. */
+  def ivfPlane(table: Int, p: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(c => mix64(table * 7919L + p * 131L + c).toDouble / Long.MaxValue)
+
   /** Hyperplane bucket id (one table). */
   private def bucketSig(vec: Column, table: Int, planes: Int, dim: Int): Column = {
-    def mix(z0: Long): Long = {
-      var z = z0 + 0x9E3779B97F4A7C15L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^ (z >>> 31)
-    }
     val bits = (0 until planes).map { p =>
-      val pv = (0 until dim).map(c => mix(table * 7919L + p * 131L + c).toDouble / Long.MaxValue)
+      val pv = ivfPlane(table, p, dim)
       val dot = aggregate(zip_with(vec, typedlit(pv), (x, w) => x.cast("double") * w),
         lit(0.0), (acc, x) => acc + x)
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))

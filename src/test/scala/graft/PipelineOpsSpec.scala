@@ -56,6 +56,45 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.head.getAs[Double]("jaccard") == 1.0)
   }
 
+  test("ngram jaccard maxDf drops stop-shingles: pair linked only by a " +
+    "stop-shingle disappears; true near-dups survive") {
+    // "common common common" is a shingle shared by ALL docs (df=5) — the
+    // skew-bomb shape; docs 3/4 share ONLY that shingle.
+    val stop = "common common common"
+    val near = (1 to 30).map(i => s"w$i").mkString(" ")
+    val df = docsDf(Seq(
+      (1L, s"$stop $near"), (2L, s"$stop $near"),
+      (3L, s"$stop aaa bbb ccc ddd"), (4L, s"$stop eee fff ggg hhh"),
+      (5L, s"$stop")))
+    val capped = Dedup.ngramJaccard(df, "doc_id", "text", threshold = 0.01, maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((1L, 2L)))          // near-dup pair survives the cap
+    assert(!capped.exists(p => p._1 == 3L || p._2 == 3L)) // stop-only links gone
+    val uncapped = Dedup.ngramJaccard(df, "doc_id", "text", threshold = 0.01, maxDf = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.exists(p => p._1 == 3L || p._2 == 3L)) // proves the cap did it
+  }
+
+  test("simhash quarter-pair blocking (maxDist<=2) finds planted near-dup " +
+    "with 32-bit keys") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val df = docsDf(Seq((1L, base), (2L, base), (3L, (200 to 260).map(i => s"z$i").mkString(" "))))
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxDist = 2).collect()
+    val p12 = pairs.find(r => r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L)
+    assert(p12.isDefined && p12.get.getAs[Int]("hamming") == 0)
+  }
+
+  test("simhash maxBucket drops over-full blocking buckets (bounded fanout)") {
+    // 12 identical docs: every blocking bucket holds all 12; maxBucket=4
+    // drops them all, so NO pairs emerge — proving the cap bounds fanout.
+    val text = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val df = docsDf((1L to 12L).map(i => (i, text)))
+    val capped = Dedup.simhashPairs(df, "doc_id", "text", maxDist = 3, maxBucket = 4)
+    assert(capped.count() == 0)
+    val uncapped = Dedup.simhashPairs(df, "doc_id", "text", maxDist = 3)
+    assert(uncapped.count() == 66) // C(12,2)
+  }
+
   test("duplicate clusters: chained pairs collapse to min-id components") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (3L, 7L))
