@@ -79,8 +79,15 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum + extractSec
 
-    println(
-      f"""{"metric":"extract_docs_per_sec","value":$docsPerSec%.1f,"unit":"docs/sec","total_sec":$total%.2f,"extract_sec":$extractSec%.2f,"extract_mb_per_sec":$mbPerSec%.1f,"bench_docs":$benchDocs,"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      f"""{"metric":"extract_docs_per_sec","value":$docsPerSec%.1f,"unit":"docs/sec","total_sec":$total%.2f,"extract_sec":$extractSec%.2f,"extract_mb_per_sec":$mbPerSec%.1f,"bench_docs":$benchDocs,"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // bare-file copy so harnesses don't have to scrape the JSON line out of
+    // sbt's [info]-prefixed stdout (env-overridable path)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception => System.err.println(s"bench.json write failed: $e") }
     spark.stop()
   }
 }

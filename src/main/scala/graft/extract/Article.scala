@@ -10,7 +10,8 @@ import scala.collection.mutable
  * are lazy to mirror the reference's `cached_property` chain (the same
  * mutable DOM flows through them in order).
  */
-final class Article private (html: String, url: String) {
+final class Article private (html: String, url: String,
+                             returnFragment: Boolean) {
 
   /** OriginalDocument.dom (document.py:127-137): decode → breaks→p →
     * parse + absolutize. Throws HtmlParseError on unparseable input. */
@@ -68,7 +69,8 @@ final class Article private (html: String, url: String) {
     val updatedWinner = Readable.checkSiblings(winner, candidates)
     val prepped = Readable.prepArticle(updatedWinner.node)
     if (prepped == null) return handleNoCandidates()
-    val dom2 = Readable.buildBaseDocument(prepped)
+    val dom2 = Readable.documentFromFragment(
+      Readable.buildBaseDocument(prepped), returnFragment)
     Readable.removeOrphans(findReadabilityBody(dom2))
   }
 
@@ -84,20 +86,33 @@ final class Article private (html: String, url: String) {
     if (res != null) res else n
   }
 
-  /** readable.py:446-458 */
+  /** readable.py:446-458. NOTE the reference quirk at readable.py:458:
+    * `build_error_document(self._return_fragment)` passes the flag as the
+    * unused `dom` POSITIONAL arg, so error documents are ALWAYS fragments
+    * regardless of return_fragment — reproduced here. */
   private def handleNoCandidates(): Node = {
     if (dom != null && dom.children.nonEmpty) {
       val prepped = Readable.prepArticle(dom)
       if (prepped == null) return Readable.buildErrorDocument()
-      val base = Readable.buildBaseDocument(prepped)
+      val base = Readable.documentFromFragment(
+        Readable.buildBaseDocument(prepped), returnFragment)
       Readable.removeOrphans(findReadabilityBody(base))
     } else {
       Readable.buildErrorDocument()
     }
   }
 
-  /** Article.readable (readable.py:402-404): serialized with tail (lxml default). */
+  /** Article.readable (readable.py:402-404): serialized with tail (lxml default).
+    * NOTE parity: even with returnFragment=false this serializes the div —
+    * lxml's tounicode(element) serializes the subtree only; the shell is
+    * reachable as the div's ancestry (see fullHtml). */
   lazy val readable: String = Serializer.toUnicode(readableDom)
+
+  /** The whole tree the readable div lives in: with returnFragment=false,
+    * the NULL_DOCUMENT shell (readable.py:42-50) with the extracted div in
+    * its body — the full-HTML-document output. (Convenience the reference
+    * leaves to `tounicode(div.getroottree())` at call sites.) */
+  lazy val fullHtml: String = Serializer.toUnicode(readableDom.root)
 
   /** Article.main_text (readable.py:397-400): annotated paragraphs of the
     * readabilityBody subtree (reference deepcopies; our walk is read-only). */
@@ -108,7 +123,10 @@ final class Article private (html: String, url: String) {
 }
 
 object Article {
-  def apply(html: String, url: String = null): Article = new Article(html, url)
-  def fromBytes(html: Array[Byte], url: String = null): Article =
-    new Article(Decode.decodeHtml(html), url)
+  def apply(html: String, url: String = null,
+            returnFragment: Boolean = true): Article =
+    new Article(html, url, returnFragment)
+  def fromBytes(html: Array[Byte], url: String = null,
+                returnFragment: Boolean = true): Article =
+    new Article(Decode.decodeHtml(html), url, returnFragment)
 }

@@ -179,6 +179,31 @@ object Readable {
     fragment
   }
 
+  /** readable.py:42-50 — the empty shell a non-fragment result is wrapped
+    * in (whitespace layout preserved verbatim). */
+  val NullDocument: String =
+    "\n<html>\n    <head>\n        <meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html;charset=UTF-8\">\n    </head>\n    <body>\n    " +
+      "</body>\n</html>\n"
+
+  /**
+   * readable.py:101-110 — `document_from_fragment`: with
+   * `returnFragment=false` the fragment is moved (lxml append semantics:
+   * tail travels with it) into NULL_DOCUMENT's body, so the readable div
+   * gains an html>body ancestry. The net value `_readable` works with is
+   * the div itself in BOTH modes (readable.py:437 re-selects it by id), so
+   * this returns the fragment — attached to the shell when wrapped.
+   * (The reference also assigns `document.doctype`, which on an lxml
+   * element proxy is a no-op side attribute — nothing to mirror.)
+   */
+  def documentFromFragment(fragment: Node, returnFragment: Boolean): Node = {
+    if (!returnFragment) {
+      val shell = graft.html.Parser.parseDocument(NullDocument)
+      shell.find("body").append(fragment)
+    }
+    fragment
+  }
+
   /** E14 readable.py:439-444 — unwrap same-tag only children; live iteration
     * with lxml's one-step-ahead successor (see Node.iterDescendantsLive). */
   def removeOrphans(dom: Node): Node = {

@@ -36,6 +36,39 @@ class ReadableSpec extends AnyFunSuite {
     assert(doc.readableDom.attrs("class") == "parsing-error")
   }
 
+  test("return_fragment=false wraps the div in the NULL_DOCUMENT shell " +
+    "(readable.py:42-50,101-110,356-366)") {
+    val frag = Article.fromBytes(Fixtures.snippetBytes("document_min.html"))
+    val full = Article.fromBytes(Fixtures.snippetBytes("document_min.html"),
+      returnFragment = false)
+    // readable_dom is the div in BOTH modes (readable.py:437 re-selects it)
+    assert(full.readableDom.tag == "div")
+    assert(full.readableDom.attrs("id") == "readabilityBody")
+    // ...but in full mode its ancestry is the NULL_DOCUMENT shell
+    assert(full.readableDom.parent.tag == "body")
+    assert(full.readableDom.parent.parent.tag == "html")
+    val head = full.readableDom.root.find("head")
+    assert(head != null && head.find("meta") != null)
+    assert(head.find("meta").attrs("http-equiv") == "Content-Type")
+    // `readable` serializes the div subtree in both modes (lxml tounicode
+    // semantics) — byte-identical output
+    assert(full.readable == frag.readable)
+    // fullHtml serializes the shell
+    assert(full.fullHtml.contains("<html>"))
+    assert(full.fullHtml.contains("text/html;charset=UTF-8"))
+    assert(full.fullHtml.contains("readabilityBody"))
+    assert(!frag.fullHtml.contains("charset=UTF-8")) // no shell in fragment mode
+    // main_text unaffected by the wrapper
+    assert(full.mainText == frag.mainText)
+  }
+
+  test("error documents are ALWAYS fragments — readable.py:458 passes the " +
+    "flag as the unused dom positional (reference quirk)") {
+    val doc = Article("", returnFragment = false)
+    assert(doc.readableDom.attrs("class") == "parsing-error")
+    assert(doc.readableDom.parent == null) // not wrapped, despite the flag
+  }
+
   test("unlikely candidates are wiped (test_readable.py:92-123)") {
     val doc = Article.fromBytes(Fixtures.snippetBytes("test_readable_unlikely.html"))
     val readable = doc.readable
