@@ -82,7 +82,10 @@ object SparkEntry {
       .agg(count(lit(1)).as("df"))
       .where(col("df") <= JaccardMaxDf)
       .select(col("s"), col("lang"))
+    // materialize once: kept feeds three consumers (both self-join sides +
+    // the post-cap sizes) and its lineage includes the df-count semi-join
     val kept = postings.join(rare, Seq("s", "lang"), "left_semi")
+      .localCheckpoint(true)
     val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val a = kept.select(col("s"), col("lang"), col("id").as("id_a"))
     val b = kept.select(col("s"), col("lang"), col("id").as("id_b"))

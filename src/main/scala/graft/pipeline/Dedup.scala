@@ -264,7 +264,9 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf)
       .select(col("s"))
-    val kept = postings.join(rare, Seq("s"), "left_semi")
+    // materialized once (eager): three consumers (self-join sides + sizes)
+    // would otherwise each re-run the shingling + df-count semi-join
+    val kept = postings.join(rare, Seq("s"), "left_semi").localCheckpoint(true)
     val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val a = kept.select(col("s"), col("id").as("id_a"))
     val b = kept.select(col("s"), col("id").as("id_b"))
@@ -285,18 +287,19 @@ object Dedup {
 
   /**
    * Collapse near-dup PAIRS into duplicate CLUSTERS: connected components
-   * by iterative min-label propagation (each round: every node adopts the
-   * smallest label among itself and its neighbors; converges in
-   * O(component diameter) rounds — near-dup components are tiny, so a few
-   * equi-join rounds suffice; each round is one shuffle).
+   * by min-label propagation WITH pointer doubling. Each round every node
+   * (a) adopts the smallest label among itself and its neighbors, then
+   * (b) shortcuts to its label's own label (labels are always node ids, so
+   * the hop is an equi-join). Doubling makes convergence O(log diameter)
+   * rounds instead of O(diameter) — a 1000-node duplicate chain converges
+   * in ~10 rounds, not 1000. Each round is two bounded equi-join jobs over
+   * eagerly-checkpointed inputs (the expensive upstream pair generation is
+   * materialized once, never re-run).
    *
    * Input: pairs (id_a, id_b); output: (id, component) with component =
    * min id in the node's component.
    */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    // Materialize the edge list ONCE: every propagation round re-reads it,
-    // and without this the (expensive) upstream pair-generation join would
-    // re-run 2–3× per round — the dominant cost at any scale.
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
@@ -312,17 +315,27 @@ object Dedup {
           col("dst") === col("dst2"))
         .groupBy(col("src"))
         .agg(min(col("nc")).as("neighbor_component"))
-      // one real job per round: the eager checkpoint materializes the join;
-      // the convergence probe is then a scan of cached blocks, not a re-run
-      val updated = labels
+      val prop = labels
         .join(neighborMin, labels("id") === neighborMin("src"), "left")
         .select(labels("id"),
-          least(col("component"), coalesce(col("neighbor_component"), col("component")))
-            .as("component"),
-          (col("neighbor_component") < col("component")).as("changed"))
+          labels("component").as("old_component"),
+          least(labels("component"),
+            coalesce(col("neighbor_component"), labels("component")))
+            .as("component"))
         .localCheckpoint(true)
-      converged = updated.where(col("changed")).limit(1).count() == 0
-      labels = updated.select(col("id"), col("component"))
+      // pointer doubling: component ← label(component); labels only ever
+      // decrease (label(x) <= x invariant), so changed ⟺ new < old
+      val shortcut = prop.alias("p")
+        .join(prop.select(col("id").as("cid"), col("component").as("cc")).alias("c"),
+          col("p.component") === col("c.cid"), "left")
+        .select(col("p.id").as("id"),
+          coalesce(col("c.cc"), col("p.component")).as("component"),
+          (coalesce(col("c.cc"), col("p.component")) < col("p.old_component"))
+            .as("changed"))
+        .localCheckpoint(true)
+      // the convergence probe scans the checkpointed blocks — no re-run
+      converged = shortcut.where(col("changed")).limit(1).count() == 0
+      labels = shortcut.select(col("id"), col("component"))
       iter += 1
     }
     labels

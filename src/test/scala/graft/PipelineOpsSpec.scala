@@ -104,6 +104,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("duplicate clusters converge on a 200-node chain (pointer doubling: " +
+    "O(log d) rounds, not O(d))") {
+    import spark.implicits._
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.duplicateClusters(chain).collect()
+    assert(out.length == 200)
+    assert(out.forall(_.getLong(1) == 0L)) // diameter 199 >> maxIter 15
+  }
+
   test("brute knn: duplicate vector is its own nearest neighbor at cos 1") {
     import spark.implicits._
     val vecs = Seq(
