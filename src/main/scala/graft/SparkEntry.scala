@@ -78,6 +78,7 @@ object SparkEntry {
     val sh = sub.select(col("doc_id").as("id"), col("lang"),
       Dedup.shingleHashes(col("text")).as("sh"))
     val postings = sh.select(col("id"), col("lang"), explode(col("sh")).as("s"))
+      .localCheckpoint(true) // shingling runs once, not per consumer
     val rare = postings.groupBy(col("s"), col("lang"))
       .agg(count(lit(1)).as("df"))
       .where(col("df") <= JaccardMaxDf)

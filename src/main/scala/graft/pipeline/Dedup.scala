@@ -86,16 +86,11 @@ object Dedup {
 
   /** MinHash signature over an ALREADY-MATERIALIZED shingle-hash array
     * column (overflow-safe: base hash reduced mod 2^31-1 before the affine
-    * map). Callers must project the shingle hashes in a prior select —
-    * inlining `shingleHashes` here would re-tokenize the document once per
-    * hash function when the expression falls out of codegen. */
-  def minhashSignatureFromHashes(hashes: Column, k: Int = 32): Column = {
-    val mins = hashParams(k).map { case (a, b) =>
-      array_min(transform(hashes, h =>
-        pmod(pmod(h, lit(Int.MaxValue.toLong)) * lit(a) + lit(b), lit(MersennePrime))))
-    }
-    array(mins: _*)
-  }
+    * map). Native codegen kernel — one compiled pass computing all k mins;
+    * bit-identical to the k× array_min(transform(...)) formulation
+    * (KernelParitySpec). */
+  def minhashSignatureFromHashes(hashes: Column, k: Int = 32): Column =
+    graft.plans.VectorKernels.minhash(hashes, hashParams(k))
 
   /**
    * MinHash-LSH near-dup candidate pairs with verified Jaccard.
@@ -115,9 +110,12 @@ object Dedup {
                  threshold: Double = 0.8,
                  shingleHash: Column => Column = xxhash64(_)): DataFrame = {
     val rows = k / bands
+    // materialized once: the signature path and both verification re-joins
+    // consume the shingle arrays, and shingling is the expensive step
     val withSh = df.select(
       col(idCol).as("id"),
       shingleHashesWith(col(textCol), shingleHash).as("sh"))
+      .localCheckpoint(true)
     val withSig = withSh.select(
       col("id"),
       minhashSignatureFromHashes(col("sh"), k).as("sig"))
@@ -161,16 +159,11 @@ object Dedup {
    * 4-way table-split blocking (any identical 16-bit quarter → candidate).
    */
   /** SimHash over an already-materialized token-hash array column (same
-    * projection discipline as minhashSignatureFromHashes). */
-  def simhashFromHashes(hs: Column): Column = {
-    val n = size(hs)
-    val bits = (0 until 64).map { b =>
-      val cnt = aggregate(hs, lit(0),
-        (acc, h) => acc + when(h.bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(0))
-      when(cnt * 2 >= n, lit(1L << b)).otherwise(lit(0L))
-    }
-    bits.reduce((x, y) => x.bitwiseOR(y))
-  }
+    * projection discipline as minhashSignatureFromHashes). Native codegen
+    * kernel; bit-identical to the 64× aggregate(...) majority-vote
+    * formulation (KernelParitySpec). */
+  def simhashFromHashes(hs: Column): Column =
+    graft.plans.VectorKernels.simhash(hs)
 
   def simhash(text: Column): Column =
     simhashFromHashes(transform(tokens(text), t => xxhash64(t)))
@@ -259,7 +252,10 @@ object Dedup {
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
     val sh = df.select(col(idCol).as("id"), shingleHashes(col(textCol)).as("sh"))
+    // materialize the exploded postings ONCE: df-count, semi-join and the
+    // self-join all consume them, and shingling is the expensive step
     val postings = sh.select(col("id"), explode(col("sh")).as("s"))
+      .localCheckpoint(true)
     val rare = postings.groupBy(col("s"))
       .agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf)
@@ -343,14 +339,11 @@ object Dedup {
 
   // ---- embedding cosine near-dup --------------------------------------
 
-  /** Cosine similarity of two float-array columns in double precision. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
-    dot / (na * nb)
-  }
+  /** Cosine similarity of two float-array columns in double precision.
+    * Native codegen kernel; bit-identical to the three-fold
+    * aggregate/zip_with formulation (KernelParitySpec). */
+  def cosine(a: Column, b: Column): Column =
+    graft.plans.VectorKernels.cosine(a, b)
 
   /**
    * Embedding near-dup via random-hyperplane LSH: `planes` sign bits per
@@ -375,10 +368,7 @@ object Dedup {
                        planes: Int = 12, tables: Int = 4): DataFrame = {
     val sigCols = (0 until tables).map { t =>
       val bits = (0 until planes).map { p =>
-        val pv = hyperplane(t, p)
-        val dot = aggregate(
-          zip_with(col("v"), typedlit(pv), (x, w) => x.cast("double") * w),
-          lit(0.0), (acc, x) => acc + x)
+        val dot = graft.plans.VectorKernels.dotConst(col("v"), hyperplane(t, p))
         when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
       }
       bits.reduce((x, y) => x.bitwiseOR(y)).as(s"sig_$t")

@@ -51,12 +51,10 @@ object Similarity {
   def ivfPlane(table: Int, p: Int, dim: Int): Seq[Double] =
     (0 until dim).map(c => mix64(table * 7919L + p * 131L + c).toDouble / Long.MaxValue)
 
-  /** Hyperplane bucket id (one table). */
+  /** Hyperplane bucket id (one table); native codegen dot kernel. */
   private def bucketSig(vec: Column, table: Int, planes: Int, dim: Int): Column = {
     val bits = (0 until planes).map { p =>
-      val pv = ivfPlane(table, p, dim)
-      val dot = aggregate(zip_with(vec, typedlit(pv), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, x) => acc + x)
+      val dot = graft.plans.VectorKernels.dotConst(vec, ivfPlane(table, p, dim))
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce((x, y) => x.bitwiseOR(y))

@@ -1,0 +1,209 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftSqlShim
+import org.apache.spark.sql.types._
+
+/**
+ * Native codegen kernels for the dedup/ANN hot paths. Spark's higher-order
+ * functions (`transform`/`aggregate`/`zip_with`) are evaluated
+ * INTERPRETED, one lambda call per array element — measured ~3 ms/doc for
+ * shingle+minhash pipelines at 64–500 elements/row, which dominates the
+ * LSH queries. Each kernel below is a single compiled loop producing
+ * BIT-IDENTICAL results to the higher-order formulation it replaces
+ * (same left-to-right accumulation order, same integer math), so the
+ * DuckDB oracles keep matching. Equality with the HOF formulation is
+ * pinned by KernelParitySpec.
+ *
+ * All kernels stay inside whole-stage codegen via static helper calls
+ * (same pattern as NormalizeWs).
+ */
+object VectorKernels {
+
+  // ---- static entries the generated code calls ------------------------
+
+  /** Left fold of x(i)*w(i) — identical to
+    * aggregate(zip_with(v, lit(w), _*_), 0.0, _+_). Float elements. */
+  def dotConstF(v: ArrayData, w: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = math.min(v.numElements(), w.length)
+    while (i < n) { acc += v.getFloat(i).toDouble * w(i); i += 1 }
+    acc
+  }
+
+  def dotConstD(v: ArrayData, w: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = math.min(v.numElements(), w.length)
+    while (i < n) { acc += v.getDouble(i) * w(i); i += 1 }
+    acc
+  }
+
+  /** cosine(a,b) = fold(a·b) / (sqrt(fold(a·a)) * sqrt(fold(b·b))) with the
+    * exact accumulation order of Dedup.cosine's three folds. */
+  def cosineFF(a: ArrayData, b: ArrayData): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def cosineDD(a: ArrayData, b: ArrayData): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** 64-bit SimHash with the majority rule of Dedup.simhashFromHashes
+    * (bit set when 2*count >= n; empty input ⇒ all bits set, matching
+    * `when(0 >= 0)` in the column formulation). */
+  def simhash64(hs: ArrayData): Long = {
+    val n = hs.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if ((h & (1L << b)) != 0L) counts(b) += 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) * 2 >= n) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** k minhash mins over h' = pmod(h, 2^31-1), v_i = (a_i*h' + b_i) mod M —
+    * identical to Dedup.minhashSignatureFromHashes' transform+array_min.
+    * Empty input ⇒ array of nulls (array_min(empty) = null). */
+  def minhashSig(hs: ArrayData, a: Array[Long], b: Array[Long]): ArrayData = {
+    val k = a.length
+    val n = hs.numElements()
+    if (n == 0) return new GenericArrayData(new Array[Any](k))
+    val M = (1L << 61) - 1
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      val hp = { val m = h % 2147483647L; if (m < 0) m + 2147483647L else m }
+      var j = 0
+      while (j < k) {
+        val v = (a(j) * hp + b(j)) % M
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  // ---- Column builders -------------------------------------------------
+
+  def dotConst(v: Column, w: Seq[Double]): Column =
+    GraftSqlShim.column(DotConst(GraftSqlShim.expression(v), w.toIndexedSeq))
+  def cosine(a: Column, b: Column): Column =
+    GraftSqlShim.column(CosineSim(
+      GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
+  def simhash(hs: Column): Column =
+    GraftSqlShim.column(SimHash64(GraftSqlShim.expression(hs)))
+  def minhash(hs: Column, params: Seq[(Long, Long)]): Column =
+    GraftSqlShim.column(MinHashSig(GraftSqlShim.expression(hs),
+      params.map(_._1).toIndexedSeq, params.map(_._2).toIndexedSeq))
+}
+
+/** Dot product of a float/double array column with a constant vector. */
+case class DotConst(child: Expression, weights: IndexedSeq[Double])
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+  @transient private lazy val wArr: Array[Double] = weights.toArray
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (isFloat) VectorKernels.dotConstF(v, wArr) else VectorKernels.dotConstD(v, wArr)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("weights", wArr, "double[]")
+    val fn = if (isFloat) "dotConstF" else "dotConstD"
+    defineCodeGen(ctx, ev, c => s"graft.plans.VectorKernels.$fn($c, $w)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): DotConst =
+    copy(child = newChild)
+  override def prettyName: String = "graft_dot_const"
+}
+
+/** Cosine similarity of two float-array columns (double accumulation). */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  private def fn: String = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _))   => "cosineFF"
+    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => "cosineDD"
+    case other => throw new IllegalStateException(s"graft_cosine: bad input types $other")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    if (fn == "cosineFF")
+      VectorKernels.cosineFF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      VectorKernels.cosineDD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.VectorKernels.$fn($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_cosine"
+}
+
+/** 64-bit SimHash of a long-array column. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.simhash64(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.VectorKernels.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "graft_simhash64"
+}
+
+/** MinHash signature (array<long>) of a long-array column. */
+case class MinHashSig(child: Expression, a: IndexedSeq[Long], b: IndexedSeq[Long])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  @transient private lazy val aArr: Array[Long] = a.toArray
+  @transient private lazy val bArr: Array[Long] = b.toArray
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.minhashSig(input.asInstanceOf[ArrayData], aArr, bArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ar = ctx.addReferenceObj("a", aArr, "long[]")
+    val br = ctx.addReferenceObj("b", bArr, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.plans.VectorKernels.minhashSig($c, $ar, $br)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+  override def prettyName: String = "graft_minhash_sig"
+}

@@ -15,4 +15,10 @@ object GraftSqlShim {
 
   def logicalPlan(df: DataFrame): LogicalPlan =
     df.asInstanceOf[ClassicDataset[Row]].logicalPlan
+
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }
