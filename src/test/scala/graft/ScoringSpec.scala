@@ -70,6 +70,16 @@ class ScoringSpec extends AnyFunSuite {
     for (t <- List("<h1/>", "<h2/>", "<h3/>", "<h4/>")) assert(new ScoredNode(frag(t)).contentScore == -5)
   }
 
+  test("hash_id matches lxml's exact md5 pin 'ffa4c519' (test_scoring.py:210-222)") {
+    // byte-level serializer parity with lxml tostring() on this fragment
+    val node = graft.html.Parser.parseFragment(
+      """<div id="comments" class="article">Content</div>""")
+    assert(graft.html.Serializer.toUnicode(node) ==
+      """<div id="comments" class="article">Content</div>""")
+    assert(Scoring.generateHashId(node) == "ffa4c519")
+    assert(new Scoring.ScoredNode(node).hashId == "ffa4c519")
+  }
+
   test("simple two-candidate ordering (test_scoring.py:266-295)") {
     val html = """
         <html>
