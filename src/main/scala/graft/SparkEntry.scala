@@ -38,10 +38,12 @@ object SparkEntry {
       }
   }
 
-  /** Flagship: full extraction pipeline over the synthesized pages table. */
+  /** Flagship: full extraction pipeline over the synthesized pages table.
+    * Driver contract runs it at sf0.001; overridable via env. */
   def entry(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    synthPages(spark, "/root/testdata/sf0.001")
+    synthPages(spark,
+      sys.env.getOrElse("SPARK_GRAFT_ENTRY_SF_DIR", "/root/testdata/sf0.001"))
       .map(Extractor.extract)
       .toDF()
       .select(col("url"), col("status"), col("title"),
