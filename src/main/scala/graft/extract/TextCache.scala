@@ -41,6 +41,10 @@ final class TextCache {
   // instead of parallel ints keeps the memory traffic low — at 32 threads
   // the prefix arrays themselves are a bandwidth term (BENCH.md §2).
   private var pPacked: Array[Long] = null
+  // commas<<21 | quotes counting [0,i) — turns the per-scorable segment
+  // scans in innerTextMetrics/commaCount into O(1) lookups (JFR round 6:
+  // those scans were the residual O(n·depth) term on nested documents).
+  private var pPunct: Array[Long] = null
 
   private def ensureArrays(): Boolean = {
     if (snap != null && snap.length == buf.length) return pPacked != null
@@ -48,9 +52,11 @@ final class TextCache {
     val len = snap.length
     if (len > arrayThreshold) return false
     val packed = new Array[Long](len + 1)
+    val punct = new Array[Long](len + 1)
     var i = 0
     var prevWs = false
     var vt = 0L; var vp = 0L; var vr = 0L
+    var vc = 0L; var vq = 0L
     while (i < len) {
       val cp = snap.codePointAt(i)
       val w = Character.charCount(cp)
@@ -58,19 +64,25 @@ final class TextCache {
       vt += 1
       if (!ws) vp += 1
       if (ws && !prevWs) vr += 1
+      if (cp == ',') vc += 1 else if (cp == '"') vq += 1
       val v = (vt << 42) | (vp << 21) | vr
+      val u = (vc << 21) | vq
       packed(i + 1) = v
-      if (w == 2) packed(i + 2) = v
+      punct(i + 1) = u
+      if (w == 2) { packed(i + 2) = v; punct(i + 2) = u }
       prevWs = ws
       i += w
     }
     pPacked = packed
+    pPunct = punct
     true
   }
 
   @inline private def totalAt(i: Int): Int = (pPacked(i) >>> 42).toInt
   @inline private def nonWsAt(i: Int): Int = ((pPacked(i) >>> 21) & 0x1FFFFF).toInt
   @inline private def runsAt(i: Int): Int = (pPacked(i) & 0x1FFFFF).toInt
+  @inline private def commasAt(i: Int): Int = ((pPunct(i) >>> 21) & 0x1FFFFF).toInt
+  @inline private def quotesAt(i: Int): Int = (pPunct(i) & 0x1FFFFF).toInt
 
   /** Stripped bounds of [a0,b0) in the snapshot (short boundary scans). */
   private def strippedBounds(a0: Int, b0: Int): Long = {
@@ -111,15 +123,19 @@ final class TextCache {
     ensure(n)
     val from = startIdx.get(n).intValue()
     val to = endIdx.get(n).intValue()
-    // commas/quotes: direct scan (rare chars, one scan per scorable)
+    val fast = ensureArrays()
     var commas = 0
     var quotes = 0
-    val fast = ensureArrays()
-    var i = from
-    while (i < to) {
-      val ch = snap.charAt(i)
-      if (ch == ',') commas += 1 else if (ch == '"') quotes += 1
-      i += 1
+    if (fast) {
+      commas = commasAt(to) - commasAt(from)
+      quotes = quotesAt(to) - quotesAt(from)
+    } else {
+      var i = from
+      while (i < to) {
+        val ch = snap.charAt(i)
+        if (ch == ',') commas += 1 else if (ch == '"') quotes += 1
+        i += 1
+      }
     }
     val ab = strippedBounds(from, to)
     val a = (ab >>> 32).toInt
@@ -140,9 +156,10 @@ final class TextCache {
   /** Python text_content().count(','). */
   def commaCount(n: Node): Int = {
     ensure(n)
-    ensureArrays() // ensures snap is current
+    val fast = ensureArrays()
     val from = startIdx.get(n).intValue()
     val to = endIdx.get(n).intValue()
+    if (fast) return commasAt(to) - commasAt(from)
     var cnt = 0
     var i = from
     while (i < to) { if (snap.charAt(i) == ',') cnt += 1; i += 1 }
