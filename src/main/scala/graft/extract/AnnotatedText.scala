@@ -79,10 +79,13 @@ object AnnotatedText {
       content += processParagraph(paragraph.toList)
       paragraph = mutable.ListBuffer.empty
     }
+  }
 
-    /** annotated_text.py:65-78 — groupby(annotation): li stays itemized,
-      * everything else concatenates then shrinks. */
-    private def processParagraph(p: List[(String, List[String])]): Paragraph = {
+  /** annotated_text.py:65-78 — groupby(annotation): li stays itemized,
+    * everything else concatenates then shrinks. Package-visible so the
+    * transliterated _process_paragraph test (test_annotated_text.py:98-113)
+    * can exercise it directly. */
+  private[graft] def processParagraph(p: List[(String, List[String])]): Paragraph = {
       val out = mutable.ListBuffer.empty[Chunk]
       var i = 0
       while (i < p.length) {
@@ -100,4 +103,3 @@ object AnnotatedText {
       out.toList
     }
   }
-}

@@ -48,6 +48,20 @@ class AnnotatedTextSpec extends AnyFunSuite {
       Chunk("hmm", List("b")))))
   }
 
+  test("process paragraph with chunked text (:98-113)") {
+    val out = graft.extract.AnnotatedText.processParagraph(List(
+      (" 1", List("b", "del")),
+      (" 2", List("b", "del")),
+      (" 3", null),
+      (" 4", null),
+      (" 5", null),
+      (" 6", List("em"))))
+    assert(out == List(
+      graft.extract.AnnotatedText.Chunk("1 2", List("b", "del")),
+      graft.extract.AnnotatedText.Chunk("3 4 5", null),
+      graft.extract.AnnotatedText.Chunk("6", List("em"))))
+  }
+
   test("h1 heading folded into first paragraph (:116-128)") {
     val dom = Parser.parseDocument(Fixtures.snippet("h1_and_2_paragraphs.html"))
     val body = dom.find("body")

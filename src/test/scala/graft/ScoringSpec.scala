@@ -70,6 +70,23 @@ class ScoringSpec extends AnyFunSuite {
     for (t <- List("<h1/>", "<h2/>", "<h3/>", "<h4/>")) assert(new ScoredNode(frag(t)).contentScore == -5)
   }
 
+  test("p-tag class/id weights (test_readable.py:207-231)") {
+    assert(Scoring.getClassWeight(frag("""<p class="article">x</p>""")) == 25)
+    assert(Scoring.getClassWeight(frag("""<p id="content">x</p>""")) == 25)
+    assert(Scoring.getClassWeight(frag("""<p class="comment">x</p>""")) == -25)
+    assert(Scoring.getClassWeight(frag("""<p id="media">x</p>""")) == -25)
+  }
+
+  test("hashes differ per content and repeat for equal content " +
+    "(test_scoring.py:25-47)") {
+    val a = Scoring.generateHashId(frag("""<div id="post">A</div>"""))
+    val b = Scoring.generateHashId(frag("""<div id="post">B</div>"""))
+    assert(a != b)
+    assert(Scoring.generateHashId(frag("""<div id="post">A</div>""")) == a)
+    // null node falls back to hashing a stable repr (scoring.py:61-66)
+    assert(Scoring.generateHashId(null).length == 8)
+  }
+
   test("hash_id matches lxml's exact md5 pin 'ffa4c519' (test_scoring.py:210-222)") {
     // byte-level serializer parity with lxml tostring() on this fragment
     val node = graft.html.Parser.parseFragment(
