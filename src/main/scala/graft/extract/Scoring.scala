@@ -151,16 +151,19 @@ object Scoring {
           // and quotes are non-whitespace so stripping cannot change them
           val (innerLen, commas, quotes) = cache.innerTextMetrics(node)
           if (innerLen >= MinHitLength) {
-            if (!candidates.contains(parent)) candidates(parent) = new ScoredNode(parent)
-            if (!candidates.contains(grand)) candidates(grand) = new ScoredNode(grand)
+            // insertion order parent→grand→node is load-bearing: the winner
+            // sort is stable on it (Q14); getOrElseUpdate preserves it with
+            // one lookup per key instead of contains+apply+update
+            val pSn = candidates.getOrElseUpdate(parent, new ScoredNode(parent))
+            val gSn = candidates.getOrElseUpdate(grand, new ScoredNode(grand))
             var contentScore = 1.0
             contentScore += commas * 0.25
             contentScore += quotes * -0.5
             contentScore += math.min(innerLen / 100.0, 3.0)
-            candidates(parent).contentScore += contentScore
-            candidates(grand).contentScore += contentScore / 2.0
-            if (!candidates.contains(node)) candidates(node) = new ScoredNode(node)
-            candidates(node).contentScore += contentScore
+            pSn.contentScore += contentScore
+            gSn.contentScore += contentScore / 2.0
+            val nSn = candidates.getOrElseUpdate(node, new ScoredNode(node))
+            nSn.contentScore += contentScore
           }
         }
       }

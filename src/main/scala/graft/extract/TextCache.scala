@@ -204,41 +204,39 @@ final class TextCache {
     cnt
   }
 
-  private val linksMemo = new IdentityHashMap[Node, java.lang.Long]()
-  private val imgMemo = new IdentityHashMap[Node, Integer]()
+  // links-length and img-count fused: getLinkDensity needs BOTH per
+  // candidate (scoring.py:87-104), so one bottom-up recursion + one memo
+  // entry (linksLen<<32 | imgs; both < 2^31 — text length is bounded by
+  // the 16 MiB oversize guard) halves the recursion and map traffic of
+  // two separate passes.
+  private val densityMemo = new IdentityHashMap[Node, java.lang.Long]()
+
+  private def densitySums(n: Node): Long = {
+    val hit = densityMemo.get(n)
+    if (hit != null) return hit.longValue()
+    var links = 0L
+    var imgs = 0L
+    var i = 0
+    while (i < n.children.length) {
+      val c = n.children(i)
+      val sub = densitySums(c)
+      links += (sub >>> 32)
+      imgs += (sub & 0xFFFFFFFFL)
+      if (c.tag == "a") links += normStrippedLen(c)
+      else if (c.tag == "img") imgs += 1
+      i += 1
+    }
+    val packed = (links << 32) | imgs
+    densityMemo.put(n, java.lang.Long.valueOf(packed))
+    packed
+  }
 
   /** Σ over descendant <a> of normStrippedLen — link-density numerator
     * (scoring.py:94). Memoized bottom-up: nested candidates share work. */
-  def linksLengthSum(n: Node): Long = {
-    val hit = linksMemo.get(n)
-    if (hit != null) return hit.longValue()
-    var sum = 0L
-    var i = 0
-    while (i < n.children.length) {
-      val c = n.children(i)
-      sum += linksLengthSum(c)
-      if (c.tag == "a") sum += normStrippedLen(c)
-      i += 1
-    }
-    linksMemo.put(n, java.lang.Long.valueOf(sum))
-    sum
-  }
+  def linksLengthSum(n: Node): Long = densitySums(n) >>> 32
 
   /** Count of descendant <img> (memoized bottom-up). */
-  def imgCount(n: Node): Int = {
-    val hit = imgMemo.get(n)
-    if (hit != null) return hit.intValue()
-    var cnt = 0
-    var i = 0
-    while (i < n.children.length) {
-      val c = n.children(i)
-      cnt += imgCount(c)
-      if (c.tag == "img") cnt += 1
-      i += 1
-    }
-    imgMemo.put(n, Integer.valueOf(cnt))
-    cnt
-  }
+  def imgCount(n: Node): Int = (densitySums(n) & 0xFFFFFFFFL).toInt
 
   /** Count of descendants with the given tag. */
   def countTag(n: Node, tag: String): Int = {
