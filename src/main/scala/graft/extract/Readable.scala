@@ -85,8 +85,11 @@ object Readable {
       }
 
       if (sibling.tag == "p") {
-        val linkDensity = Scoring.getLinkDensity(sibling)
-        val content = sibling.textContent
+        // subtree-scoped cache: a root-scoped one would re-index the whole
+        // document per sibling — O(doc × p-siblings) on listing-like pages
+        val cache = TextCache.forSubtree(sibling)
+        val linkDensity = Scoring.getLinkDensityCached(sibling, cache)
+        val content = cache.textContent(sibling)
         val contentLength = PyText.pyLen(content)
         if (contentLength > 80 && linkDensity < 0.25) append = true
         else if (contentLength < 80 && linkDensity == 0.0 && content.contains(". ")) append = true

@@ -21,7 +21,20 @@ import java.util.IdentityHashMap
  * Valid only while the tree is not structurally mutated; each
  * batch-collect-then-drop phase builds one cache and discards it.
  */
+object TextCache {
+  /** A cache indexing only `n`'s subtree — for per-sibling probes
+    * (readable.py:113-166) where indexing from the document root would be
+    * O(doc) per sibling. Only `n` and its descendants may be queried. */
+  def forSubtree(n: Node): TextCache = {
+    val c = new TextCache
+    c.subtreeScope = n
+    c
+  }
+}
+
 final class TextCache {
+
+  private[extract] var subtreeScope: Node = null
 
   private val buf = new java.lang.StringBuilder(1 << 12)
   private val startIdx = new IdentityHashMap[Node, Integer]()
@@ -94,7 +107,8 @@ final class TextCache {
   }
 
   private def ensure(n: Node): Unit =
-    if (!startIdx.containsKey(n)) index(n.root)
+    if (!startIdx.containsKey(n))
+      index(if (subtreeScope != null) subtreeScope else n.root)
 
   private def index(n: Node): Unit = {
     if (startIdx.containsKey(n)) return
