@@ -51,6 +51,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(out.count() == 2)
   }
 
+  test("dedup/ANN family plans contain no cartesian product and keep the " +
+    "kernels inside WholeStageCodegen") {
+    val sfDir = "/root/testdata/sf0.001"
+    for (q <- Seq("q16_ngram_jaccard", "q17_minhash_lsh", "q18_simhash",
+      "q19_embedding_neardup", "q21_knn_ivf")) {
+      val p = plan(SparkEntry.queries(q)(spark, sfDir))
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+    }
+    // the native kernels evaluate inside generated code, not as fallback
+    // (run the query so AQE finalizes the plan and codegen spans appear)
+    val df19 = SparkEntry.queries("q19_embedding_neardup")(spark, sfDir)
+    df19.collect()
+    val p19 = df19.queryExecution.executedPlan.toString
+    assert(p19.contains("graft_cosine") || p19.contains("graft_dot_const"), p19.take(1500))
+    // "*(n) " stage prefixes are the WholeStageCodegen markers; the kernel
+    // must appear inside one (not in an un-starred interpreted operator)
+    assert(p19.linesIterator.exists(l => l.contains("*(") &&
+      (l.contains("graft_cosine") || l.contains("graft_dot_const"))),
+      "kernels not inside a WholeStageCodegen span:\n" + p19.take(1500))
+  }
+
+  test("brute knn broadcasts the query side (corpus never shuffles)") {
+    val p = plan(SparkEntry.queries("q20_knn_brute")(spark, "/root/testdata/sf0.001"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("extraction stage plan is map-only after one salted shuffle") {
     import spark.implicits._
     val rows = graft.job.FixtureGen.fixtureRows("src/test/resources/fixtures")
