@@ -71,8 +71,15 @@ final class TextCache {
     var vt = 0L; var vp = 0L; var vr = 0L
     var vc = 0L; var vq = 0L
     while (i < len) {
-      val cp = snap.codePointAt(i)
-      val w = Character.charCount(cp)
+      // inlined codePointAt: the sequential charAt walk avoids repeated
+      // bounds/surrogate re-checks (this loop was the top self-time leaf)
+      val c1 = snap.charAt(i)
+      var cp: Int = c1
+      var w = 1
+      if (Character.isHighSurrogate(c1) && i + 1 < len) {
+        val c2 = snap.charAt(i + 1)
+        if (Character.isLowSurrogate(c2)) { cp = Character.toCodePoint(c1, c2); w = 2 }
+      }
       val ws = PyText.isPySpace(cp)
       vt += 1
       if (!ws) vp += 1
