@@ -290,32 +290,49 @@ object Parser {
       if (needsLower) sub.toLowerCase(java.util.Locale.ROOT) else sub
     }
 
+    /** Entity-decode s[start,end) in bulk runs. An entity scan can never
+      * cross `end`: entity bodies are alnum/#/x + ';', and `end` always
+      * sits on a quote, '>', or whitespace. */
+    private def decodeValueRange(start: Int, end: Int): String = {
+      val sb = new java.lang.StringBuilder(end - start)
+      var j = start
+      var run = start
+      while (j < end) {
+        if (s.charAt(j) == '&') {
+          if (j > run) sb.append(s, run, j)
+          val r = tryEntity(j)
+          if (r != null) { sb.append(r._1); j = r._2 } else { sb.append('&'); j += 1 }
+          run = j
+        } else j += 1
+      }
+      if (end > run) sb.append(s, run, end)
+      sb.toString
+    }
+
     private def parseAttrValue(): String = {
       if (i >= n) return ""
       val c = s.charAt(i)
       if (c == '"' || c == '\'') {
         i += 1
-        val sb = new java.lang.StringBuilder
+        val start = i
+        var amp = false
         while (i < n && s.charAt(i) != c) {
-          val ch = s.charAt(i)
-          if (ch == '&') {
-            val r = tryEntity(i)
-            if (r != null) { sb.append(r._1); i = r._2 } else { sb.append(ch); i += 1 }
-          } else { sb.append(ch); i += 1 }
+          if (s.charAt(i) == '&') amp = true
+          i += 1
         }
+        val end = i
         if (i < n) i += 1
-        sb.toString
+        if (!amp) s.substring(start, end) else decodeValueRange(start, end)
       } else {
-        val sb = new java.lang.StringBuilder
+        val start = i
+        var amp = false
         while (i < n && { val ch = s.charAt(i)
           ch != '>' && ch != ' ' && ch != '\t' && ch != '\n' && ch != '\r' && ch != '\f' }) {
-          val ch = s.charAt(i)
-          if (ch == '&') {
-            val r = tryEntity(i)
-            if (r != null) { sb.append(r._1); i = r._2 } else { sb.append(ch); i += 1 }
-          } else { sb.append(ch); i += 1 }
+          if (s.charAt(i) == '&') amp = true
+          i += 1
         }
-        sb.toString
+        val end = i
+        if (!amp) s.substring(start, end) else decodeValueRange(start, end)
       }
     }
 
