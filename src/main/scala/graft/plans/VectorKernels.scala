@@ -138,6 +138,14 @@ object VectorKernels {
 case class DotConst(child: Expression, weights: IndexedSeq[Double])
     extends UnaryExpression {
   override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_dot_const requires array<float|double>, got ${other.sql}")
+    }
   private def isFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
     case _                       => false
@@ -161,6 +169,15 @@ case class DotConst(child: Expression, weights: IndexedSeq[Double])
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) |
+           (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_cosine requires two same-typed array<float|double> args, got $other")
+    }
   private def fn: String = (left.dataType, right.dataType) match {
     case (ArrayType(FloatType, _), ArrayType(FloatType, _))   => "cosineFF"
     case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => "cosineDD"
@@ -178,9 +195,22 @@ case class CosineSim(left: Expression, right: Expression)
   override def prettyName: String = "graft_cosine"
 }
 
+private object KernelTypes {
+  def requireLongArray(name: String, dt: DataType): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    dt match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$name requires array<bigint>, got ${other.sql}")
+    }
+}
+
 /** 64-bit SimHash of a long-array column. */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    KernelTypes.requireLongArray("graft_simhash64", child.dataType)
   override def nullSafeEval(input: Any): Any =
     VectorKernels.simhash64(input.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -194,6 +224,8 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 case class MinHashSig(child: Expression, a: IndexedSeq[Long], b: IndexedSeq[Long])
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    KernelTypes.requireLongArray("graft_minhash_sig", child.dataType)
   @transient private lazy val aArr: Array[Long] = a.toArray
   @transient private lazy val bArr: Array[Long] = b.toArray
   override def nullSafeEval(input: Any): Any =

@@ -104,6 +104,12 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("duplicate clusters on empty pair input: empty result, no crash") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.duplicateClusters(empty).count() == 0)
+  }
+
   test("duplicate clusters converge on a 200-node chain (pointer doubling: " +
     "O(log d) rounds, not O(d))") {
     import spark.implicits._
