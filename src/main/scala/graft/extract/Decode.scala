@@ -73,28 +73,65 @@ object Decode {
       .getOrElse(decodeIgnore(html, Charset.forName("windows-1252")))
   }
 
-  /** Candidate single-byte/legacy encodings by web prevalence. */
+  /** Candidate single-byte/legacy encodings by web prevalence. big5 sits
+    * before gbk: gbk decodes big5 bytes cleanly (tie) while big5 decoding
+    * gbk bytes hits malformed sequences (penalized) — so this order
+    * resolves the clean-tie in favor of the codec that survives both. */
   private val FallbackCharsets: Seq[String] = Seq(
     "windows-1252", "windows-1251", "iso-8859-2", "windows-1250",
-    "iso-8859-15", "koi8-r", "shift_jis", "gbk", "big5", "euc-kr")
+    "iso-8859-15", "koi8-r", "shift_jis", "big5", "gbk", "euc-kr")
 
+  /** Deterministic chardet stand-in. Three structural signals per
+    * candidate, no trained model:
+    *  - letters good, control chars bad (as before);
+    *  - malformed sequences are heavily penalized: decoding with REPLACE
+    *    turns every invalid byte run into U+FFFD, so the correct multi-byte
+    *    codec shows zero replacements while wrong ones light up;
+    *  - a clean decode dominated by CJK/kana gets a bonus — byte soup
+    *    decoded through a single-byte codec yields plausible letter ratios
+    *    (every byte is "a letter") but can never yield coherent CJK blocks.
+    */
   private def bestGuessDecode(textBytes: Array[Byte]): Option[Charset] = {
     var best: Charset = null
-    var bestScore = -1.0
+    var bestScore = -1e9
     FallbackCharsets.foreach { name =>
       lookup(name).foreach { cs =>
-        val decoded = decodeIgnore(textBytes, cs)
+        val decoded =
+          try cs.newDecoder()
+            .onMalformedInput(CodingErrorAction.REPLACE)
+            .onUnmappableCharacter(CodingErrorAction.REPLACE)
+            .decode(ByteBuffer.wrap(textBytes)).toString
+          catch { case _: Exception => "" }
         if (decoded.nonEmpty) {
           var letters = 0
           var control = 0
+          var repl = 0
+          var ideo = 0
+          var kana = 0
+          var hangul = 0
           var i = 0
           while (i < decoded.length) {
             val c = decoded.charAt(i)
-            if (Character.isLetter(c)) letters += 1
-            else if (Character.isISOControl(c) && c != '\n' && c != '\r' && c != '\t') control += 1
+            if (c == '�') repl += 1
+            else if (Character.isLetter(c)) {
+              letters += 1
+              val b = Character.UnicodeBlock.of(c)
+              if (b == Character.UnicodeBlock.CJK_UNIFIED_IDEOGRAPHS) ideo += 1
+              else if (b == Character.UnicodeBlock.HIRAGANA ||
+                b == Character.UnicodeBlock.KATAKANA) kana += 1
+              else if (b == Character.UnicodeBlock.HANGUL_SYLLABLES) hangul += 1
+            } else if (Character.isISOControl(c) && c != '\n' && c != '\r' && c != '\t') control += 1
             i += 1
           }
-          val score = (letters - 4.0 * control).toDouble / decoded.length
+          // CJK bonus is the MAX over blocks (correct decodes are
+          // script-homogeneous; misdecodes are mixed), weighted by how hard
+          // the block is to hallucinate: kana sits in a narrow range only
+          // shift_jis/euc-jp produce (1.0); euc-kr hallucinates hangul from
+          // any clean 2-byte soup (0.6); every CJK codec hallucinates
+          // ideographs (0.5). Measured on jp/zh/kr cross-decodes.
+          val cjkBonus = math.max(1.0 * kana, math.max(0.6 * hangul, 0.5 * ideo))
+          val score =
+            (letters - 4.0 * control - 10.0 * repl + cjkBonus) / decoded.length
           if (score > bestScore) { bestScore = score; best = cs }
         }
       }
