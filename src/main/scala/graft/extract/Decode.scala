@@ -79,7 +79,7 @@ object Decode {
     * resolves the clean-tie in favor of the codec that survives both. */
   private val FallbackCharsets: Seq[String] = Seq(
     "windows-1252", "windows-1251", "iso-8859-2", "windows-1250",
-    "iso-8859-15", "koi8-r", "shift_jis", "big5", "gbk", "euc-kr")
+    "iso-8859-15", "koi8-r", "shift_jis", "euc-jp", "big5", "gbk", "euc-kr")
 
   /** Deterministic chardet stand-in. Three structural signals per
     * candidate, no trained model:

@@ -86,6 +86,7 @@ class OrigDocumentSpec extends AnyFunSuite {
       assert(decoded.contains(needle), s"$cs: ${decoded.take(120)}")
     }
     roundTrip("これは日本語のテキストです。記事の本文はここにあります。", "shift_jis", "日本語")
+    roundTrip("これは日本語のテキストです。記事の本文はここにあります。", "euc-jp", "日本語")
     roundTrip("这是一篇用于测试网页字符编码检测的中文文章内容。", "gbk", "中文")
     roundTrip("這是一篇用於測試網頁字元編碼檢測的中文文章內容。", "big5", "中文")
     roundTrip("이것은 문자 인코딩 감지를 테스트하기 위한 한국어 기사 본문입니다. ", "euc-kr", "한국어")
