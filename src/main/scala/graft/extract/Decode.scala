@@ -77,9 +77,26 @@ object Decode {
     * before gbk: gbk decodes big5 bytes cleanly (tie) while big5 decoding
     * gbk bytes hits malformed sequences (penalized) — so this order
     * resolves the clean-tie in favor of the codec that survives both. */
+  // euc-jp sits after big5/gbk: Chinese bytes decode cleanly (all
+  // ideographs) under euc-jp too — a tie the earlier codec must win;
+  // real euc-jp text still wins on its kana + common-ideograph bonus.
   private val FallbackCharsets: Seq[String] = Seq(
     "windows-1252", "windows-1251", "iso-8859-2", "windows-1250",
-    "iso-8859-15", "koi8-r", "shift_jis", "euc-jp", "big5", "gbk", "euc-kr")
+    "iso-8859-15", "koi8-r", "shift_jis", "big5", "gbk", "euc-jp", "euc-kr")
+
+  /** Tiny frequency model: the ~190 highest-frequency ideographs of
+    * published zh/ja frequency lists (union; both languages' top-100).
+    * A correct decode of real text hits these constantly; a cross-codec
+    * misdecode lands on rare ideographs and hits almost never — GBK and
+    * EUC-JP map kana rows identically (GB2312 inherited the JIS kana), so
+    * kana counts alone cannot separate them. */
+  private val CommonCjk: Set[Char] =
+    ("的一是不了人我在有他这中大来上国个到说们为子和你地出道也时年得就那要下以生会自着去之过家学对可她里后" +
+      "小么心多天而能好都然没日于起还发成事只作当想看文无开手十用主行方又如前所本见经头面公同三已老从动两长" +
+      "知民样现分将外但身些与高意进把法此实回二理美点月明其种声全工己话儿者向情部正名定女问力机给等很业最间新" +
+      "会人年大十二本中長出三同時政事自行社見月分議後前民生連五発間対上部東者党地合市業内相方四定今回新場金員" +
+      "九入選立開手米力学問高代明実円関決子動京全目表戦経通外最言氏現理調体化田当八六約主題下首意法不来作性的" +
+      "要用制治度務強気小七成期公持野協取都和統以機語記").toSet
 
   /** Deterministic chardet stand-in. Three structural signals per
     * candidate, no trained model:
@@ -109,6 +126,7 @@ object Decode {
           var ideo = 0
           var kana = 0
           var hangul = 0
+          var common = 0
           var i = 0
           while (i < decoded.length) {
             val c = decoded.charAt(i)
@@ -116,7 +134,10 @@ object Decode {
             else if (Character.isLetter(c)) {
               letters += 1
               val b = Character.UnicodeBlock.of(c)
-              if (b == Character.UnicodeBlock.CJK_UNIFIED_IDEOGRAPHS) ideo += 1
+              if (b == Character.UnicodeBlock.CJK_UNIFIED_IDEOGRAPHS) {
+                ideo += 1
+                if (CommonCjk.contains(c)) common += 1
+              }
               else if (b == Character.UnicodeBlock.HIRAGANA ||
                 b == Character.UnicodeBlock.KATAKANA) kana += 1
               else if (b == Character.UnicodeBlock.HANGUL_SYLLABLES) hangul += 1
@@ -131,7 +152,8 @@ object Decode {
           // ideographs (0.5). Measured on jp/zh/kr cross-decodes.
           val cjkBonus = math.max(1.0 * kana, math.max(0.6 * hangul, 0.5 * ideo))
           val score =
-            (letters - 4.0 * control - 10.0 * repl + cjkBonus) / decoded.length
+            (letters - 4.0 * control - 10.0 * repl + cjkBonus + 0.5 * common) /
+              decoded.length
           if (score > bestScore) { bestScore = score; best = cs }
         }
       }
