@@ -46,6 +46,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_normalize_ws"),
       new ExpressionInfo(classOf[NormalizeWs].getName, "graft_normalize_ws"),
       (children: Seq[Expression]) => NormalizeWs(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
+      (children: Seq[Expression]) => CosineSim(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      (children: Seq[Expression]) => SimHash64(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
+      (children: Seq[Expression]) => {
+        // graft_minhash_sig(hashes, k): k must be a literal int — the
+        // affine constants are derived deterministically from it
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_minhash_sig: k must be an integer literal, got $other")
+        }
+        val params = graft.pipeline.Dedup.hashParams(k)
+        MinHashSig(children.head,
+          params.map(_._1).toIndexedSeq, params.map(_._2).toIndexedSeq)
+      }))
     ext.injectPlannerStrategy(_ => ExtractStrategy)
   }
 }

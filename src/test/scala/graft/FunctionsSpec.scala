@@ -33,6 +33,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
   }
 
+  test("LSH kernels callable from SQL (graft_cosine / graft_simhash64 / " +
+    "graft_minhash_sig)") {
+    val cos = spark.sql(
+      "SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
+      .collect().head.getDouble(0)
+    assert(cos == 1.0)
+    val sig = spark.sql(
+      "SELECT graft_simhash64(array(7L)) AS s").collect().head.getLong(0)
+    assert(sig == 7L) // single element: every set bit is the majority
+    val mh = spark.sql(
+      "SELECT graft_minhash_sig(array(42L, 7L), 4) AS m")
+      .collect().head.getSeq[Long](0)
+    assert(mh.length == 4)
+    // same values as the DataFrame-side API (same constants for k)
+    import spark.implicits._
+    val viaApi = Seq(Tuple1(Array(42L, 7L))).toDF("hs")
+      .select(graft.pipeline.Dedup.minhashSignatureFromHashes(org.apache.spark.sql.functions.col("hs"), 4))
+      .collect().head.getSeq[Long](0)
+    assert(mh == viaApi)
+    intercept[Exception](spark.sql("SELECT graft_minhash_sig(array(1L), 1 + 1)").collect())
+  }
+
   test("hash ids: stable across parses, distinct across content (test_scoring.py:16-42)") {
     val h1 = Scoring.generateHashId(Parser.parseFragment("<div>ľščťžýáí</div>"))
     val h2 = Scoring.generateHashId(Parser.parseFragment("<div>ľščťžýáí</div>"))
