@@ -37,8 +37,9 @@ final class TextCache {
   private[extract] var subtreeScope: Node = null
 
   private val buf = new java.lang.StringBuilder(1 << 12)
-  private val startIdx = new IdentityHashMap[Node, Integer]()
-  private val endIdx = new IdentityHashMap[Node, Integer]()
+  // one packed (start<<32|end) entry per node instead of two maps —
+  // IdentityHashMap traffic was a measured leaf cost (JFR round 7)
+  private val segIdx = new IdentityHashMap[Node, java.lang.Long](512)
   private val normLenMemo = new IdentityHashMap[Node, Integer]()
   private val videoMemo = new IdentityHashMap[Node, java.lang.Boolean]()
 
@@ -114,12 +115,12 @@ final class TextCache {
   }
 
   private def ensure(n: Node): Unit =
-    if (!startIdx.containsKey(n))
+    if (!segIdx.containsKey(n))
       index(if (subtreeScope != null) subtreeScope else n.root)
 
   private def index(n: Node): Unit = {
-    if (startIdx.containsKey(n)) return
-    startIdx.put(n, Integer.valueOf(buf.length))
+    if (segIdx.containsKey(n)) return
+    val start = buf.length
     if (n.text != null) buf.append(n.text)
     var i = 0
     while (i < n.children.length) {
@@ -128,13 +129,14 @@ final class TextCache {
       if (c.tail != null) buf.append(c.tail)
       i += 1
     }
-    endIdx.put(n, Integer.valueOf(buf.length))
+    segIdx.put(n, java.lang.Long.valueOf((start.toLong << 32) | buf.length))
   }
 
   /** node.text_content() as a string (allocates; prefer the metric APIs). */
   def textContent(n: Node): String = {
     ensure(n)
-    buf.substring(startIdx.get(n).intValue(), endIdx.get(n).intValue())
+    val seg = segIdx.get(n).longValue()
+    buf.substring((seg >>> 32).toInt, (seg & 0xFFFFFFFFL).toInt)
   }
 
   /** (strippedPyLen, commas, quotes) of text_content() —
@@ -142,8 +144,9 @@ final class TextCache {
     * Commas/quotes are whitespace-free so stripping cannot change them. */
   def innerTextMetrics(n: Node): (Int, Int, Int) = {
     ensure(n)
-    val from = startIdx.get(n).intValue()
-    val to = endIdx.get(n).intValue()
+    val seg = segIdx.get(n).longValue()
+    val from = (seg >>> 32).toInt
+    val to = (seg & 0xFFFFFFFFL).toInt
     val fast = ensureArrays()
     var commas = 0
     var quotes = 0
@@ -168,8 +171,9 @@ final class TextCache {
   /** Python len(text_content()) — raw code points. */
   def rawPyLen(n: Node): Int = {
     ensure(n)
-    val from = startIdx.get(n).intValue()
-    val to = endIdx.get(n).intValue()
+    val seg = segIdx.get(n).longValue()
+    val from = (seg >>> 32).toInt
+    val to = (seg & 0xFFFFFFFFL).toInt
     if (ensureArrays()) totalAt(to) - totalAt(from)
     else snap.codePointCount(from, to)
   }
@@ -178,8 +182,9 @@ final class TextCache {
   def commaCount(n: Node): Int = {
     ensure(n)
     val fast = ensureArrays()
-    val from = startIdx.get(n).intValue()
-    val to = endIdx.get(n).intValue()
+    val seg = segIdx.get(n).longValue()
+    val from = (seg >>> 32).toInt
+    val to = (seg & 0xFFFFFFFFL).toInt
     if (fast) return commasAt(to) - commasAt(from)
     var cnt = 0
     var i = from
@@ -195,8 +200,9 @@ final class TextCache {
     val hit = normLenMemo.get(n)
     if (hit != null) return hit.intValue()
     ensure(n)
-    val from = startIdx.get(n).intValue()
-    val to = endIdx.get(n).intValue()
+    val seg = segIdx.get(n).longValue()
+    val from = (seg >>> 32).toInt
+    val to = (seg & 0xFFFFFFFFL).toInt
     val cnt =
       if (ensureArrays()) {
         val ab = strippedBounds(from, to)

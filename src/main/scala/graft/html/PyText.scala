@@ -11,12 +11,14 @@ package graft.html
 object PyText {
 
   /** Python str.isspace() / re \s (UNICODE) membership. */
-  def isPySpace(cp: Int): Boolean = cp match {
-    case 0x09 | 0x0A | 0x0B | 0x0C | 0x0D | 0x1C | 0x1D | 0x1E | 0x1F | 0x20 |
-         0x85 | 0xA0 | 0x1680 | 0x2028 | 0x2029 | 0x202F | 0x205F | 0x3000 => true
-    case c if c >= 0x2000 && c <= 0x200A => true
-    case _ => false
-  }
+  def isPySpace(cp: Int): Boolean =
+    if (cp < 0x85) // ASCII fast path — the hot case in the text-index loops
+      cp == 0x20 || (cp >= 0x09 && cp <= 0x0D) || (cp >= 0x1C && cp <= 0x1F)
+    else cp match {
+      case 0x85 | 0xA0 | 0x1680 | 0x2028 | 0x2029 | 0x202F | 0x205F | 0x3000 => true
+      case c if c >= 0x2000 && c <= 0x200A => true
+      case _ => false
+    }
 
   /** Python `not text or text.isspace()` (utils.py:24-29). */
   def isBlank(text: String): Boolean = {
