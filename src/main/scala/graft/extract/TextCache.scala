@@ -40,8 +40,8 @@ final class TextCache {
   // one packed (start<<32|end) entry per node instead of two maps —
   // IdentityHashMap traffic was a measured leaf cost (JFR round 7)
   private val segIdx = new IdentityHashMap[Node, java.lang.Long](512)
-  private val normLenMemo = new IdentityHashMap[Node, Integer]()
-  private val videoMemo = new IdentityHashMap[Node, java.lang.Boolean]()
+  private val normLenMemo = new IdentityHashMap[Node, Integer](256)
+  private val videoMemo = new IdentityHashMap[Node, java.lang.Boolean](64)
 
   // ---- prefix sums over the text stream --------------------------------
   // One O(n) pass makes every per-node metric O(1) + short boundary scans
@@ -73,13 +73,14 @@ final class TextCache {
     var vc = 0L; var vq = 0L
     while (i < len) {
       // inlined codePointAt: the sequential charAt walk avoids repeated
-      // bounds/surrogate re-checks (this loop was the top self-time leaf)
+      // bounds/surrogate re-checks (this loop was the top self-time leaf);
+      // surrogate detection by range compare, not method call (JFR round 8)
       val c1 = snap.charAt(i)
       var cp: Int = c1
       var w = 1
-      if (Character.isHighSurrogate(c1) && i + 1 < len) {
+      if (c1 >= 0xD800 && c1 < 0xDC00 && i + 1 < len) {
         val c2 = snap.charAt(i + 1)
-        if (Character.isLowSurrogate(c2)) { cp = Character.toCodePoint(c1, c2); w = 2 }
+        if (c2 >= 0xDC00 && c2 < 0xE000) { cp = Character.toCodePoint(c1, c2); w = 2 }
       }
       val ws = PyText.isPySpace(cp)
       vt += 1
@@ -105,12 +106,26 @@ final class TextCache {
   @inline private def commasAt(i: Int): Int = ((pPunct(i) >>> 21) & 0x1FFFFF).toInt
   @inline private def quotesAt(i: Int): Int = (pPunct(i) & 0x1FFFFF).toInt
 
-  /** Stripped bounds of [a0,b0) in the snapshot (short boundary scans). */
+  /** Stripped bounds of [a0,b0) in the snapshot (short boundary scans).
+    * Surrogate pairs are never whitespace, so the walk can stop at any
+    * surrogate half without decoding the pair. */
   private def strippedBounds(a0: Int, b0: Int): Long = {
     var a = a0
     var b = b0
-    while (a < b && PyText.isPySpace(snap.codePointAt(a))) a += Character.charCount(snap.codePointAt(a))
-    while (b > a && PyText.isPySpace(snap.codePointBefore(b))) b -= Character.charCount(snap.codePointBefore(b))
+    var run = true
+    while (run && a < b) {
+      val c = snap.charAt(a)
+      if (c >= 0xD800 && c < 0xE000) run = false // astral: not whitespace
+      else if (PyText.isPySpace(c)) a += 1
+      else run = false
+    }
+    run = true
+    while (run && b > a) {
+      val c = snap.charAt(b - 1)
+      if (c >= 0xD800 && c < 0xE000) run = false
+      else if (PyText.isPySpace(c)) b -= 1
+      else run = false
+    }
     (a.toLong << 32) | b.toLong
   }
 
@@ -236,7 +251,7 @@ final class TextCache {
   // entry (linksLen<<32 | imgs; both < 2^31 — text length is bounded by
   // the 16 MiB oversize guard) halves the recursion and map traffic of
   // two separate passes.
-  private val densityMemo = new IdentityHashMap[Node, java.lang.Long]()
+  private val densityMemo = new IdentityHashMap[Node, java.lang.Long](512)
 
   private def densitySums(n: Node): Long = {
     val hit = densityMemo.get(n)
