@@ -200,17 +200,28 @@ final class Node(var tag: String) {
 
   /** Preorder iteration including self (lxml `iter()`), snapshot-based. */
   def iterAll: List[Node] = {
-    val buf = mutable.ListBuffer.empty[Node]
-    def walk(n: Node): Unit = { buf += n; n.children.foreach(walk) }
+    val buf = new mutable.ArrayBuffer[Node](64)
+    def walk(n: Node): Unit = {
+      buf += n
+      var i = 0
+      while (i < n.children.length) { walk(n.children(i)); i += 1 }
+    }
     walk(this)
     buf.toList
   }
 
   /** Descendants of this node with the given tag, document order. */
   def findAll(t: String): List[Node] = {
-    val buf = mutable.ListBuffer.empty[Node]
-    def walk(n: Node): Unit =
-      n.children.foreach { c => if (c.tag == t) buf += c; walk(c) }
+    val buf = new mutable.ArrayBuffer[Node](16)
+    def walk(n: Node): Unit = {
+      var i = 0
+      while (i < n.children.length) {
+        val c = n.children(i)
+        if (c.tag == t) buf += c
+        walk(c)
+        i += 1
+      }
+    }
     walk(this)
     buf.toList
   }
