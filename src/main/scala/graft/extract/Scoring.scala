@@ -96,18 +96,28 @@ object Scoring {
   /** scoring.py:107-125 — class and id weighed independently (±25 each). */
   def getClassWeight(node: Node): Int = {
     var weight = 0
-    if (MemoNeg.check(node, "class")) weight -= 25
-    if (MemoPos.check(node, "class")) weight += 25
-    if (MemoNeg.check(node, "id")) weight -= 25
-    if (MemoPos.check(node, "id")) weight += 25
+    val cls = node.attrs.getOrElse("class", null)
+    val id = node.attrs.getOrElse("id", null)
+    if (cls != null) {
+      if (MemoNeg.find(cls)) weight -= 25
+      if (MemoPos.find(cls)) weight += 25
+    }
+    if (id != null) {
+      if (MemoNeg.find(id)) weight -= 25
+      if (MemoPos.find(id)) weight += 25
+    }
     weight
   }
 
   /** scoring.py:128-138 — <body> is never unlikely. */
   def isUnlikelyNode(node: Node): Boolean = {
-    val unlikely = MemoUnlikely.check(node, "class", "id")
-    val maybe = MemoMaybe.check(node, "class", "id")
-    unlikely && !maybe && node.tag != "body"
+    if (node.tag == "body") return false // cheap reject before attr reads
+    val cls = node.attrs.getOrElse("class", null)
+    val id = node.attrs.getOrElse("id", null)
+    val unlikely = (cls != null && MemoUnlikely.find(cls)) ||
+      (id != null && MemoUnlikely.find(id))
+    if (!unlikely) return false
+    !((cls != null && MemoMaybe.find(cls)) || (id != null && MemoMaybe.find(id)))
   }
 
   /** ScoredNode — tag prior (assignment, not sum) + class weight (scoring.py:234-249). */
