@@ -146,7 +146,7 @@ case class DotConst(child: Expression, weights: IndexedSeq[Double])
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"graft_dot_const requires array<float|double>, got ${other.sql}")
     }
-  private def isFloat: Boolean = child.dataType match {
+  @transient private lazy val isFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
     case _                       => false
   }
@@ -178,7 +178,7 @@ case class CosineSim(left: Expression, right: Expression)
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"graft_cosine requires two same-typed array<float|double> args, got $other")
     }
-  private def fn: String = (left.dataType, right.dataType) match {
+  @transient private lazy val fn: String = (left.dataType, right.dataType) match {
     case (ArrayType(FloatType, _), ArrayType(FloatType, _))   => "cosineFF"
     case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => "cosineDD"
     case other => throw new IllegalStateException(s"graft_cosine: bad input types $other")
