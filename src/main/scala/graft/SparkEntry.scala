@@ -66,6 +66,16 @@ object SparkEntry {
   private val SqlClsList = ClsChoices.map(c => s"'$c'").mkString("[", ", ", "]")
   private def sqlSynthCls(id: String) = s"($SqlClsList)[($id % ${ClsChoices.length}) + 1]"
 
+  /** Messy-URL templates for q27 (url = prefix + doc_id + suffix). */
+  private val UrlPrefixes = Seq(
+    "HTTP://Example.COM:80/a/", "https://News.Example.org:443/p/",
+    "https://blog.test.net/p/", "http://example.com/p/",
+    "ftp://Files.Example.com:21/f/", "not a url ",
+    "https://example.com:8443/p/", "http://EXAMPLE.com/p/")
+  private val UrlSuffixes = Seq(
+    "?utm_source=x&id=1#frag", "?id=2&utm_campaign=z", "?gclid=abc", "",
+    "", "", "?a=1&fbclid=x&b=2", "?utm_medium=email")
+
   /** q16/q26 shared pair generation: blocked n-gram Jaccard over every-5th
     * doc, same-lang postings, with a document-frequency cap on shingles
     * (stop-shingle removal — the fix for the quadratic posting bucket a
@@ -357,6 +367,20 @@ object SparkEntry {
       Dedup.duplicateClusters(pairs).orderBy(col("id"))
     }),
 
+    "q27_url_canonical" -> ((s, dir) => {
+      // crawl-level URL dedup prerequisite: canonicalization over messy
+      // synthetic URLs (mixed-case hosts, default ports, tracking params,
+      // fragments, non-URL junk)
+      val pre = typedlit(UrlPrefixes)
+      val suf = typedlit(UrlSuffixes)
+      val idx = (pmod(col("doc_id"), lit(UrlPrefixes.length)) + 1).cast("int")
+      val raw = concat(element_at(pre, idx), col("doc_id").cast("string"),
+        element_at(suf, idx))
+      docs(s, dir).select(col("doc_id"), raw.as("url"),
+        TextOps.canonicalizeUrl(raw).as("canonical"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- multimodal plumbing -------------------------------------------
     "q23_multimodal_features" -> ((s, dir) => {
       import s.implicits._
@@ -594,6 +618,37 @@ object SparkEntry {
          |  length('https://' || $hostsList[(doc_id % 4) + 1] || '/p/' || doc_id)
          |    - length(replace('https://' || $hostsList[(doc_id % 4) + 1] || '/p/' || doc_id, '/', '')) AS slashes
          |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "q27_url_canonical" -> {
+      val preList = UrlPrefixes.map(p => s"'$p'").mkString("[", ", ", "]")
+      val sufList = UrlSuffixes.map(p => s"'$p'").mkString("[", ", ", "]")
+      val n = UrlPrefixes.length
+      s"""WITH u AS (SELECT doc_id,
+         |  ($preList)[(doc_id % $n) + 1] || doc_id || ($sufList)[(doc_id % $n) + 1] AS url
+         |  FROM documents),
+         |p AS (SELECT doc_id, url, regexp_replace(url, '#.*$$', '') AS nf FROM u),
+         |x AS (SELECT doc_id, url,
+         |  lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         |  lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host0,
+         |  regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$$', 1) AS rest
+         |  FROM p),
+         |y AS (SELECT doc_id, url, scheme,
+         |  CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$$', '')
+         |       WHEN scheme = 'https' THEN regexp_replace(host0, ':443$$', '')
+         |       ELSE host0 END AS host,
+         |  regexp_extract(rest, '^([^?]*)', 1) AS path,
+         |  regexp_extract(rest, '\\?(.*)$$', 1) AS query
+         |  FROM x),
+         |z AS (SELECT doc_id, url, scheme, host, path,
+         |  array_to_string(list_filter(string_split(query, '&'),
+         |    q -> NOT regexp_matches(q, '${TextOps.TrackingParamRe}')), '&') AS kept
+         |  FROM y)
+         |SELECT doc_id, url,
+         |  CASE WHEN scheme = '' THEN url
+         |       ELSE scheme || '://' || host || path ||
+         |            (CASE WHEN length(kept) > 0 THEN '?' || kept ELSE '' END) END AS canonical
+         |FROM z ORDER BY doc_id""".stripMargin
     },
 
     "q26_dup_clusters" ->

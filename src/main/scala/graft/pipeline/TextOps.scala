@@ -76,4 +76,34 @@ object TextOps {
     * the exact-dedup key (stable across engines). */
   def fingerprint(text: Column): Column =
     md5(lower(normalizeWs(text)))
+
+  /** Query parameters that never affect page identity (tracking only). */
+  val TrackingParamRe: String =
+    "^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid|igshid|ref_src|spm)(=.*)?$"
+
+  /**
+   * Canonical URL for crawl-level dedup: strip the fragment, lowercase
+   * scheme+host, drop default ports (:80 http / :443 https), remove
+   * tracking query params (order of the surviving params preserved), drop
+   * an empty trailing "?". Pure built-in column functions (codegen'd; the
+   * per-URL param array is tiny) — DuckDB-mirrorable, so the q27 oracle
+   * checks it end-to-end.
+   */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host0 = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = when(scheme === "http", regexp_replace(host0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host0, ":443$", ""))
+      .otherwise(host0)
+    val rest = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    val path = regexp_extract(rest, "^([^?]*)", 1)
+    val query = regexp_extract(rest, "\\?(.*)$", 1)
+    val kept = array_join(
+      filter(split(query, "&"), p => !p.rlike(TrackingParamRe)), "&")
+    val q = when(length(kept) > 0, concat(lit("?"), kept)).otherwise(lit(""))
+    // non-URL inputs (no scheme) pass through unchanged
+    when(scheme === "", url)
+      .otherwise(concat(scheme, lit("://"), host, path, q))
+  }
 }

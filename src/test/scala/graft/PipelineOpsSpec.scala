@@ -147,6 +147,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.head.getAs[Double]("cos") == 1.0)
   }
 
+  test("url canonicalization: case, default ports, tracking params, fragments") {
+    import spark.implicits._
+    val cases = Seq(
+      ("HTTP://Example.COM:80/a/1?utm_source=x&id=1#frag", "http://example.com/a/1?id=1"),
+      ("https://Host.ORG:443/p?x=1", "https://host.org/p?x=1"),
+      ("https://host.org:8443/p?fbclid=z", "https://host.org:8443/p"),
+      ("ftp://Files.Example.com:21/f", "ftp://files.example.com:21/f"),
+      ("http://h.example/p/", "http://h.example/p/"),
+      ("not a url at all", "not a url at all"),
+      ("https://h.example/p?utm_a=1&utm_b=2", "https://h.example/p"),
+      ("https://h.example/p?b=2&a=1", "https://h.example/p?b=2&a=1")) // order kept
+    val out = cases.map(_._1).toDF("url")
+      .select(TextOps.canonicalizeUrl($"url").as("c")).collect().map(_.getString(0))
+    out.zip(cases.map(_._2)).foreach { case (got, want) => assert(got == want, s"got $got") }
+  }
+
   test("text ops: langId picks stopword-heavy language; quality in [0,1]") {
     import spark.implicits._
     val df = Seq(
