@@ -319,6 +319,17 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    "q28_knn_ivf_kmeans" -> ((s, dir) => {
+      // true IVF (learned coarse quantizer). No DuckDB oracle: the Lloyd
+      // updates average floats in distributed order, so centroids are not
+      // bit-reproducible outside Spark; recall is pinned by the planted
+      // duplicate test in PipelineOpsSpec instead.
+      val e = emb(s, dir)
+      Similarity.ivfKmeansKnn(e, e.where(col("vec_id") < 10),
+        "vec_id", "embedding", "vec_id", k = 10, nlist = 16, nprobe = 4)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // ---- extraction (the engine itself) --------------------------------
     "q22_extract_docs" -> ((s, dir) => {
       import s.implicits._

@@ -163,6 +163,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     out.zip(cases.map(_._2)).foreach { case (got, want) => assert(got == want, s"got $got") }
   }
 
+  test("ivf-kmeans knn recalls the exact duplicate and ranks it first") {
+    import spark.implicits._
+    val dim = 64
+    def mix(z: Long): Long = {
+      var x = z + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    def vec(seed: Long) = Array.tabulate(dim)(j => (mix(seed * 131 + j).toDouble / Long.MaxValue).toFloat)
+    val base = (0L until 100L).map(i => (i, vec(i)))
+    val dup = (999L, vec(7)) // exact duplicate of id 7
+    val df = (base :+ dup).toDF("vec_id", "embedding")
+    val out = Similarity.ivfKmeansKnn(df, df.where($"vec_id" === 7),
+      "vec_id", "embedding", "vec_id", k = 3, nlist = 8, nprobe = 3, iters = 2)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.head.getAs[Long]("id") == 999L, out.mkString(";"))
+    assert(out.head.getAs[Double]("cos") == 1.0)
+  }
+
   test("text ops: langId picks stopword-heavy language; quality in [0,1]") {
     import spark.implicits._
     val df = Seq(
