@@ -294,6 +294,8 @@ object SparkEntry {
         .select(col("doc_id").as("id"),
           transform(Dedup.tokens(col("text")), t => Dedup.md5Hash60(t)).as("hs"))
         .select(col("id"), Dedup.simhashFromHashes(col("hs")).as("sig"))
+      // default maxBucket (1000) is inert at gate scale (≤500 docs here),
+      // so the uncapped DuckDB oracle still matches exactly
       Dedup.simhashPairsFromSigs(withSig, maxDist = 16)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -320,13 +322,17 @@ object SparkEntry {
     }),
 
     "q28_knn_ivf_kmeans" -> ((s, dir) => {
-      // true IVF (learned coarse quantizer). No DuckDB oracle: the Lloyd
-      // updates average floats in distributed order, so centroids are not
-      // bit-reproducible outside Spark; recall is pinned by the planted
-      // duplicate test in PipelineOpsSpec instead.
+      // true IVF (learned coarse quantizer), gate shape at iters=0: the
+      // deterministic init (nlist lowest-id vectors, unit-normalized) IS
+      // the quantizer, so centroids/assignment/probes/re-rank are all
+      // bit-reproducible in DuckDB → full hash oracle. Lloyd refinement
+      // (iters>0) averages floats in distributed order — not
+      // cross-engine-reproducible — and is pinned by the planted
+      // duplicate-recall test in PipelineOpsSpec instead.
       val e = emb(s, dir)
       Similarity.ivfKmeansKnn(e, e.where(col("vec_id") < 10),
-        "vec_id", "embedding", "vec_id", k = 10, nlist = 16, nprobe = 4)
+        "vec_id", "embedding", "vec_id", k = 10, nlist = 16, nprobe = 4,
+        iters = 0)
         .orderBy(col("qid"), col("rank"))
     }),
 
@@ -400,7 +406,9 @@ object SparkEntry {
         .toDF()
         .select(col("media_id"), col("kind"), col("bytes"),
           col("meta.width").as("width"), col("meta.height").as("height"),
-          round(element_at(col("features"), 1), 4).as("f0"))
+          col("meta.durationMs").as("duration_ms"),
+          round(element_at(col("features"), 1), 4).as("f0"),
+          round(element_at(col("features"), 8), 4).as("f7"))
         .orderBy(col("media_id"))
     }),
   )
@@ -735,6 +743,74 @@ object SparkEntry {
         |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
         |ranked AS (
         |  SELECT qid, id, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank
+        |  FROM scored)
+        |SELECT qid, rank, id, cos FROM ranked WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
+
+    // the stub decoder is built from oracle-reproducible primitives
+    // (md5-60bit sizes, high-nibble hex histogram) — see Multimodal.scala
+    "q23_multimodal_features" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
+        |    text, octet_length(encode(text)) AS nbytes
+        |  FROM documents),
+        |h AS (
+        |  SELECT media_id, kind, nbytes,
+        |    CASE WHEN nbytes = 0 THEN 0
+        |         ELSE ('0x' || substring(md5(text), 1, 15))::UBIGINT::BIGINT END AS h,
+        |    CASE WHEN nbytes = 0 THEN ''
+        |         ELSE regexp_replace(lower(hex(encode(text))), '(.).', '\1', 'g') END AS nb
+        |  FROM m)
+        |SELECT media_id, kind, nbytes::BIGINT AS bytes,
+        |  (CASE WHEN nbytes = 0 THEN 0
+        |        WHEN kind = 'image' THEN 64 + (h % 1920)
+        |        WHEN kind = 'video' THEN 320 + (h % 1600)
+        |        ELSE 0 END)::INTEGER AS width,
+        |  (CASE WHEN nbytes = 0 THEN 0
+        |        WHEN kind = 'image' THEN 64 + ((h >> 11) % 1080)
+        |        WHEN kind = 'video' THEN 240 + ((h >> 7) % 840)
+        |        ELSE 0 END)::INTEGER AS height,
+        |  (CASE WHEN nbytes = 0 THEN 0
+        |        WHEN kind = 'audio' THEN 1000 + (h % 600000)
+        |        WHEN kind = 'video' THEN 1000 + ((h >> 13) % 3600000)
+        |        ELSE 0 END)::BIGINT AS duration_ms,
+        |  CASE WHEN nbytes = 0 THEN 0.0 ELSE
+        |    round((length(nb) - length(replace(nb, '0', ''))) / length(nb)::DOUBLE, 4) END AS f0,
+        |  CASE WHEN nbytes = 0 THEN 0.0 ELSE
+        |    round((length(nb) - length(replace(nb, '7', ''))) / length(nb)::DOUBLE, 4) END AS f7
+        |FROM h ORDER BY media_id""".stripMargin,
+
+    // iters=0 gate shape: centroids = the 16 lowest-id vectors, unit-
+    // normalized — fully deterministic, so assignment/probes/re-rank are
+    // bit-reproducible (list_dot_product accumulates in the same index
+    // order as VectorKernels.dotConst; proven by q19/q21)
+    "q28_knn_ivf_kmeans" ->
+      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+        |init AS (SELECT id, v, row_number() OVER (ORDER BY id) - 1 AS cidx
+        |         FROM e ORDER BY id LIMIT 16),
+        |cent AS (SELECT cidx,
+        |           list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS cv
+        |         FROM init),
+        |asgn AS (
+        |  SELECT id, cidx, row_number() OVER (PARTITION BY id
+        |      ORDER BY list_dot_product(e.v, cent.cv) DESC, cidx ASC) AS rn
+        |  FROM e CROSS JOIN cent),
+        |lists AS (SELECT id, cidx AS cl FROM asgn WHERE rn = 1),
+        |probes AS (
+        |  SELECT qid, cl FROM (
+        |    SELECT qid, cidx AS cl, row_number() OVER (PARTITION BY qid
+        |        ORDER BY list_dot_product(q.qv, cent.cv) DESC, cidx DESC) AS rn
+        |    FROM q CROSS JOIN cent) t WHERE rn <= 4),
+        |cand AS (SELECT DISTINCT p.qid, l.id
+        |         FROM lists l JOIN probes p ON l.cl = p.cl WHERE l.id <> p.qid),
+        |scored AS (SELECT cand.qid, cand.id,
+        |    round(list_dot_product(e.v, q.qv)
+        |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+        |  FROM cand JOIN e ON e.id = cand.id JOIN q ON q.qid = cand.qid),
+        |ranked AS (SELECT qid, id, cos,
         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank
         |  FROM scored)
         |SELECT qid, rank, id, cos FROM ranked WHERE rank <= 10

@@ -30,9 +30,10 @@ object Scoring {
       "tool|widget",
     Pattern.CASE_INSENSITIVE)
 
-  /** scoring.py:56-69 — md5(serialized node)[:8]. Stable and
-    * content-addressed like the reference's; raw values differ from lxml's
-    * because the serialized bytes are our serializer's. */
+  /** scoring.py:56-69 — md5(serialized node)[:8]. Byte-exact vs lxml on
+    * scoring fragments: Serializer.toUnicode reproduces lxml's tostring
+    * bytes there, so the reference pin `'ffa4c519'`
+    * (test_scoring.py:210-222) passes exactly (ScoringSpec). */
   def generateHashId(node: Node): String = {
     val content =
       if (node == null) "None".getBytes(java.nio.charset.StandardCharsets.UTF_8)

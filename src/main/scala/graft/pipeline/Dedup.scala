@@ -193,11 +193,15 @@ object Dedup {
    *    16-bit keys go quadratic at 10^9+ docs); `maxBucket > 0` caps the
    *    bucket size by dropping over-full blocking buckets (recall trade-off,
    *    logged via the returned plan's filter, never silently quadratic).
+   *    The DEFAULT is a real bound (1000) so no call site silently goes
+   *    quadratic; pass maxBucket = 0 to consciously opt into uncapped.
    *  - maxDist > 3: same 16-bit blocking, approximate by construction
    *    (a pair can differ in all 4 quarters); kept for exploratory use.
    */
+  val DefaultMaxBucket: Int = 1000
+
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 3, maxBucket: Int = 0): DataFrame = {
+                   maxDist: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val withSig = df
       .select(col(idCol).as("id"),
         transform(tokens(col(textCol)), t => xxhash64(t)).as("hs"))
@@ -208,7 +212,7 @@ object Dedup {
   /** Pair generation from a prebuilt (id, sig) frame — shared by the
     * xxhash64 production path and the md5-based oracled path. */
   def simhashPairsFromSigs(withSig: DataFrame, maxDist: Int,
-                           maxBucket: Int = 0): DataFrame = {
+                           maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val keys =
       if (maxDist <= 2) quarterPairKeys(col("sig"))
       else array((0 until 4).map(q =>

@@ -21,34 +21,46 @@ object Multimodal {
   final case class MediaMeta(kind: String, width: Int, height: Int, durationMs: Long)
   final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
   final case class MediaFeatures(media_id: Long, kind: String, bytes: Long,
-                                 meta: MediaMeta, features: Array[Float])
+                                 meta: MediaMeta, features: Array[Double])
 
   /**
    * STUB decoder — deterministic fake in place of a real codec.
    * Real implementation would decode the payload (JPEG/PNG/WAV/...) and
-   * emit true dimensions + a model embedding; here: sizes derived from a
-   * stable hash of the bytes, features = normalized 16-bin byte histogram.
+   * emit true dimensions + a model embedding. The fake is built from
+   * ORACLE-REPRODUCIBLE primitives so the whole pipeline is verifiable
+   * end-to-end in DuckDB (q23):
+   *  - sizes derive from the 60-bit md5 hash of the payload bytes (the
+   *    Dedup.md5Hash60 construction: decimal value of the first 15 hex
+   *    digits — DuckDB: ('0x'||substring(md5(x),1,15))::UBIGINT);
+   *  - features = 16-bin high-nibble byte histogram, normalized in
+   *    double precision (high nibble of byte i = hex digit 2i of the
+   *    payload's hex dump — DuckDB-expressible via hex()+regexp).
    */
   final class MediaDecoder {
-    def decode(kind: String, payload: Array[Byte]): (MediaMeta, Array[Float]) = {
+    private val md = java.security.MessageDigest.getInstance("MD5")
+
+    /** 60-bit md5 hash (first 15 hex digits as decimal) — non-negative. */
+    private def hash60(payload: Array[Byte]): Long = {
+      md.reset()
+      val hex = md.digest(payload).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+
+    def decode(kind: String, payload: Array[Byte]): (MediaMeta, Array[Double]) = {
       if (payload == null || payload.isEmpty)
-        return (MediaMeta(kind, 0, 0, 0L), Array.fill(16)(0f))
-      var h = 1125899906842597L
-      var i = 0
-      while (i < math.min(payload.length, 4096)) { h = 31 * h + payload(i); i += 1 }
+        return (MediaMeta(kind, 0, 0, 0L), Array.fill(16)(0.0))
+      val h = hash60(payload)
       val meta = kind match {
-        case "image" => MediaMeta(kind, 64 + (math.abs(h) % 1920).toInt, 64 + (math.abs(h >> 11) % 1080).toInt, 0L)
-        case "audio" => MediaMeta(kind, 0, 0, 1000L + math.abs(h) % 600000L)
-        case "video" => MediaMeta(kind, 320 + (math.abs(h) % 1600).toInt, 240 + (math.abs(h >> 7) % 840).toInt, 1000L + math.abs(h >> 13) % 3600000L)
+        case "image" => MediaMeta(kind, 64 + (h % 1920).toInt, 64 + ((h >> 11) % 1080).toInt, 0L)
+        case "audio" => MediaMeta(kind, 0, 0, 1000L + h % 600000L)
+        case "video" => MediaMeta(kind, 320 + (h % 1600).toInt, 240 + ((h >> 7) % 840).toInt, 1000L + (h >> 13) % 3600000L)
         case _       => MediaMeta(kind, 0, 0, 0L)
       }
-      val hist = new Array[Float](16)
-      i = 0
-      while (i < payload.length) { hist((payload(i) & 0xF0) >> 4) += 1f; i += 1 }
-      val n = payload.length.toFloat
-      var j = 0
-      while (j < 16) { hist(j) /= n; j += 1 }
-      (meta, hist)
+      val hist = new Array[Long](16)
+      var i = 0
+      while (i < payload.length) { hist((payload(i) & 0xF0) >> 4) += 1L; i += 1 }
+      val n = payload.length.toDouble
+      (meta, hist.map(_.toDouble / n))
     }
   }
 

@@ -119,19 +119,27 @@ object Similarity {
       it += 1
     }
 
-    // inverted lists + nprobe search
-    val lists = c.select(col("id"), col("v"), assignCol(col("v"), centroids).as("cl"))
-    val q = queries.select(col(qidCol).as("qid"), col(vecCol).as("qv"))
+    // inverted lists + nprobe search. Candidate generation carries IDS
+    // ONLY (id, cl) — the embedding arrays are re-joined by id for the
+    // exact re-rank, so the candidate shuffle payload is bytes, not
+    // ×nprobe-duplicated vectors (same discipline as Dedup.minhashLsh).
+    val qbase = queries.select(col(qidCol).as("qid"), col(vecCol).as("qv"))
+    val lists = c.select(col("id"), assignCol(col("v"), centroids).as("cl"))
+    val probes = qbase
       .withColumn("sims", simsCol(col("qv"), centroids))
       // nprobe highest-sim list ids: sort (sim, idx) pairs descending
       .withColumn("probes", slice(transform(
         reverse(array_sort(zip_with(col("sims"),
           sequence(lit(0), lit(nlist - 1)), (s, i) => struct(s.as("s"), i.as("i"))))),
         p => p.getField("i")), 1, nprobe))
-      .select(col("qid"), col("qv"), explode(col("probes")).as("cl"))
-    val cands = lists.join(q, Seq("cl"))
+      .select(col("qid"), explode(col("probes")).as("cl"))
+    val candIds = lists.join(probes, Seq("cl"))
       .where(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"))
       .dropDuplicates("qid", "id")
+    val cands = candIds
+      .join(c, Seq("id"))                // corpus vectors once, by id
+      .join(broadcast(qbase), Seq("qid")) // query set is small
       .withColumn("cos", round(Dedup.cosine(col("v"), col("qv")), 6))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id").asc)
     cands.withColumn("rank", row_number().over(w))
@@ -148,18 +156,28 @@ object Similarity {
              idCol: String, vecCol: String, qidCol: String,
              k: Int = 10, planes: Int = 8, tables: Int = 4,
              dim: Int = 64): DataFrame = {
+    // buckets computed from the vector, then the vector is DROPPED: the
+    // (t, bucket) candidate join carries ids only (×tables duplication of
+    // a 64-float array would otherwise dominate shuffle volume at 10^9+
+    // rows); vectors are re-joined by id for the exact cosine re-rank.
     def withBuckets(df: DataFrame, id: String, v: String): DataFrame = {
       val sigs = (0 until tables).map(t => bucketSig(col(v), t, planes, dim).as(s"sig_$t"))
-      df.select((Seq(col(id), col(v)) ++ sigs): _*)
-        .select(col(id), col(v),
+      df.select((Seq(col(id)) ++ sigs): _*)
+        .select(col(id),
           posexplode(array((0 until tables).map(t => col(s"sig_$t")): _*)))
         .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
     }
-    val c = withBuckets(corpus.select(col(idCol).as("id"), col(vecCol).as("v")), "id", "v")
-    val q = withBuckets(queries.select(col(qidCol).as("qid"), col(vecCol).as("qv")), "qid", "qv")
-    val cands = c.join(q, Seq("t", "bucket"))
+    val cbase = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val qbase = queries.select(col(qidCol).as("qid"), col(vecCol).as("qv"))
+    val c = withBuckets(cbase, "id", "v")
+    val q = withBuckets(qbase, "qid", "qv")
+    val candIds = c.join(q, Seq("t", "bucket"))
       .where(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"))
       .dropDuplicates("qid", "id")
+    val cands = candIds
+      .join(cbase, Seq("id"))
+      .join(broadcast(qbase), Seq("qid"))
       .withColumn("cos", round(cosine(col("v"), col("qv")), 6))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id").asc)
     cands.withColumn("rank", row_number().over(w))

@@ -91,8 +91,12 @@ class PipelineOpsSpec extends AnyFunSuite {
     val df = docsDf((1L to 12L).map(i => (i, text)))
     val capped = Dedup.simhashPairs(df, "doc_id", "text", maxDist = 3, maxBucket = 4)
     assert(capped.count() == 0)
-    val uncapped = Dedup.simhashPairs(df, "doc_id", "text", maxDist = 3)
-    assert(uncapped.count() == 66) // C(12,2)
+    // default is a real bound (1000) — safe but inert at this scale
+    assert(Dedup.DefaultMaxBucket > 0)
+    val defaultCap = Dedup.simhashPairs(df, "doc_id", "text", maxDist = 3)
+    assert(defaultCap.count() == 66) // C(12,2): 12-doc buckets survive the default
+    val uncapped = Dedup.simhashPairs(df, "doc_id", "text", maxDist = 3, maxBucket = 0)
+    assert(uncapped.count() == 66) // explicit opt-out still available
   }
 
   test("duplicate clusters: chained pairs collapse to min-id components") {
