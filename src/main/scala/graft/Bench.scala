@@ -69,11 +69,17 @@ object Bench {
       mbPerSec = totalBytes / 1e6 / extractSec
     }
 
-    // ---- per-query timings ----------------------------------------------
+    // ---- per-query timings: best-of-2 (same protocol as the extraction
+    // headline — the sandbox host has noisy neighbors and a single-shot
+    // run can capture a 10–20× artifact; see BENCH.md §2) -----------------
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      var best = Double.MaxValue
+      (1 to 2).foreach { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      name -> best
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")

@@ -149,7 +149,14 @@ object ExtractJob {
         .coalesce(1).write.mode(SaveMode.Append).parquet(s"$outDir/_lineage")
     }
 
-    spark.read.parquet(s"$outDir/extracted").count()
+    // rows extracted THIS run, from the observed metrics already captured
+    // in the write pass — at 100 TB a verification re-read of the output
+    // is a second full scan (even a footer-only count is a full listing).
+    // Fallback to the re-read only if the async listener never delivered.
+    observed.get.get("docs") match {
+      case Some(d: java.lang.Number) => d.longValue()
+      case _ => spark.read.parquet(s"$outDir/extracted").count()
+    }
   }
 
   /** Done-manifest: urls already extracted (null when no prior output). */

@@ -292,9 +292,12 @@ object Dedup {
    * (b) shortcuts to its label's own label (labels are always node ids, so
    * the hop is an equi-join). Doubling makes convergence O(log diameter)
    * rounds instead of O(diameter) — a 1000-node duplicate chain converges
-   * in ~10 rounds, not 1000. Each round is two bounded equi-join jobs over
-   * eagerly-checkpointed inputs (the expensive upstream pair generation is
-   * materialized once, never re-run).
+   * in ~10 rounds, not 1000. Each round is EXACTLY two bounded equi-join
+   * jobs over eagerly-checkpointed inputs (the expensive upstream pair
+   * generation is materialized once, never re-run): the convergence probe
+   * rides the shortcut job as an observed metric (CollectMetrics) instead
+   * of a third scan — at scale, driver cost is rounds × jobs, so the
+   * probe must not be its own job.
    *
    * Input: pairs (id_a, id_b); output: (id, component) with component =
    * min id in the node's component.
@@ -324,7 +327,10 @@ object Dedup {
             .as("component"))
         .localCheckpoint(true)
       // pointer doubling: component ← label(component); labels only ever
-      // decrease (label(x) <= x invariant), so changed ⟺ new < old
+      // decrease (label(x) <= x invariant), so changed ⟺ new < old.
+      // The changed-count rides the checkpoint job as an observed metric
+      // (fresh Observation per round — listener is per-query).
+      val obs = new org.apache.spark.sql.Observation(s"cc_changed_$iter")
       val shortcut = prop.alias("p")
         .join(prop.select(col("id").as("cid"), col("component").as("cc")).alias("c"),
           col("p.component") === col("c.cid"), "left")
@@ -332,10 +338,12 @@ object Dedup {
           coalesce(col("c.cc"), col("p.component")).as("component"),
           (coalesce(col("c.cc"), col("p.component")) < col("p.old_component"))
             .as("changed"))
+        .observe(obs, coalesce(sum(col("changed").cast("long")), lit(0L)).as("n"))
+        .select(col("id"), col("component"))
         .localCheckpoint(true)
-      // the convergence probe scans the checkpointed blocks — no re-run
-      converged = shortcut.where(col("changed")).limit(1).count() == 0
-      labels = shortcut.select(col("id"), col("component"))
+      // metric is available once the eager checkpoint job finishes
+      converged = obs.getAsJava.get("n").asInstanceOf[Long] == 0L
+      labels = shortcut
       iter += 1
     }
     labels
