@@ -63,11 +63,30 @@ object Parser {
     case _          => false
   }
 
+  /** libxml2 end-of-line handling (xmlCurrentChar, XML §2.11, shared by
+    * the HTML parser): every `\r\n` pair and lone `\r` in the input —
+    * text AND attribute values — reaches the DOM as `\n`. Required for
+    * byte-identical extracted text on CRLF source pages. */
+  private def normalizeEol(s: String): String = {
+    if (s == null || s.indexOf('\r') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\r') {
+        sb.append('\n')
+        if (i + 1 < s.length && s.charAt(i + 1) == '\n') i += 1
+      } else sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
+
   /** Parse a full document; returns the `<html>` root element. */
   def parseDocument(input: String): Node = {
     if (input == null || PyText.strip(input).isEmpty)
       throw new HtmlParseError("Document is empty")
-    new Builder(input).run()
+    new Builder(normalizeEol(input)).run()
   }
 
   /** lxml `fragment_fromstring`: the input must yield exactly one element. */

@@ -58,15 +58,22 @@ object Serializer {
     }
   }
 
+  // xmlBufAttrSerializeTxtContent: control whitespace in attribute values
+  // is emitted as character references (a \n can reach an attribute via
+  // libxml2's CRLF→LF input normalization; \r only from programmatic
+  // trees). Text nodes do NOT get these — only & < > there.
   private def escapeAttr(sb: java.lang.StringBuilder, s: String): Unit = {
     var i = 0
     while (i < s.length) {
       s.charAt(i) match {
-        case '&' => sb.append("&amp;")
-        case '<' => sb.append("&lt;")
-        case '>' => sb.append("&gt;")
-        case '"' => sb.append("&quot;")
-        case c   => sb.append(c)
+        case '&'  => sb.append("&amp;")
+        case '<'  => sb.append("&lt;")
+        case '>'  => sb.append("&gt;")
+        case '"'  => sb.append("&quot;")
+        case '\n' => sb.append("&#10;")
+        case '\r' => sb.append("&#13;")
+        case '\t' => sb.append("&#9;")
+        case c    => sb.append(c)
       }
       i += 1
     }

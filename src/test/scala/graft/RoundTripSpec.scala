@@ -38,4 +38,30 @@ class RoundTripSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("libxml2 EOL handling: CRLF and lone CR reach the DOM as LF " +
+    "(xmlCurrentChar, XML §2.11 — shared by the HTML parser)") {
+    val dom = Parser.parseDocument(
+      "<html><body><p title=\"a\r\nb\rc\">line1\r\nline2\rline3</p></body></html>")
+    val p = dom.find("p")
+    assert(p.text == "line1\nline2\nline3")
+    assert(p.attrs("title") == "a\nb\nc")
+    // no CR anywhere in the tree
+    dom.iterAll.foreach { n =>
+      assert(n.text == null || !n.text.contains('\r'))
+      assert(n.tail == null || !n.tail.contains('\r'))
+    }
+  }
+
+  test("attribute serialization: control whitespace as character refs " +
+    "(xmlBufAttrSerializeTxtContent); text nodes only escape & < >") {
+    val dom = Parser.parseDocument(
+      "<html><body><p title=\"a\r\nb\tc&amp;d\">x &amp; y</p></body></html>")
+    val out = Serializer.toUnicode(dom.find("p"))
+    assert(out == "<p title=\"a&#10;b&#9;c&amp;d\">x &amp; y</p>", out)
+    // programmatic \r (cannot come from parsing) serializes as &#13;
+    val node = Parser.parseDocument("<html><body><p t=\"x\">.</p></body></html>").find("p")
+    node.set("t", "a\rb")
+    assert(Serializer.toUnicode(node) == "<p t=\"a&#13;b\">.</p>")
+  }
 }
