@@ -288,6 +288,19 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q29_minhash_incremental" -> ((s, dir) => {
+      // incremental ingest dedup: new batch (doc_id%5=2) against the
+      // existing corpus (doc_id%5=0) — cross-side pairs only, the corpus
+      // is never re-paired against itself
+      val d = docs(s, dir)
+      Dedup.minhashLshJoin(
+        d.where(pmod(col("doc_id"), lit(5)) === 0),
+        d.where(pmod(col("doc_id"), lit(5)) === 2),
+        "doc_id", "text", k = 32, bands = 32, threshold = 0.02,
+        shingleHash = Dedup.md5Hash60)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q18_simhash" -> ((s, dir) => {
       // md5Hash60 token hashes (oracle-replicable signatures)
       val withSig = docs(s, dir).where(pmod(col("doc_id"), lit(10)) === 0)
@@ -595,6 +608,45 @@ object SparkEntry {
          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |         FROM bands a JOIN bands b
          |           ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+         |j AS (SELECT id_a, id_b,
+         |        len(list_intersect(sa.s, sb.s))::DOUBLE
+         |          / len(list_distinct(list_concat(sa.s, sb.s))) AS jac
+         |      FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
+         |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM j WHERE jac >= 0.02
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q29_minhash_incremental" -> {
+      // same signature math as q17; candidates restricted to
+      // corpus-side × batch-side (incremental ingest shape)
+      val k = 32; val bands = 32; val rows = k / bands
+      val mins = Dedup.hashParams(k).zipWithIndex.map { case ((a, b), i) =>
+        s"min(($a * (h % 2147483647) + $b) % ${Dedup.MersennePrime}) AS m$i"
+      }.mkString(",\n    ")
+      val sigList = (0 until k).map(i => s"m$i").mkString("[", ", ", "]")
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+         |  FROM documents WHERE doc_id % 5 = 0 OR doc_id % 5 = 2),
+         |sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(CASE WHEN len(t) >= 3
+         |      THEN [('0x' || substring(md5(array_to_string(t[i:i+2], ' ')), 1, 15))::UBIGINT::BIGINT
+         |            for i in range(1, len(t) - 1)]
+         |      ELSE [('0x' || substring(md5(array_to_string(t, ' ')), 1, 15))::UBIGINT::BIGINT]
+         |      END) AS s
+         |  FROM toks),
+         |post AS (SELECT doc_id, unnest(s) AS h FROM sh),
+         |mh AS (SELECT doc_id,
+         |    $mins
+         |  FROM post GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $sigList AS sig FROM mh),
+         |bands AS (SELECT doc_id, b, array_to_string(sig[$rows*b+1 : $rows*b+$rows], ',') AS key
+         |          FROM sig, range($bands) r(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bands a JOIN bands b
+         |           ON a.b = b.b AND a.key = b.key
+         |          AND a.doc_id % 5 = 0 AND b.doc_id % 5 = 2
+         |          AND a.doc_id <> b.doc_id),
          |j AS (SELECT id_a, id_b,
          |        len(list_intersect(sa.s, sb.s))::DOUBLE
          |          / len(list_distinct(list_concat(sa.s, sb.s))) AS jac

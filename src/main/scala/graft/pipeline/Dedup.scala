@@ -109,26 +109,13 @@ object Dedup {
                  k: Int = 32, bands: Int = 8,
                  threshold: Double = 0.8,
                  shingleHash: Column => Column = xxhash64(_)): DataFrame = {
-    val rows = k / bands
     // materialized once: the signature path and both verification re-joins
     // consume the shingle arrays, and shingling is the expensive step
     val withSh = df.select(
       col(idCol).as("id"),
       shingleHashesWith(col(textCol), shingleHash).as("sh"))
       .localCheckpoint(true)
-    val withSig = withSh.select(
-      col("id"),
-      minhashSignatureFromHashes(col("sh"), k).as("sig"))
-
-    val banded = withSig.select(
-      col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(
-          concat_ws(",", transform(slice(col("sig"), b * lit(rows) + lit(1), lit(rows)),
-            x => x.cast("string"))),
-          b))))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_hash")
+    val banded = bandedSignature(withSh, k, bands)
 
     val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
@@ -143,6 +130,70 @@ object Dedup {
     pairs
       .join(shA, Seq("id_a"))
       .join(shB, Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** (band, band_hash, id) from an (id, sh) frame: minhash signature in
+    * `bands` bands of k/bands rows, each band keyed by a 64-bit hash of
+    * its signature slice (+band index so identical slices in different
+    * bands never collide). Shared by the self-join (minhashLsh) and the
+    * corpus×batch incremental join (minhashLshJoin). */
+  private def bandedSignature(withSh: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    withSh.select(
+      col("id"),
+      minhashSignatureFromHashes(col("sh"), k).as("sig"))
+      .select(
+        col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(
+            concat_ws(",", transform(slice(col("sig"), b * lit(rows) + lit(1), lit(rows)),
+              x => x.cast("string"))),
+            b))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+  }
+
+  /**
+   * INCREMENTAL MinHash-LSH: near-dup pairs BETWEEN an existing corpus and
+   * a new batch — the shape a training-data pipeline runs per ingest
+   * (dedup today's crawl against the accumulated corpus WITHOUT
+   * re-pairing the corpus against itself). Output: (id_a = corpus id,
+   * id_b = batch id, jaccard).
+   *
+   * Scale shape: the corpus side's banded signatures are a pure function
+   * of (id, text) — on a real deployment they are computed once and
+   * persisted as the LSH index (bucketed by band_hash), so each ingest
+   * only computes signatures for the batch and runs one equi-join against
+   * the index. Candidate pairs carry ids only; shingle arrays re-join by
+   * id for the Jaccard verify (same discipline as minhashLsh).
+   */
+  def minhashLshJoin(corpus: DataFrame, batch: DataFrame,
+                     idCol: String, textCol: String,
+                     k: Int = 32, bands: Int = 8,
+                     threshold: Double = 0.8,
+                     shingleHash: Column => Column = xxhash64(_)): DataFrame = {
+    def prep(df: DataFrame) = df.select(
+      col(idCol).as("id"),
+      shingleHashesWith(col(textCol), shingleHash).as("sh"))
+      .localCheckpoint(true)
+    val shC = prep(corpus)
+    val shB = prep(batch)
+    val a = bandedSignature(shC, k, bands)
+      .select(col("band"), col("band_hash"), col("id").as("id_a"))
+    val b = bandedSignature(shB, k, bands)
+      .select(col("band"), col("band_hash"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("band", "band_hash"))
+      .where(col("id_a") =!= col("id_b")) // a url can sit in both sides
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    pairs
+      .join(shC.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shB.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))

@@ -37,6 +37,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(pairs.head.getAs[Double]("jaccard") > 0.8)
   }
 
+  test("incremental minhash LSH join: cross-side pairs only, neither " +
+    "side paired against itself") {
+    val base = (1 to 60).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 57).map(i => s"token$i").mkString(" ") + " tokenX tokenY tokenZ"
+    val other = (100 to 160).map(i => s"word$i").mkString(" ")
+    // corpus: 1≈2 (an INTERNAL corpus near-dup — must NOT be re-paired)
+    val corpus = docsDf(Seq((1L, base), (2L, nearDup), (3L, other)))
+    // batch: 10≈corpus(1,2); 11 and 12 identical (batch-internal — must
+    // NOT pair here; within-batch dedup is minhashLsh's job)
+    val batch = docsDf(Seq((10L, base), (11L, other), (12L, other)))
+    val pairs = Dedup.minhashLshJoin(corpus, batch, "doc_id", "text",
+      k = 32, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 10L)), pairs)       // exact cross dup
+    assert(pairs.contains((2L, 10L)), pairs)       // near cross dup
+    assert(pairs.contains((3L, 11L)) && pairs.contains((3L, 12L)))
+    assert(!pairs.contains((1L, 2L)) && !pairs.contains((2L, 1L))) // corpus-internal
+    assert(!pairs.exists(p => p._1 >= 10L), pairs) // id_a is always corpus-side
+  }
+
   test("simhash: identical docs at distance 0, planted near-dup within 3") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val near = (1 to 39).map(i => s"tok$i").mkString(" ") + " tokDIFFERENT"
