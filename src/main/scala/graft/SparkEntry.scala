@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.extract.{Extractor, Page}
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextOps}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextOps}
 
 /**
  * Driver contract (SURVEY.md §7): `entry` = flagship extraction over a
@@ -411,6 +411,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q30_stratified_sample" -> ((s, dir) => {
+      // curation shape: cheap deterministic bernoulli pre-filter (pure
+      // filter, no shuffle), then a per-language quota (rank-filter
+      // window → WindowGroupLimit partial top-n before the shuffle)
+      val half = Sampling.bernoulli(docs(s, dir), "doc_id", 0.5)
+      Sampling.stratifiedQuota(half, Seq("lang"), "doc_id", n = 25)
+        .select(col("lang"), col("sample_rank"), col("doc_id"))
+        .orderBy(col("lang"), col("sample_rank"))
+    }),
+
     // ---- multimodal plumbing -------------------------------------------
     "q23_multimodal_features" -> ((s, dir) => {
       import s.implicits._
@@ -799,6 +809,19 @@ object SparkEntry {
         |  FROM scored)
         |SELECT qid, rank, id, cos FROM ranked WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
+
+    "q30_stratified_sample" ->
+      """WITH h AS (
+        |  SELECT lang, doc_id,
+        |    ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT AS hv
+        |  FROM documents),
+        |half AS (SELECT lang, doc_id, hv FROM h WHERE hv % 1000000 < 500000),
+        |r AS (SELECT lang, doc_id,
+        |        row_number() OVER (PARTITION BY lang ORDER BY hv ASC, doc_id ASC) AS sample_rank
+        |      FROM half)
+        |SELECT lang, sample_rank::INTEGER AS sample_rank, doc_id
+        |FROM r WHERE sample_rank <= 25
+        |ORDER BY lang, sample_rank""".stripMargin,
 
     // the stub decoder is built from oracle-reproducible primitives
     // (md5-60bit sizes, high-nibble hex histogram) — see Multimodal.scala

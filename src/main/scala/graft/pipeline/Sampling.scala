@@ -1,0 +1,50 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Deterministic sampling for training-data curation. Both samplers are
+ * pure functions of the row's id — no RNG state, so a re-run (or a
+ * resumed partition) selects the identical sample, and an oracle engine
+ * can reproduce the selection exactly.
+ *
+ *  - bernoulli: keep a row iff hash(id) mod M < fraction·M. A pure
+ *    filter — no shuffle, no state, scales to any corpus size; the
+ *    filter sits directly on the scan so column pruning and predicate
+ *    pushdown are unaffected.
+ *  - stratifiedQuota: n rows per stratum (e.g. per language/source),
+ *    chosen by hash order within the stratum. Expressed as a rank-filter
+ *    window, which Spark ≥3.5 executes with WindowGroupLimit: a partial
+ *    top-n runs BEFORE the stratum shuffle, so a billion-row stratum
+ *    ships only n·partitions candidate rows — not the stratum — through
+ *    the exchange.
+ */
+object Sampling {
+
+  private val Mod = 1000000L
+
+  /** Deterministic Bernoulli sample: pure filter, no shuffle.
+    * `hashFn` defaults to the oracle-replicable md5-60bit hash of the id
+    * rendered as a string (see Dedup.md5Hash60); pass xxhash64-based for
+    * speed when cross-engine reproducibility is not needed. */
+  def bernoulli(df: DataFrame, idCol: String, fraction: Double,
+                hashFn: Column => Column = c => Dedup.md5Hash60(c)): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction=$fraction")
+    df.where(pmod(hashFn(col(idCol).cast("string")), lit(Mod))
+      < lit((fraction * Mod).toLong))
+  }
+
+  /** Deterministic stratified quota: `n` rows per distinct value of
+    * `strataCols`, selected by hash order (ties broken by id). Emits the
+    * input columns plus `sample_rank` (1-based within the stratum). */
+  def stratifiedQuota(df: DataFrame, strataCols: Seq[String], idCol: String,
+                      n: Int,
+                      hashFn: Column => Column = c => Dedup.md5Hash60(c)): DataFrame = {
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(hashFn(col(idCol).cast("string")).asc, col(idCol).asc)
+    df.withColumn("sample_rank", row_number().over(w))
+      .where(col("sample_rank") <= n)
+  }
+}

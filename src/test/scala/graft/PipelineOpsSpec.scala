@@ -225,6 +225,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(qs.forall(q => q >= 0.0 && q <= 1.0))
   }
 
+  test("sampling: deterministic bernoulli is a pure id filter; " +
+    "stratified quota caps every stratum and re-runs identically") {
+    import graft.pipeline.Sampling
+    val df = docsDf((0L until 400L).map(i => (i, s"text $i")))
+      .withColumn("lang",
+        element_at(typedlit(Seq("en", "de", "fr", "zz")),
+          (pmod(col("doc_id"), lit(4)) + 1).cast("int")))
+    val half = Sampling.bernoulli(df, "doc_id", 0.5)
+    val n = half.count()
+    assert(n > 120 && n < 280, s"~50% of 400 expected, got $n")
+    // determinism: the same rows every run
+    assert(Sampling.bernoulli(df, "doc_id", 0.5)
+      .select("doc_id").collect().toSeq ==
+      half.select("doc_id").collect().toSeq)
+    // fraction edges
+    assert(Sampling.bernoulli(df, "doc_id", 0.0).count() == 0)
+    assert(Sampling.bernoulli(df, "doc_id", 1.0).count() == 400)
+    // quota: exactly 10 per stratum (every stratum has 100 rows),
+    // ranks 1..10, identical across runs
+    val q = Sampling.stratifiedQuota(df, Seq("lang"), "doc_id", 10)
+    val byLang = q.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.values.toSet == Set(10L), byLang)
+    assert(q.agg(max(col("sample_rank"))).head.getInt(0) == 10)
+    assert(Sampling.stratifiedQuota(df, Seq("lang"), "doc_id", 10)
+      .select("doc_id").collect().toSet == q.select("doc_id").collect().toSet)
+  }
+
   test("multimodal plumbing: schema, deterministic stub features, nulls") {
     import spark.implicits._
     val media = Seq(
