@@ -421,6 +421,27 @@ object SparkEntry {
         .orderBy(col("lang"), col("sample_rank"))
     }),
 
+    "q31_pdf_extract" -> ((s, dir) => {
+      // PDF/layout-parse leg: deterministic PDFs synthesized from the
+      // documents table (≤50 words on page 1, rest on page 2), then the
+      // REAL byte-level parse (object scan → page tree → FlateDecode →
+      // text operators). Oracle = the source text re-chunked in SQL, so
+      // any parse defect breaks the hash.
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val words = text.split(" ")
+          val pages =
+            if (words.length > 50)
+              Seq(words.take(50).mkString(" "), words.drop(50).mkString(" "))
+            else Seq(text)
+          val parsed = graft.pipeline.Pdf.extract(graft.pipeline.Pdf.synthesize(pages))
+          (id, parsed.length, parsed.mkString("\n\n"))
+        }.toDF("doc_id", "n_pages", "pdf_text")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- multimodal plumbing -------------------------------------------
     "q23_multimodal_features" -> ((s, dir) => {
       import s.implicits._
@@ -809,6 +830,16 @@ object SparkEntry {
         |  FROM scored)
         |SELECT qid, rank, id, cos FROM ranked WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
+
+    "q31_pdf_extract" ->
+      """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+        |SELECT doc_id,
+        |  (CASE WHEN len(t) > 50 THEN 2 ELSE 1 END)::INTEGER AS n_pages,
+        |  CASE WHEN len(t) > 50
+        |       THEN array_to_string(t[1:50], ' ') || chr(10) || chr(10)
+        |            || array_to_string(t[51:], ' ')
+        |       ELSE text END AS pdf_text
+        |FROM w ORDER BY doc_id""".stripMargin,
 
     "q30_stratified_sample" ->
       """WITH h AS (
