@@ -23,18 +23,21 @@ object SparkEntry {
     s.read.parquet(s"$dir/embeddings.parquet")
 
   /** Deterministic HTML wrapping of the documents table — the sandbox
-    * stand-in for Common-Crawl page bytes (no external data). */
+    * stand-in for Common-Crawl page bytes (no external data). Shared by
+    * the direct pages path (q22) and the WARC ingest path (q32) so both
+    * hit the same q22-shaped oracle. */
+  private def synthHtml(id: Long, text: String): String =
+    s"""<html><head><title>Document $id</title></head><body>
+       |<div class="article"><p>$text</p></div>
+       |</body></html>""".stripMargin
+
   private def synthPages(s: SparkSession, dir: String) = {
     import s.implicits._
     docs(s, dir).select(col("doc_id"), col("text"), col("lang"))
       .as[(Long, String, String)]
       .map { case (id, text, lang) =>
-        val html =
-          s"""<html><head><title>Document $id</title></head><body>
-             |<div class="article"><p>$text</p></div>
-             |</body></html>""".stripMargin
         Page(s"synth://doc/$id", new java.sql.Timestamp(1767225600000L + id * 60000L),
-          html.getBytes(java.nio.charset.StandardCharsets.UTF_8), text, lang)
+          synthHtml(id, text).getBytes(java.nio.charset.StandardCharsets.UTF_8), text, lang)
       }
   }
 
@@ -419,6 +422,44 @@ object SparkEntry {
       Sampling.stratifiedQuota(half, Seq("lang"), "doc_id", n = 25)
         .select(col("lang"), col("sample_rank"), col("doc_id"))
         .orderBy(col("lang"), col("sample_rank"))
+    }),
+
+    "q32_warc_extract" -> ((s, dir) => {
+      // the full Common-Crawl-shaped ingest: synthesize per-record-gzip
+      // WARC files DISTRIBUTED (one file per partition — files are the
+      // parallel unit, as in a real crawl drop), then the real path:
+      // binaryFile scan → WARC record parse → pages table → extraction.
+      // Oracle is the q22 shape: any ingest defect breaks the hash.
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("warc_q32").toString
+      docs(s, dir).select(col("doc_id"), col("text"))
+        .repartition(8, col("doc_id"))
+        .as[(Long, String)]
+        .foreachPartition { (it: Iterator[(Long, String)]) =>
+          val recs = it.map { case (id, text) =>
+            (s"http://synth.example/doc/$id",
+              java.time.Instant.ofEpochMilli(1767225600000L + id * 60000L).toString,
+              synthHtml(id, text).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }.toSeq
+          if (recs.nonEmpty) {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(tmp, f"part-$pid%05d.warc.gz"),
+              graft.sources.Warc.writeWarc(recs, gzipPerRecord = true))
+            ()
+          }
+        }
+      graft.sources.Warc.read(s, s"$tmp/*.warc.gz")
+        .select(col("url"), col("warc_ts"), col("html"),
+          col("text"), col("lang"))
+        .as[Page]
+        .map(Extractor.extract)
+        .toDF()
+        .select(
+          regexp_extract(col("url"), "(\\d+)$", 1).cast("long").as("doc_id"),
+          col("status"), col("title"),
+          col("extracted_text"))
+        .orderBy(col("doc_id"))
     }),
 
     "q31_pdf_extract" -> ((s, dir) => {
@@ -830,6 +871,13 @@ object SparkEntry {
         |  FROM scored)
         |SELECT qid, rank, id, cos FROM ranked WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
+
+    // WARC ingest lands on the same extraction output as q22
+    "q32_warc_extract" ->
+      """SELECT doc_id, 'ok' AS status,
+        |  'Document ' || doc_id AS title,
+        |  trim(regexp_replace(text, '\s+', ' ', 'g')) AS extracted_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q31_pdf_extract" ->
       """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Warc
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+
+/** WARC writer/reader round-trips + the Spark binaryFile ingest path. */
+class WarcSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSessionFixture.spark
+
+  private val recs = Seq(
+    ("http://a.example/1", "2026-01-01T00:00:00Z", "<html><body><p>one</p></body></html>".getBytes(UTF_8)),
+    ("http://a.example/2", "2026-01-01T00:01:00Z", "<html><body><p>two — čeština 中文</p></body></html>".getBytes(UTF_8)),
+    ("http://a.example/3", "2026-01-01T00:02:00Z", Array[Byte](0, 1, 2, '\r', '\n', '\r', '\n', 3)))
+
+  test("plain WARC round-trip: warcinfo + responses, bodies byte-exact") {
+    val parsed = Warc.parseAll(Warc.writeWarc(recs))
+    assert(parsed.head.recordType == "warcinfo")
+    val resp = parsed.filter(_.recordType == "response")
+    assert(resp.map(_.url) == recs.map(_._1))
+    assert(resp.map(_.warcDate) == recs.map(_._2))
+    assert(resp.forall(_.httpStatus == 200))
+    resp.zip(recs).foreach { case (r, (_, _, body)) =>
+      assert(java.util.Arrays.equals(r.body, body))
+    }
+  }
+
+  test("per-record-gzip WARC (concatenated members) parses identically") {
+    val gz = Warc.writeWarc(recs, gzipPerRecord = true)
+    assert((gz(0) & 0xFF) == 0x1F && (gz(1) & 0xFF) == 0x8B)
+    val parsed = Warc.parseAll(gz).filter(_.recordType == "response")
+    assert(parsed.map(_.url) == recs.map(_._1))
+    parsed.zip(recs).foreach { case (r, (_, _, body)) =>
+      assert(java.util.Arrays.equals(r.body, body))
+    }
+  }
+
+  test("garbage, empty, and truncated inputs do not throw") {
+    assert(Warc.parseAll(Array.emptyByteArray).isEmpty)
+    assert(Warc.parseAll("random bytes, no records".getBytes(UTF_8)).isEmpty)
+    val cut = Warc.writeWarc(recs).dropRight(40) // truncated final record
+    val parsed = Warc.parseAll(cut)
+    assert(parsed.count(_.recordType == "response") >= 1) // prefix records survive
+  }
+
+  test("Spark ingest: binaryFile scan → pages table; non-2xx filtered") {
+    val dir = java.nio.file.Files.createTempDirectory("warcspec")
+    java.nio.file.Files.write(dir.resolve("a.warc.gz"),
+      Warc.writeWarc(recs.take(2), gzipPerRecord = true))
+    // hand-crafted 404 record must be dropped by the reader
+    val body404 = "HTTP/1.1 404 Not Found\r\n\r\ngone".getBytes(ISO_8859_1)
+    val rec404 = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://a.example/404\r\n" +
+      "WARC-Date: 2026-01-01T00:03:00Z\r\n" +
+      s"Content-Length: ${body404.length}\r\n\r\n").getBytes(ISO_8859_1) ++
+      body404 ++ "\r\n\r\n".getBytes(ISO_8859_1)
+    java.nio.file.Files.write(dir.resolve("b.warc"),
+      Warc.writeWarc(recs.drop(2)) ++ rec404)
+    val pages = Warc.read(spark, dir.toString + "/*")
+    assert(pages.columns.toSeq == Seq("url", "warc_ts", "html", "text", "lang"))
+    val rows = pages.collect().map(r => r.getString(0)).sorted.toSeq
+    assert(rows == Seq("http://a.example/1", "http://a.example/2", "http://a.example/3"))
+    val ts = pages.where(org.apache.spark.sql.functions.col("url").endsWith("/2"))
+      .select("warc_ts").head.getTimestamp(0)
+    assert(ts.getTime == 1767225660000L)
+  }
+}
