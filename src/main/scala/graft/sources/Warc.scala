@@ -173,22 +173,49 @@ object Warc {
 
   // ---- Spark source ----------------------------------------------------
 
+  private def toPages(spark: SparkSession,
+                      files: org.apache.spark.sql.Dataset[Array[Byte]]): DataFrame = {
+    import spark.implicits._
+    files.flatMap { bytes =>
+      Warc.parseAll(bytes).iterator.collect {
+        case r if r.recordType == "response" && r.httpStatus / 100 == 2 =>
+          val ts = try java.sql.Timestamp.from(java.time.Instant.parse(r.warcDate))
+          catch { case _: Exception => new java.sql.Timestamp(0L) }
+          (r.url, ts, r.body, "", "")
+      }
+    }.toDF("url", "warc_ts", "html", "text", "lang")
+  }
+
   /** Pages-table-shaped DataFrame from WARC files: one task per file
     * (binaryFile source), one forward scan per task. Only `response`
     * records with 2xx status become pages. */
   def read(spark: SparkSession, pathGlob: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(pathGlob)
-      .select(col("content"))
-      .as[Array[Byte]]
-      .flatMap { bytes =>
-        Warc.parseAll(bytes).iterator.collect {
-          case r if r.recordType == "response" && r.httpStatus / 100 == 2 =>
-            val ts = try java.sql.Timestamp.from(java.time.Instant.parse(r.warcDate))
-            catch { case _: Exception => new java.sql.Timestamp(0L) }
-            (r.url, ts, r.body, "", "")
-        }
-      }
-      .toDF("url", "warc_ts", "html", "text", "lang")
+    toPages(spark,
+      spark.read.format("binaryFile").load(pathGlob)
+        .select(col("content")).as[Array[Byte]])
+  }
+
+  /** Streaming variant: a WARC drop directory as a continuous source —
+    * new files become micro-batches (bounded by maxFilesPerTrigger), and
+    * the checkpointed file-source log gives exactly-once per file, which
+    * is exactly-once per record because records live in exactly one
+    * file. Compose with ExtractStream for crawl-to-text streaming. */
+  def readStream(spark: SparkSession, pathGlob: String,
+                 maxFilesPerTrigger: Int = 64): DataFrame = {
+    import spark.implicits._
+    // file stream sources require an explicit schema; binaryFile's is fixed
+    val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
+    toPages(spark,
+      spark.readStream.format("binaryFile")
+        .schema(binaryFileSchema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .option("pathGlobFilter", "*.warc*")
+        .load(pathGlob)
+        .select(col("content")).as[Array[Byte]])
   }
 }

@@ -30,6 +30,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$base/out").count() == 14)
   }
 
+  test("WARC drop-dir stream: new files extracted exactly once across " +
+    "checkpointed restarts") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.charset.StandardCharsets.UTF_8
+    val base = java.nio.file.Files.createTempDirectory("warcstream").toString
+    val drop = java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(base, "drop")).toString
+    def warcFile(name: String, ids: Seq[Int]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(drop, name),
+        graft.sources.Warc.writeWarc(ids.map(i =>
+          (s"http://stream.example/doc/$i", f"2026-01-01T00:${i}%02d:00Z",
+            s"<html><head><title>D$i</title></head><body><p>body text $i</p></body></html>"
+              .getBytes(UTF_8))), gzipPerRecord = true))
+    warcFile("a.warc.gz", Seq(1, 2, 3))
+
+    def run(): Unit = {
+      val q = graft.sources.Warc.readStream(spark, drop)
+        .as[graft.extract.Page]
+        .map(graft.extract.Extractor.extract)
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    run()
+    assert(spark.read.parquet(s"$base/out").count() == 3)
+    // a new file lands in the drop dir; restart processes ONLY it
+    warcFile("b.warc.gz", Seq(4, 5))
+    run()
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.count() == 5)
+    assert(out.select("url").distinct().count() == 5)
+    // and an unchanged restart is a no-op
+    run()
+    assert(spark.read.parquet(s"$base/out").count() == 5)
+  }
+
   test("streaming exact dedup keeps one row per content fingerprint " +
     "(watermark-bounded state)") {
     import spark.implicits._
