@@ -585,13 +585,29 @@ object SparkEntry {
       val de = hits(Seq("der", "die", "und", "das", "ist", "ein"))
       val fr = hits(Seq("le", "la", "et", "les", "des", "est"))
       val es = hits(Seq("el", "de", "y", "que", "los", "una"))
-      s"""WITH p AS (
-         |  SELECT doc_id,
-         |    ' ' || lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) || ' ' AS padded
+      s"""WITH n AS (
+         |  SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
          |  FROM documents),
-         |h AS (SELECT doc_id, $en AS en, $de AS de, $fr AS fr, $es AS es FROM p)
+         |p AS (
+         |  SELECT doc_id, ' ' || lower(norm) || ' ' AS padded,
+         |    regexp_replace(norm, '\\s', '', 'g') AS ns
+         |  FROM n),
+         |sc AS (SELECT doc_id, padded,
+         |    length(ns)::DOUBLE AS total,
+         |    length(ns) - length(regexp_replace(ns, '[\\p{Hiragana}\\p{Katakana}]', '', 'g')) AS kana,
+         |    length(ns) - length(regexp_replace(ns, '[\\p{Hangul}]', '', 'g')) AS hangul,
+         |    length(ns) - length(regexp_replace(ns, '[\\p{Han}]', '', 'g')) AS han,
+         |    length(ns) - length(regexp_replace(ns, '[\\p{Cyrillic}]', '', 'g')) AS cyr
+         |  FROM p),
+         |h AS (SELECT doc_id, total, kana, hangul, han, cyr,
+         |             $en AS en, $de AS de, $fr AS fr, $es AS es FROM sc)
          |SELECT doc_id,
-         |  CASE WHEN greatest(en, de, fr, es) <= 0 THEN 'und'
+         |  CASE WHEN total <= 0 THEN 'und'
+         |       WHEN kana / total > 0.05 THEN 'ja'
+         |       WHEN hangul / total > 0.25 THEN 'ko'
+         |       WHEN han / total > 0.25 THEN 'zh'
+         |       WHEN cyr / total > 0.25 THEN 'ru'
+         |       WHEN greatest(en, de, fr, es) <= 0 THEN 'und'
          |       WHEN en = greatest(en, de, fr, es) THEN 'en'
          |       WHEN de = greatest(en, de, fr, es) THEN 'de'
          |       WHEN fr = greatest(en, de, fr, es) THEN 'fr'

@@ -34,7 +34,22 @@ object TextOps {
    * per language and takes the argmax; "und" when nothing matches.
    */
   def langId(text: Column): Column = {
-    val padded = concat(lit(" "), lower(normalizeWs(text)), lit(" "))
+    val norm = normalizeWs(text)
+    // script pre-pass (the standard first stage of real lang-id): count
+    // characters per unicode script; CJK/Cyrillic text never matches the
+    // Latin stopword lists, so it must be decided here. Fractions over
+    // non-space characters; thresholds: any meaningful kana → ja,
+    // otherwise a quarter of the text in one script wins.
+    val nospace = regexp_replace(norm, "\\s", "")
+    val total = length(nospace).cast("double")
+    def scriptCount(re: String): Column =
+      total - length(regexp_replace(nospace, re, "")).cast("double")
+    val kana = scriptCount("[\\p{IsHiragana}\\p{IsKatakana}]")
+    val hangul = scriptCount("[\\p{IsHangul}]")
+    val han = scriptCount("[\\p{IsHan}]")
+    val cyr = scriptCount("[\\p{IsCyrillic}]")
+
+    val padded = concat(lit(" "), lower(norm), lit(" "))
     def hits(words: Seq[String]): Column =
       words.map(w => size(split(padded, s"\\s$w\\s")) - 1)
         .reduce(_ + _)
@@ -43,7 +58,12 @@ object TextOps {
     val fr = hits(Seq("le", "la", "et", "les", "des", "est"))
     val es = hits(Seq("el", "de", "y", "que", "los", "una"))
     val best = greatest(en, de, fr, es)
-    when(best <= 0, lit("und"))
+    when(total <= 0, lit("und"))
+      .when(kana / total > 0.05, lit("ja"))
+      .when(hangul / total > 0.25, lit("ko"))
+      .when(han / total > 0.25, lit("zh"))
+      .when(cyr / total > 0.25, lit("ru"))
+      .when(best <= 0, lit("und"))
       .when(en === best, lit("en"))
       .when(de === best, lit("de"))
       .when(fr === best, lit("fr"))

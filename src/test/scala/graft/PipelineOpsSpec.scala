@@ -214,13 +214,23 @@ class PipelineOpsSpec extends AnyFunSuite {
       (1L, "the cat and the dog of a house is to be"),
       (2L, "der hund und die katze ist ein tier und der"),
       (3L, "le chat et la maison les arbres des fleurs est"),
-      (4L, "zzz qqq xxx")).toDF("doc_id", "text")
+      (4L, "zzz qqq xxx"),
+      (5L, "这是一段中文文本 机器学习 训练数据"),
+      (6L, "これは日本語のテキストです 漢字も含む"),
+      (7L, "한국어 텍스트 예시입니다"),
+      (8L, "это русский текст для примера"),
+      (9L, "")).toDF("doc_id", "text")
     val m = df.select($"doc_id", TextOps.langId($"text").as("lang")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(m(1L) == "en")
     assert(m(2L) == "de")
     assert(m(3L) == "fr")
     assert(m(4L) == "und")
+    assert(m(5L) == "zh") // Han script pre-pass
+    assert(m(6L) == "ja") // kana beats the Han majority
+    assert(m(7L) == "ko")
+    assert(m(8L) == "ru")
+    assert(m(9L) == "und")
     val qs = df.select(TextOps.qualityScore($"text")).collect().map(_.getDouble(0))
     assert(qs.forall(q => q >= 0.0 && q <= 1.0))
   }
