@@ -73,13 +73,24 @@ object Bench {
     // headline — the sandbox host has noisy neighbors and a single-shot
     // run can capture a 10–20× artifact; see BENCH.md §2) -----------------
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // best-of over SUCCESSFUL runs only — a fast crash must not report
+      // as a fast query; if every attempt fails, report the worst elapsed
+      // and log the failure
       var best = Double.MaxValue
+      var worstFail = 0.0
+      var failures = 0
       (1 to 2).foreach { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        val ok = try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          failures += 1
+          System.err.println(s"bench: $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          false
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (ok) best = math.min(best, dt) else worstFail = math.max(worstFail, dt)
       }
-      name -> best
+      name -> (if (best != Double.MaxValue) best else worstFail)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")

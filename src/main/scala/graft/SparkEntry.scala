@@ -431,7 +431,17 @@ object SparkEntry {
       // binaryFile scan → WARC record parse → pages table → extraction.
       // Oracle is the q22 shape: any ingest defect breaks the hash.
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("warc_q32").toString
+      // a FIXED staging dir (reused + cleaned per invocation, no leak per
+      // bench repetition), written through the Hadoop FileSystem API so
+      // on a real cluster the same code lands on the shared FS (here:
+      // file:/ under java.io.tmpdir); executors and driver must agree on
+      // the FS, exactly as any Spark output path requires
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q32_warc_" +
+        Integer.toHexString(dir.hashCode)
+      val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+      val fs = tmpPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(tmpPath, true)
+      fs.mkdirs(tmpPath)
       docs(s, dir).select(col("doc_id"), col("text"))
         .repartition(8, col("doc_id"))
         .as[(Long, String)]
@@ -443,10 +453,11 @@ object SparkEntry {
           }.toSeq
           if (recs.nonEmpty) {
             val pid = org.apache.spark.TaskContext.getPartitionId()
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(tmp, f"part-$pid%05d.warc.gz"),
-              graft.sources.Warc.writeWarc(recs, gzipPerRecord = true))
-            ()
+            val part = new org.apache.hadoop.fs.Path(tmp, f"part-$pid%05d.warc.gz")
+            val pfs = part.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            val os = pfs.create(part, true)
+            try os.write(graft.sources.Warc.writeWarc(recs, gzipPerRecord = true))
+            finally os.close()
           }
         }
       graft.sources.Warc.read(s, s"$tmp/*.warc.gz")
@@ -472,7 +483,9 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .map { case (id, text) =>
-          val words = text.split(" ")
+          // limit -1: keep trailing empty tokens, matching DuckDB's
+          // string_split semantics in the oracle (Java split drops them)
+          val words = text.split(" ", -1)
           val pages =
             if (words.length > 50)
               Seq(words.take(50).mkString(" "), words.drop(50).mkString(" "))

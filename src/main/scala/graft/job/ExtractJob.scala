@@ -76,6 +76,11 @@ object ExtractJob {
     val lineageAcc: CollectionAccumulator[(Int, Long, Long)] =
       spark.sparkContext.collectionAccumulator[(Int, Long, Long)]("lineage")
 
+    // observed metrics via the Observation API: `getAsJava` blocks until
+    // the write's query completes (no async-listener race; if the write
+    // throws we never reach the read)
+    val obs = new org.apache.spark.sql.Observation("extract_metrics")
+
     val extracted: Dataset[Extracted] = pages
       .mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -95,45 +100,28 @@ object ExtractJob {
           override def next(): Extracted = mapped.next()
         }
       }
-      .observe("extract_metrics",
-        count(lit(1)).as("docs"),
-        sum(when(col("status") === "ok", 1L).otherwise(0L)).as("ok_docs"),
-        sum(col("metrics.candidates_scored")).as("candidates_scored"),
-        sum(col("metrics.nodes_pruned")).as("nodes_pruned"),
-        sum(col("metrics.bytes_in")).as("bytes_in"),
-        sum(col("metrics.bytes_out")).as("bytes_out"))
 
     val out = extracted.toDF()
+      .observe(obs,
+        count(lit(1)).as("docs"),
+        coalesce(sum(when(col("status") === "ok", 1L).otherwise(0L)), lit(0L)).as("ok_docs"),
+        coalesce(sum(col("metrics.candidates_scored")), lit(0L)).as("candidates_scored"),
+        coalesce(sum(col("metrics.nodes_pruned")), lit(0L)).as("nodes_pruned"),
+        coalesce(sum(col("metrics.bytes_in")), lit(0L)).as("bytes_in"),
+        coalesce(sum(col("metrics.bytes_out")), lit(0L)).as("bytes_out"))
       .withColumn("warc_day", to_date(col("warc_ts")))
-
-    // capture the observe()d metrics of this write and persist as JSON
-    val observed = new java.util.concurrent.atomic.AtomicReference[Map[String, Any]](Map.empty)
-    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
-      override def onSuccess(funcName: String,
-                             qe: org.apache.spark.sql.execution.QueryExecution,
-                             durationNs: Long): Unit = {
-        qe.observedMetrics.get("extract_metrics").foreach { row =>
-          observed.set(row.schema.fieldNames.zipWithIndex
-            .map { case (f, i) => f -> row.get(i) }.toMap)
-        }
-      }
-      override def onFailure(funcName: String,
-                             qe: org.apache.spark.sql.execution.QueryExecution,
-                             exception: Exception): Unit = ()
-    }
-    spark.listenerManager.register(listener)
 
     out.write
       .mode(if (priorOutput) SaveMode.Append else SaveMode.Overwrite)
       .partitionBy("warc_day")
       .parquet(s"$outDir/extracted")
 
-    // QueryExecutionListener delivery is async — poll briefly
-    val deadline = System.nanoTime() + 5000000000L
-    while (observed.get.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
-    spark.listenerManager.unregister(listener)
-    if (observed.get.nonEmpty) {
-      val json = observed.get.toSeq.sortBy(_._1)
+    val observed: Map[String, Any] = {
+      import scala.jdk.CollectionConverters._
+      obs.getAsJava.asScala.toMap
+    }
+    if (observed.nonEmpty) {
+      val json = observed.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$outDir/_metrics.json").toAbsolutePath, json)
@@ -149,13 +137,14 @@ object ExtractJob {
         .coalesce(1).write.mode(SaveMode.Append).parquet(s"$outDir/_lineage")
     }
 
-    // rows extracted THIS run, from the observed metrics already captured
-    // in the write pass — at 100 TB a verification re-read of the output
-    // is a second full scan (even a footer-only count is a full listing).
-    // Fallback to the re-read only if the async listener never delivered.
-    observed.get.get("docs") match {
+    // rows extracted THIS run, from the observed metrics captured in the
+    // write pass — at 100 TB a verification re-read of the output is a
+    // second full scan (even a footer-only count is a full listing). The
+    // Observation API is synchronous, so this is always present.
+    observed.get("docs") match {
       case Some(d: java.lang.Number) => d.longValue()
-      case _ => spark.read.parquet(s"$outDir/extracted").count()
+      case _ => throw new IllegalStateException(
+        "observed metrics missing docs count") // unreachable: write succeeded
     }
   }
 

@@ -125,8 +125,17 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
 
     // verification payload joined back by id (ids-only pair shuffle above)
-    val shA = withSh.select(col("id").as("id_a"), col("sh").as("sh_a"))
-    val shB = withSh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    verifyJaccard(pairs, withSh, withSh, threshold)
+  }
+
+  /** Shared Jaccard verify: re-join shingle arrays by id on both sides of
+    * the (id_a, id_b) candidate pairs, keep pairs at/above `threshold`.
+    * One implementation ONLY — the q17 (self-join) and q29 (incremental)
+    * oracles both derive from this exact math. */
+  private def verifyJaccard(pairs: DataFrame, withShA: DataFrame,
+                            withShB: DataFrame, threshold: Double): DataFrame = {
+    val shA = withShA.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val shB = withShB.select(col("id").as("id_b"), col("sh").as("sh_b"))
     pairs
       .join(shA, Seq("id_a"))
       .join(shB, Seq("id_b"))
@@ -191,14 +200,7 @@ object Dedup {
       .where(col("id_a") =!= col("id_b")) // a url can sit in both sides
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    pairs
-      .join(shC.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(shB.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    verifyJaccard(pairs, shC, shB, threshold)
   }
 
   // ---- simhash --------------------------------------------------------

@@ -39,11 +39,17 @@ object Multimodal {
   final class MediaDecoder {
     private val md = java.security.MessageDigest.getInstance("MD5")
 
-    /** 60-bit md5 hash (first 15 hex digits as decimal) — non-negative. */
+    /** 60-bit md5 hash (value of the first 15 hex digits) — non-negative.
+      * Computed numerically: the first 15 hex digits are the top 60 bits
+      * of the first 8 digest bytes, so big-endian-load then >>> 4 (no
+      * per-byte string formatting in the per-payload hot path). */
     private def hash60(payload: Array[Byte]): Long = {
       md.reset()
-      val hex = md.digest(payload).map(b => f"$b%02x").mkString
-      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      val d = md.digest(payload)
+      var v = 0L
+      var i = 0
+      while (i < 8) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+      v >>> 4
     }
 
     def decode(kind: String, payload: Array[Byte]): (MediaMeta, Array[Double]) = {

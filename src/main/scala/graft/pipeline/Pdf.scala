@@ -139,15 +139,46 @@ object Pdf {
     }
   }
 
-  /** objNum → raw object body bytes (between `N 0 obj` and `endobj`). */
+  /** objNum → raw object body bytes (between `N 0 obj` and `endobj`).
+    * Sequential scanner, binary-safe: a stream payload may contain the
+    * bytes `endobj`/`endstream`, so stream objects are skipped by their
+    * /Length dict entry (falling back to an `endstream` scan only when
+    * /Length is absent or out of range) — never by searching the payload. */
   private def scanObjects(pdf: Array[Byte]): Map[Int, Array[Byte]] = {
-    // object headers live in the ASCII skeleton; stream payloads are
-    // located by byte offsets afterwards, so a latin-1 view is lossless
+    // the ASCII skeleton is read through a latin-1 view (lossless)
     val s = new String(pdf, StandardCharsets_ISO)
-    val re = "(?s)(\\d+) 0 obj(.*?)endobj".r
-    re.findAllMatchIn(s).map { m =>
-      m.group(1).toInt -> java.util.Arrays.copyOfRange(pdf, m.start(2), m.end(2))
-    }.toMap
+    val n = s.length
+    val objs = scala.collection.mutable.Map[Int, Array[Byte]]()
+    val head = java.util.regex.Pattern.compile("(\\d+) 0 obj").matcher(s)
+    var from = 0
+    while (from < n && head.find(from)) {
+      val num = head.group(1).toInt
+      val bodyStart = head.end
+      // does a stream keyword open before the next endobj would?
+      val streamAt = s.indexOf("stream", bodyStart)
+      val endobjAt = s.indexOf("endobj", bodyStart)
+      val bodyEnd =
+        if (streamAt >= 0 && (endobjAt < 0 || streamAt < endobjAt)) {
+          // stream object: skip exactly /Length payload bytes
+          val dict = s.substring(bodyStart, streamAt)
+          var payloadStart = streamAt + "stream".length
+          if (payloadStart < n && s.charAt(payloadStart) == '\r') payloadStart += 1
+          if (payloadStart < n && s.charAt(payloadStart) == '\n') payloadStart += 1
+          val len = "/Length (\\d+)".r.findFirstMatchIn(dict).map(_.group(1).toLong)
+          val afterPayload = len match {
+            case Some(l) if payloadStart + l <= n => payloadStart + l.toInt
+            case _ => // degraded: no usable /Length — scan for endstream
+              val e = s.indexOf("endstream", payloadStart)
+              if (e >= 0) e else n
+          }
+          val e = s.indexOf("endobj", afterPayload)
+          if (e >= 0) e else n
+        } else if (endobjAt >= 0) endobjAt
+        else n
+      objs(num) = java.util.Arrays.copyOfRange(pdf, bodyStart, bodyEnd)
+      from = math.min(n, bodyEnd + "endobj".length)
+    }
+    objs.toMap
   }
 
   private val StandardCharsets_ISO = java.nio.charset.StandardCharsets.ISO_8859_1
@@ -159,7 +190,9 @@ object Pdf {
     if (i >= 0) s.substring(0, i) else s
   }
 
-  /** Raw (decoded) stream payload of a stream object. */
+  /** Raw (decoded) stream payload of a stream object: exactly /Length
+    * bytes after the `stream` keyword EOL (binary-safe — the payload may
+    * contain `endstream`); endstream-scan only as the degraded path. */
   private def streamBytes(body: Array[Byte]): Array[Byte] = {
     val s = new String(body, StandardCharsets_ISO)
     val kw = s.indexOf("stream")
@@ -167,13 +200,22 @@ object Pdf {
     var start = kw + "stream".length
     if (start < body.length && body(start) == '\r') start += 1
     if (start < body.length && body(start) == '\n') start += 1
-    val end = s.lastIndexOf("endstream")
-    var stop = if (end > start) end else body.length
-    // strip the EOL the writer put before `endstream`
-    if (stop > start && body(stop - 1) == '\n') stop -= 1
-    if (stop > start && body(stop - 1) == '\r') stop -= 1
+    val len = "/Length (\\d+)".r.findFirstMatchIn(s.substring(0, kw))
+      .map(_.group(1).toLong)
+    val stop = len match {
+      case Some(l) if start + l <= body.length => start + l.toInt
+      case _ =>
+        val end = s.indexOf("endstream", start)
+        var e = if (end > start) end else body.length
+        // strip the EOL the writer put before `endstream`
+        if (e > start && body(e - 1) == '\n') e -= 1
+        if (e > start && body(e - 1) == '\r') e -= 1
+        e
+    }
     val raw = java.util.Arrays.copyOfRange(body, start, stop)
-    if (dictOf(body).contains("/FlateDecode")) inflate(raw) else raw
+    if (dictOf(body).contains("/FlateDecode"))
+      try inflate(raw) catch { case _: Exception => Array.emptyByteArray }
+    else raw
   }
 
   /** Text from a content stream: strings emitted by Tj/TJ accumulate on

@@ -75,14 +75,18 @@ object Warc {
   // ---- reader ----------------------------------------------------------
 
   private def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
-    // GZIPInputStream reads concatenated members transparently
+    // GZIPInputStream reads concatenated members transparently; close()
+    // releases the native Inflater eagerly (long-lived executors ingest
+    // ~10^5 files — finalizer-time release is not acceptable)
     val in = new java.util.zip.GZIPInputStream(
       new java.io.ByteArrayInputStream(bytes), 1 << 16)
-    val out = new java.io.ByteArrayOutputStream(bytes.length * 4 + 64)
-    val buf = new Array[Byte](1 << 16)
-    var n = in.read(buf)
-    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    out.toByteArray
+    try {
+      val out = new java.io.ByteArrayOutputStream(bytes.length * 4 + 64)
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
   }
 
   /** All records in a WARC byte blob (plain or per-record gzip). */
@@ -155,9 +159,15 @@ object Warc {
     var i = 0
     val n = payload.length
     var bodyStart = n
-    while (i + 3 < n && bodyStart == n) {
-      if (payload(i) == '\r' && payload(i + 1) == '\n' &&
+    // header/body boundary: CRLFCRLF per spec, but tolerate bare-LF
+    // blank lines (misbehaving servers are routine in a crawl)
+    while (i < n && bodyStart == n) {
+      if (i + 3 < n && payload(i) == '\r' && payload(i + 1) == '\n' &&
         payload(i + 2) == '\r' && payload(i + 3) == '\n') bodyStart = i + 4
+      else if (i + 1 < n && payload(i) == '\n' && payload(i + 1) == '\n')
+        bodyStart = i + 2
+      else if (i + 2 < n && payload(i) == '\n' && payload(i + 1) == '\r' &&
+        payload(i + 2) == '\n') bodyStart = i + 3
       i += 1
     }
     val statusLineEnd = {

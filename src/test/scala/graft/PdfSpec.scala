@@ -57,6 +57,19 @@ class PdfSpec extends AnyFunSuite {
     assert(Pdf.extract(pdf) == Seq("second", "first"))
   }
 
+  test("stream payloads containing 'endobj'/'endstream' bytes do not " +
+    "truncate object scanning (/Length is authoritative)") {
+    val content = "BT (endobj endstream inside a string) Tj ET"
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n" +
+      "5 0 obj << /Type /Font >> endobj\n" + // object AFTER the tricky stream
+      "trailer << /Size 6 /Root 1 0 R >>\n%%EOF\n").getBytes(UTF_8)
+    assert(Pdf.extract(pdf) == Seq("endobj endstream inside a string"))
+  }
+
   test("garbage and truncated inputs do not throw") {
     assert(Pdf.extract("not a pdf at all".getBytes(UTF_8)).isEmpty)
     assert(Pdf.extract(Array.emptyByteArray).isEmpty)
