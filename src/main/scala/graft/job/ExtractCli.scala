@@ -17,7 +17,7 @@ import java.nio.file.{Files, Paths}
  * prints the wrapping NULL_DOCUMENT shell.
  *
  * Usage: runMain graft.job.ExtractCli
- *          [--text|--meta|--full-html] [--fragment] <file.html|url> [url]
+ *          [--text|--meta|--full-html|--warc] [--fragment] <file|url> [url]
  */
 object ExtractCli {
 
@@ -44,7 +44,7 @@ object ExtractCli {
           fetch: String => Array[Byte] = defaultFetch): String = {
     val (flags, rest) = args.partition(_.startsWith("--"))
     require(rest.nonEmpty,
-      "usage: ExtractCli [--text|--meta|--full-html] [--fragment] <file.html|url> [url]")
+      "usage: ExtractCli [--text|--meta|--full-html|--warc] [--fragment] <file|url> [url]")
 
     // client.py:57-59 — bare www hosts get a scheme
     val resource0 = rest(0)
@@ -57,7 +57,17 @@ object ExtractCli {
       else (Files.readAllBytes(Paths.get(resource)),
         if (rest.length > 1) rest(1) else null)
 
-    if (flags.contains("--meta")) {
+    if (flags.contains("--warc")) {
+      // batch-debug mode: extract every response record of a WARC file
+      // (plain or per-record gzip) and print one summary line per page
+      graft.sources.Warc.parseAll(bytes)
+        .filter(r => r.recordType == "response" && r.httpStatus / 100 == 2)
+        .map { r =>
+          val ex = Extractor.extract(Page(r.url, new java.sql.Timestamp(0L),
+            r.body, "", ""))
+          s"${ex.status}\t${ex.paragraphs.length}\t${ex.metrics.bytes_in}/${ex.metrics.bytes_out}\t${ex.url}\t${ex.title}"
+        }.mkString("\n")
+    } else if (flags.contains("--meta")) {
       val page = Page(
         if (url == null) s"file://$resource" else url,
         new java.sql.Timestamp(0L), bytes, "", "")

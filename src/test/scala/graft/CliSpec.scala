@@ -63,4 +63,22 @@ class CliSpec extends AnyFunSuite {
     assert(out.contains("url:        http://ex.org/x"))
     java.nio.file.Files.delete(p)
   }
+
+  test("--warc extracts every response record, one summary line each") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val p = java.nio.file.Files.createTempFile("cli", ".warc.gz")
+    java.nio.file.Files.write(p, graft.sources.Warc.writeWarc(Seq(
+      ("http://w.example/a", "2026-01-01T00:00:00Z",
+        Fixtures.snippetBytes("h1_and_2_paragraphs.html")),
+      ("http://w.example/b", "2026-01-01T00:01:00Z",
+        "<html><head><title>B</title></head><body><p>short</p></body></html>".getBytes(UTF_8))),
+      gzipPerRecord = true))
+    val out = ExtractCli.run(Array("--warc", p.toString))
+    val lines = out.split("\n")
+    assert(lines.length == 2, out)
+    assert(lines.forall(_.startsWith("ok\t")), out)
+    assert(lines(0).contains("http://w.example/a"))
+    assert(lines(1).contains("http://w.example/b") && lines(1).contains("B"))
+    java.nio.file.Files.delete(p)
+  }
 }
