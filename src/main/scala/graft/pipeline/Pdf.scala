@@ -115,17 +115,23 @@ object Pdf {
   def extract(pdf: Array[Byte]): Seq[String] = {
     val objs = scanObjects(pdf)
     val pagesObj = objs.values.find(o => dictOf(o).contains("/Type /Pages"))
-    val pageRefs: Seq[Int] = pagesObj match {
-      case Some(body) =>
-        val d = dictOf(body)
-        val kids = d.substring(d.indexOf("/Kids"))
-        "(\\d+) 0 R".r.findAllMatchIn(kids.substring(0, kids.indexOf(']') + 1))
-          .map(_.group(1).toInt).toSeq
-      case None => // degraded file: every /Type /Page object, in order
-        objs.toSeq.sortBy(_._1).collect {
-          case (num, body) if dictOf(body).contains("/Type /Page") &&
-            !dictOf(body).contains("/Type /Pages") => num
-        }
+    val kidRefs: Option[Seq[Int]] = pagesObj.flatMap { body =>
+      val d = dictOf(body)
+      val ki = d.indexOf("/Kids")
+      if (ki < 0) None
+      else {
+        val kids = d.substring(ki)
+        val end = kids.indexOf(']')
+        val scope = if (end >= 0) kids.substring(0, end + 1) else kids
+        Some("(\\d+) 0 R".r.findAllMatchIn(scope).map(_.group(1).toInt).toSeq)
+      }
+    }
+    val pageRefs: Seq[Int] = kidRefs.getOrElse {
+      // degraded file: every /Type /Page object, in object order
+      objs.toSeq.sortBy(_._1).collect {
+        case (num, body) if dictOf(body).contains("/Type /Page") &&
+          !dictOf(body).contains("/Type /Pages") => num
+      }
     }
     pageRefs.flatMap { ref =>
       objs.get(ref).map { page =>

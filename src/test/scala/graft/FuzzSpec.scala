@@ -65,4 +65,39 @@ class FuzzSpec extends AnyFunSuite {
     val b = pages.map(Extractor.extract).map(e => (e.url, e.extracted_text, e.status))
     assert(a == b)
   }
+
+  test("PDF parser: total over mutated and random bytes") {
+    val seedPdf = graft.pipeline.Pdf.synthesize(Seq("page one text", "page two\nwith lines"))
+    (1 to 200).foreach { i =>
+      val mutated = seedPdf.clone()
+      // flip a handful of bytes anywhere (headers, dicts, flate payload)
+      (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      }
+      try graft.pipeline.Pdf.extract(mutated)
+      catch { case e: Throwable => fail(s"pdf fuzz $i threw ${e.getClass}") }
+      try graft.pipeline.Pdf.extract(mutated.take(rnd.nextInt(mutated.length)))
+      catch { case e: Throwable => fail(s"pdf truncation $i threw ${e.getClass}") }
+    }
+    val junk = new Array[Byte](4096); rnd.nextBytes(junk)
+    graft.pipeline.Pdf.extract(junk) // must not throw
+  }
+
+  test("WARC parser: total over mutated and random bytes") {
+    val seed = graft.sources.Warc.writeWarc(Seq(
+      ("http://f.example/1", "2026-01-01T00:00:00Z", "<html><p>x</p></html>".getBytes("UTF-8"))),
+      gzipPerRecord = true)
+    (1 to 200).foreach { i =>
+      val mutated = seed.clone()
+      (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      }
+      try graft.sources.Warc.parseAll(mutated)
+      catch { case e: Throwable => fail(s"warc fuzz $i threw ${e.getClass}") }
+      try graft.sources.Warc.parseAll(mutated.take(rnd.nextInt(mutated.length)))
+      catch { case e: Throwable => fail(s"warc truncation $i threw ${e.getClass}") }
+    }
+    val junk = new Array[Byte](4096); rnd.nextBytes(junk)
+    graft.sources.Warc.parseAll(junk) // must not throw
+  }
 }
