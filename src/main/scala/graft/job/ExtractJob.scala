@@ -24,7 +24,7 @@ import graft.extract.{Extracted, Extractor, Page}
  * collected via an accumulator (no second pass over the data) and written
  * to `<out>/_lineage`.
  *
- * Usage: ExtractJob <pagesDir> <outDir> [--resume] [--partitions N]
+ * Usage: ExtractJob <pagesDir|warcGlob> <outDir> [--resume] [--warc] [--partitions N]
  */
 object ExtractJob {
 
@@ -49,17 +49,23 @@ object ExtractJob {
     spark.sparkContext.setLogLevel("WARN")
 
     val resume = args.contains("--resume")
-    val n = run(spark, pagesDir, outDir, partitions, resume)
+    val n = run(spark, pagesDir, outDir, partitions, resume,
+      warcInput = args.contains("--warc"))
     println(s"""{"extracted_rows":$n,"out":"$outDir"}""")
     spark.stop()
   }
 
   def run(spark: SparkSession, pagesDir: String, outDir: String,
-          partitions: Int, resume: Boolean): Long = {
+          partitions: Int, resume: Boolean,
+          warcInput: Boolean = false): Long = {
     import spark.implicits._
 
-    var input: DataFrame = spark.read.parquet(pagesDir)
-      .select(PageTableIO.ExtractColumns.map(col): _*)
+    // --warc: ingest straight from a crawl drop (WARC files) instead of
+    // the curated parquet pages table — same job from there on
+    var input: DataFrame =
+      if (warcInput) graft.sources.Warc.read(spark, pagesDir)
+      else spark.read.parquet(pagesDir)
+        .select(PageTableIO.ExtractColumns.map(col): _*)
 
     var priorOutput = false
     if (resume) {

@@ -50,6 +50,31 @@ class ExtractJobSpec extends AnyFunSuite {
     assert(lineage.agg(sum(col("rows"))).head.getLong(0) == 20L)
   }
 
+  test("--warc input: the production job ingests a crawl drop directly, " +
+    "resume picks up only new WARC files' urls") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val tmp = java.nio.file.Files.createTempDirectory("extractjobwarc").toString
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$tmp/drop"))
+    def drop(name: String, ids: Seq[Long]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/drop/$name"),
+        graft.sources.Warc.writeWarc(ids.map { i =>
+          val html = page(i).html
+          (s"test://doc/$i", java.time.Instant.ofEpochMilli(
+            1767225600000L + i * 3600L * 1000).toString, html)
+        }, gzipPerRecord = true))
+    drop("a.warc.gz", 0L until 8L)
+    val n1 = ExtractJob.run(spark, s"$tmp/drop/*.warc.gz", s"$tmp/out",
+      partitions = 4, resume = false, warcInput = true)
+    assert(n1 == 8L)
+    drop("b.warc.gz", 8L until 12L)
+    val n2 = ExtractJob.run(spark, s"$tmp/drop/*.warc.gz", s"$tmp/out",
+      partitions = 4, resume = true, warcInput = true)
+    assert(n2 == 4L, s"resume over the drop dir should extract only the 4 new urls, got $n2")
+    val out = spark.read.parquet(s"$tmp/out/extracted")
+    assert(out.count() == 12L)
+    assert(out.where(col("status") === "ok").count() == 12L)
+  }
+
   test("resume: appends only the missing urls (exactly-once per url)") {
     val tmp = java.nio.file.Files.createTempDirectory("extractjob").toString
     writePages(s"$tmp/pages", 0L until 10L)
