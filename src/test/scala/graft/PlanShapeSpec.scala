@@ -73,6 +73,17 @@ class PlanShapeSpec extends AnyFunSuite {
       "kernels not inside a WholeStageCodegen span:\n" + p19.take(1500))
   }
 
+  test("q30 stratified quota runs as WindowGroupLimit (partial top-n " +
+    "before the stratum shuffle) and bernoulli stays a pure pushed filter") {
+    val p = plan(SparkEntry.queries("q30_stratified_sample")(spark, sf))
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+    // the bernoulli pre-filter must be a Filter, not an exchange/agg
+    val q = plan(graft.pipeline.Sampling.bernoulli(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", 0.5))
+    assert(!q.contains("Exchange"), q.take(2000))
+    assert(q.contains("Filter"), q.take(2000))
+  }
+
   test("brute knn broadcasts the query side (corpus never shuffles)") {
     val p = plan(SparkEntry.queries("q20_knn_brute")(spark, "/root/testdata/sf0.001"))
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p.take(2000))
