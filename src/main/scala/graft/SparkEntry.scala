@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.extract.{Extractor, Page}
-import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextOps}
+import graft.pipeline.{AsOf, Dedup, Multimodal, Sampling, Similarity, TextOps}
 
 /**
  * Driver contract (SURVEY.md §7): `entry` = flagship extraction over a
@@ -496,6 +496,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q33_vocab_topk" -> ((s, dir) => {
+      // corpus-level vocabulary analysis (stopword/df profiling before
+      // filtering): distinct-token document frequency, top 20
+      docs(s, dir)
+        .select(explode(array_distinct(Dedup.tokens(col("text")))).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("tok").asc)
+        .limit(20)
+    }),
+
+    "q34_asof_join" -> ((s, dir) => {
+      // backward as-of join: each event picks up its user's latest hourly
+      // snapshot at or before the event time (feature-store lookup shape)
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val snapshots = ev
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("snap_ts"))
+        .agg(min(col("event_id")).as("marker"),
+          round(sum(col("value")), 4).as("hour_value"))
+      AsOf.joinBackward(
+        ev.select(col("event_id"), col("user_id"), col("ts")),
+        snapshots, key = "user_id", leftTs = "ts", rightTs = "snap_ts",
+        payload = Seq("marker", "hour_value"))
+        .select(col("event_id"), col("user_id"), col("marker"), col("hour_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- multimodal plumbing -------------------------------------------
     "q23_multimodal_features" -> ((s, dir) => {
       import s.implicits._
@@ -900,6 +927,25 @@ object SparkEntry {
         |  FROM scored)
         |SELECT qid, rank, id, cos FROM ranked WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
+
+    "q33_vocab_topk" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS tok
+        |  FROM documents)
+        |SELECT tok, count(*) AS df FROM toks GROUP BY tok
+        |ORDER BY df DESC, tok ASC LIMIT 20""".stripMargin,
+
+    // DuckDB's native ASOF JOIN is the oracle for our composed
+    // union+window implementation
+    "q34_asof_join" ->
+      """WITH snap AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS snap_ts,
+        |         min(event_id) AS marker, round(sum(value), 4) AS hour_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, s.marker, s.hour_value
+        |FROM events e ASOF LEFT JOIN snap s
+        |  ON e.user_id = s.user_id AND e.ts >= s.snap_ts
+        |ORDER BY e.event_id""".stripMargin,
 
     // WARC ingest lands on the same extraction output as q22
     "q32_warc_extract" ->

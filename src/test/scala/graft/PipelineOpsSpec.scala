@@ -263,6 +263,32 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select("doc_id").collect().toSet == q.select("doc_id").collect().toSet)
   }
 
+  test("as-of join: latest right row at or before each left ts, per key; " +
+    "no right row yet -> null payload") {
+    import spark.implicits._
+    import graft.pipeline.AsOf
+    def ts(m: Int) = new java.sql.Timestamp(1767225600000L + m * 60000L)
+    val left = Seq(
+      (1L, 10L, ts(0)),   // before any snapshot for key 10
+      (2L, 10L, ts(5)),   // exactly at snapshot ts(5) — tie includes it
+      (3L, 10L, ts(7)),   // between ts(5) and ts(9)
+      (4L, 10L, ts(30)),  // after the last snapshot
+      (5L, 20L, ts(7))    // other key
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts(5), "a"), (10L, ts(9), "b"), (20L, ts(3), "z")
+    ).toDF("user_id", "snap_ts", "tag")
+    val out = AsOf.joinBackward(left, right, "user_id", "ts", "snap_ts", Seq("tag"))
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[String]("tag"))).toMap
+    assert(out(1L).isEmpty)        // nothing at or before
+    assert(out(2L).contains("a"))  // equal ts counts as "at or before"
+    assert(out(3L).contains("a"))
+    assert(out(4L).contains("b"))  // latest, not first
+    assert(out(5L).contains("z"))
+    // row count preserved: one output per left row
+    assert(AsOf.joinBackward(left, right, "user_id", "ts", "snap_ts", Seq("tag")).count() == 5)
+  }
+
   test("multimodal plumbing: schema, deterministic stub features, nulls") {
     import spark.implicits._
     val media = Seq(
