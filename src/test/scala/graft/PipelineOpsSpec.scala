@@ -289,6 +289,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(AsOf.joinBackward(left, right, "user_id", "ts", "snap_ts", Seq("tag")).count() == 5)
   }
 
+  test("as-of join property: agrees with a brute-force per-row reference " +
+    "on seeded random data") {
+    import spark.implicits._
+    import graft.pipeline.AsOf
+    val rnd = new scala.util.Random(7)
+    def ts(m: Int) = new java.sql.Timestamp(1767225600000L + m * 1000L)
+    val left = (0 until 300).map(i => (i.toLong, rnd.nextInt(8).toLong, ts(rnd.nextInt(500))))
+    // unique (key, ts) on the right, as the operator contract requires
+    val right = rnd.shuffle((0 until 8).flatMap(k =>
+      rnd.shuffle((0 until 500).toList).take(25).map(m => (k.toLong, ts(m), s"v$k-$m"))))
+    val got = AsOf.joinBackward(
+      left.toDF("event_id", "user_id", "ts"),
+      right.toDF("user_id", "snap_ts", "tag"),
+      "user_id", "ts", "snap_ts", Seq("tag"))
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[String]("tag"))).toMap
+    val byKey = right.groupBy(_._1)
+    left.foreach { case (id, k, t) =>
+      val expect = byKey.getOrElse(k, Nil)
+        .filter(!_._2.after(t))
+        .sortBy(_._2.getTime)
+        .lastOption.map(_._3)
+      assert(got(id) == expect, s"event $id key $k ts $t: got ${got(id)}, want $expect")
+    }
+  }
+
   test("multimodal plumbing: schema, deterministic stub features, nulls") {
     import spark.implicits._
     val media = Seq(
