@@ -310,9 +310,11 @@ object SparkEntry {
         .select(col("doc_id").as("id"),
           transform(Dedup.tokens(col("text")), t => Dedup.md5Hash60(t)).as("hs"))
         .select(col("id"), Dedup.simhashFromHashes(col("hs")).as("sig"))
-      // default maxBucket (1000) is inert at gate scale (≤500 docs here),
-      // so the uncapped DuckDB oracle still matches exactly
-      Dedup.simhashPairsFromSigs(withSig, maxDist = 16)
+      // maxBucket = 0 EXPLICITLY: the DuckDB oracle is uncapped, so byte
+      // parity must not depend on corpus size (the production default of
+      // 1000 would silently drop over-full blocking buckets at larger
+      // scale factors and break the gate by accident, not by choice)
+      Dedup.simhashPairsFromSigs(withSig, maxDist = 16, maxBucket = 0)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -431,17 +433,30 @@ object SparkEntry {
       // binaryFile scan → WARC record parse → pages table → extraction.
       // Oracle is the q22 shape: any ingest defect breaks the hash.
       import s.implicits._
-      // a FIXED staging dir (reused + cleaned per invocation, no leak per
-      // bench repetition), written through the Hadoop FileSystem API so
-      // on a real cluster the same code lands on the shared FS (here:
-      // file:/ under java.io.tmpdir); executors and driver must agree on
-      // the FS, exactly as any Spark output path requires
+      // staging dir unique per Spark session (applicationId) so parallel
+      // JVMs on the same dataset (tools/run_graft.sh, interleaved bench)
+      // never race delete-against-read; cleaned on entry, so repeated
+      // invocations within one session reuse the path without leaking.
+      // Written through the Hadoop FileSystem API with the SESSION's
+      // hadoopConfiguration broadcast to executors (spark.hadoop.* and
+      // credentials apply), so on a real cluster the staging path can be
+      // any shared FS the session is configured for (here: file:/ under
+      // java.io.tmpdir — fine at local[*] where executors share the node)
       val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q32_warc_" +
-        Integer.toHexString(dir.hashCode)
+        Integer.toHexString(dir.hashCode) + "_" + s.sparkContext.applicationId
       val tmpPath = new org.apache.hadoop.fs.Path(tmp)
       val fs = tmpPath.getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(tmpPath, true)
       fs.mkdirs(tmpPath)
+      // Configuration isn't Serializable and Spark's SerializableConfiguration
+      // wrapper is private[spark] — broadcast the entries and rebuild
+      val confEntries: Seq[(String, String)] = {
+        val it = s.sparkContext.hadoopConfiguration.iterator()
+        val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
+        while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+        buf.toSeq
+      }
+      val bcConf = s.sparkContext.broadcast(confEntries)
       docs(s, dir).select(col("doc_id"), col("text"))
         .repartition(8, col("doc_id"))
         .as[(Long, String)]
@@ -454,13 +469,21 @@ object SparkEntry {
           if (recs.nonEmpty) {
             val pid = org.apache.spark.TaskContext.getPartitionId()
             val part = new org.apache.hadoop.fs.Path(tmp, f"part-$pid%05d.warc.gz")
-            val pfs = part.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            val conf = new org.apache.hadoop.conf.Configuration(false)
+            bcConf.value.foreach { case (k, v) => conf.set(k, v) }
+            val pfs = part.getFileSystem(conf)
             val os = pfs.create(part, true)
             try os.write(graft.sources.Warc.writeWarc(recs, gzipPerRecord = true))
             finally os.close()
           }
         }
-      graft.sources.Warc.read(s, s"$tmp/*.warc.gz")
+      // resolve concrete file paths via the FileSystem API instead of
+      // handing `load` a raw glob: FileStreamSink.hasMetadata probes the
+      // literal path and logs a crash-shaped FileNotFoundException stack
+      // for globs (benign but it polluted BENCH_r03's captured tail)
+      val warcFiles = fs.listStatus(tmpPath).toSeq
+        .map(_.getPath.toString).filter(_.endsWith(".warc.gz")).sorted
+      graft.sources.Warc.read(s, warcFiles)
         .select(col("url"), col("warc_ts"), col("html"),
           col("text"), col("lang"))
         .as[Page]

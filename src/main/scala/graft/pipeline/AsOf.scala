@@ -10,8 +10,13 @@ import org.apache.spark.sql.expressions.Window
  * the same key; the shape every feature-store / model-version lookup
  * needs). Composed from existing operators (the preferred path before a
  * custom plan node): tag both sides, `unionByName` them, one window pass
- * per key ordered by (ts, side) carrying the last non-null right payload
- * forward, keep left rows.
+ * per key ordered by (ts, side) carrying the latest right snapshot
+ * forward, keep left rows. The carry is ONE `last(ignoreNulls)` over a
+ * struct of all payload columns built only on right rows — the latest
+ * matched right row wins ATOMICALLY, so a right row whose payload
+ * columns are legitimately NULL still wins (filling each column
+ * independently would let later left rows inherit stale values from an
+ * older snapshot, or tear a row across two snapshots).
  *
  * Scale shape: ONE shuffle on the key + an in-partition sort — exactly
  * the sort-merge layout a native as-of join would use; no row explosion,
@@ -41,9 +46,12 @@ object AsOf {
     val w = Window.partitionBy(col(key))
       .orderBy(col("__ts").asc, col("__is_l").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(u) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.where(col("__is_l") === 1).drop("__ts", "__is_l")
+    // non-null exactly on right rows (left rows contribute null), so the
+    // single last(ignoreNulls) picks the whole latest snapshot at once
+    val snap = when(col("__is_l") === 0, struct(payload.map(col): _*))
+    val filled = u.withColumn("__snap", last(snap, ignoreNulls = true).over(w))
+    payload.foldLeft(filled.where(col("__is_l") === 1)) { (df, c) =>
+      df.withColumn(c, col("__snap").getField(c))
+    }.drop("__ts", "__is_l", "__snap")
   }
 }

@@ -206,6 +206,19 @@ object Warc {
         .select(col("content")).as[Array[Byte]])
   }
 
+  /** Same, over an explicit file list (no glob: callers that already hold
+    * concrete paths avoid the FileStreamSink metadata probe logging a
+    * crash-shaped FileNotFoundException for glob patterns). */
+  def read(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    import spark.implicits._
+    if (paths.isEmpty)
+      spark.emptyDataset[(String, java.sql.Timestamp, Array[Byte], String, String)]
+        .toDF("url", "warc_ts", "html", "text", "lang")
+    else toPages(spark,
+      spark.read.format("binaryFile").load(paths: _*)
+        .select(col("content")).as[Array[Byte]])
+  }
+
   /** Streaming variant: a WARC drop directory as a continuous source —
     * new files become micro-batches (bounded by maxFilesPerTrigger), and
     * the checkpointed file-source log gives exactly-once per file, which

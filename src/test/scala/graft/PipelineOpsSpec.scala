@@ -290,15 +290,19 @@ class PipelineOpsSpec extends AnyFunSuite {
   }
 
   test("as-of join property: agrees with a brute-force per-row reference " +
-    "on seeded random data") {
+    "on seeded random data (including null right payloads)") {
     import spark.implicits._
     import graft.pipeline.AsOf
     val rnd = new scala.util.Random(7)
     def ts(m: Int) = new java.sql.Timestamp(1767225600000L + m * 1000L)
     val left = (0 until 300).map(i => (i.toLong, rnd.nextInt(8).toLong, ts(rnd.nextInt(500))))
-    // unique (key, ts) on the right, as the operator contract requires
+    // unique (key, ts) on the right, as the operator contract requires;
+    // ~1 in 5 payloads is legitimately NULL — a matched null must WIN
+    // (not be skipped in favor of an older snapshot's value)
     val right = rnd.shuffle((0 until 8).flatMap(k =>
-      rnd.shuffle((0 until 500).toList).take(25).map(m => (k.toLong, ts(m), s"v$k-$m"))))
+      rnd.shuffle((0 until 500).toList).take(25).map { m =>
+        (k.toLong, ts(m), if (rnd.nextInt(5) == 0) null else s"v$k-$m")
+      }))
     val got = AsOf.joinBackward(
       left.toDF("event_id", "user_id", "ts"),
       right.toDF("user_id", "snap_ts", "tag"),
@@ -306,12 +310,37 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> Option(r.getAs[String]("tag"))).toMap
     val byKey = right.groupBy(_._1)
     left.foreach { case (id, k, t) =>
+      // latest matched row's value, null payload included (flatMap folds
+      // "matched a null" and "no match" to None — both mean null output)
       val expect = byKey.getOrElse(k, Nil)
         .filter(!_._2.after(t))
         .sortBy(_._2.getTime)
-        .lastOption.map(_._3)
+        .lastOption.flatMap(v => Option(v._3))
       assert(got(id) == expect, s"event $id key $k ts $t: got ${got(id)}, want $expect")
     }
+  }
+
+  test("as-of join: a right row with null payload columns wins atomically " +
+    "(no stale per-column inheritance from an older snapshot)") {
+    import graft.pipeline.AsOf
+    import org.apache.spark.sql.types._
+    def ts(m: Int) = new java.sql.Timestamp(1767225600000L + m * 60000L)
+    val left = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, 10L, ts(12)), Row(2L, 10L, ts(6))),
+      StructType(Seq(StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("ts", TimestampType))))
+    // snapshot at ts(5) has (a=Some, b=1); the NEWER snapshot at ts(9)
+    // has a=null, b=2 — an event at ts(12) must see (null, 2), not a torn
+    // ("a", 2) mixing two snapshots
+    val right = spark.createDataFrame(
+      java.util.Arrays.asList(Row(10L, ts(5), "a", 1L), Row(10L, ts(9), null, 2L)),
+      StructType(Seq(StructField("user_id", LongType), StructField("snap_ts", TimestampType),
+        StructField("tag", StringType), StructField("aux", LongType))))
+    val out = AsOf.joinBackward(left, right, "user_id", "ts", "snap_ts", Seq("tag", "aux"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getAs[String]("tag")), r.getAs[Long]("aux")))).toMap
+    assert(out(1L) == ((None, 2L)), s"torn/stale row: ${out(1L)}")
+    assert(out(2L) == ((Some("a"), 1L)))
   }
 
   test("multimodal plumbing: schema, deterministic stub features, nulls") {
