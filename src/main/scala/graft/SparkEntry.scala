@@ -450,13 +450,8 @@ object SparkEntry {
       fs.mkdirs(tmpPath)
       // Configuration isn't Serializable and Spark's SerializableConfiguration
       // wrapper is private[spark] — broadcast the entries and rebuild
-      val confEntries: Seq[(String, String)] = {
-        val it = s.sparkContext.hadoopConfiguration.iterator()
-        val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
-        while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
-        buf.toSeq
-      }
-      val bcConf = s.sparkContext.broadcast(confEntries)
+      val bcConf = s.sparkContext.broadcast(
+        graft.sources.Warc.confEntries(s.sparkContext.hadoopConfiguration))
       docs(s, dir).select(col("doc_id"), col("text"))
         .repartition(8, col("doc_id"))
         .as[(Long, String)]
@@ -469,9 +464,8 @@ object SparkEntry {
           if (recs.nonEmpty) {
             val pid = org.apache.spark.TaskContext.getPartitionId()
             val part = new org.apache.hadoop.fs.Path(tmp, f"part-$pid%05d.warc.gz")
-            val conf = new org.apache.hadoop.conf.Configuration(false)
-            bcConf.value.foreach { case (k, v) => conf.set(k, v) }
-            val pfs = part.getFileSystem(conf)
+            val pfs = part.getFileSystem(
+              graft.sources.Warc.confFromEntries(bcConf.value))
             val os = pfs.create(part, true)
             try os.write(graft.sources.Warc.writeWarc(recs, gzipPerRecord = true))
             finally os.close()

@@ -22,9 +22,15 @@ import org.apache.spark.sql.functions._
  * ships ~10^5 ~1 GB files per snapshot, far more files than executor
  * slots, so per-file granularity saturates a cluster). `read` uses the
  *`binaryFile` source — each file is one task; the record scan is a
- * single forward pass (no random access needed). A production variant
- * would add the CC CDX offset index for sub-file splits; the per-record
- * gzip members make any byte offset a valid split point.
+ * single forward pass (no random access needed).
+ *
+ * When files do NOT dominate slots (a handful of 1 GB files on a wide
+ * cluster, or a straggling giant file), `readWithSplits` reads SUB-FILE
+ * splits: per-record-gzip members make every member offset a valid
+ * split point, so pass 1 builds a member-offset index per file (the
+ * role Common Crawl's published CDX offset index plays when available)
+ * and pass 2 reads each member-aligned ~targetSplitBytes range as its
+ * own task. Output is row-identical to `read` (pinned in WarcSpec).
  */
 object Warc {
 
@@ -217,6 +223,124 @@ object Warc {
     else toPages(spark,
       spark.read.format("binaryFile").load(paths: _*)
         .select(col("content")).as[Array[Byte]])
+  }
+
+  // ---- sub-file splits (CDX-style member-offset index) ------------------
+
+  /** Gzip member boundary offsets in a per-record-gzip blob, one forward
+    * pass: each member's deflate stream is inflated-and-discarded to find
+    * where it ends (RFC 1952 trailer = 8 bytes after the deflate data).
+    * Common Crawl's CDX index ships these offsets precomputed; this
+    * builds the same index when none is available. Empty for non-gzip
+    * input; a malformed tail ends the scan (same skip-never-throw policy
+    * as parseAll). */
+  def memberOffsets(bytes: Array[Byte]): Seq[Long] = {
+    val offs = scala.collection.mutable.ArrayBuffer[Long]()
+    val n = bytes.length
+    var i = 0
+    try {
+      while (i + 1 < n && (bytes(i) & 0xFF) == 0x1F && (bytes(i + 1) & 0xFF) == 0x8B) {
+        offs += i.toLong
+        val dataStart = gzipHeaderEnd(bytes, i)
+        val inf = new java.util.zip.Inflater(true) // nowrap: raw deflate
+        try {
+          inf.setInput(bytes, dataStart, n - dataStart)
+          val buf = new Array[Byte](1 << 16)
+          var stuck = false
+          while (!inf.finished() && !stuck)
+            if (inf.inflate(buf) == 0 && (inf.needsInput() || inf.needsDictionary()))
+              stuck = true // truncated member
+          if (stuck) i = n
+          else i = dataStart + ((n - dataStart) - inf.getRemaining) + 8 // +CRC32+ISIZE
+        } finally inf.end()
+      }
+    } catch { case _: Exception => /* malformed tail: keep offsets so far */ }
+    offs.toSeq
+  }
+
+  /** Index after the RFC 1952 member header starting at `at`:
+    * magic(2) CM(1) FLG(1) MTIME(4) XFL(1) OS(1), then optional
+    * FEXTRA / FNAME / FCOMMENT / FHCRC per the FLG bits. */
+  private def gzipHeaderEnd(b: Array[Byte], at: Int): Int = {
+    val flg = b(at + 3) & 0xFF
+    var i = at + 10
+    if ((flg & 4) != 0) { val xlen = (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8); i += 2 + xlen }
+    if ((flg & 8) != 0) { while (b(i) != 0) i += 1; i += 1 }  // FNAME, NUL-terminated
+    if ((flg & 16) != 0) { while (b(i) != 0) i += 1; i += 1 } // FCOMMENT
+    if ((flg & 2) != 0) i += 2                                 // FHCRC
+    i
+  }
+
+  /** Hadoop Configuration is not Serializable (and Spark's wrapper is
+    * private[spark]) — ship the entries and rebuild on the executor. */
+  def confEntries(conf: org.apache.hadoop.conf.Configuration): Seq[(String, String)] = {
+    val it = conf.iterator()
+    val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+    buf.toSeq
+  }
+
+  def confFromEntries(entries: Seq[(String, String)]): org.apache.hadoop.conf.Configuration = {
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    entries.foreach { case (k, v) => conf.set(k, v) }
+    conf
+  }
+
+  /** Member-aligned split plan: (path, start, end) ranges of roughly
+    * `targetSplitBytes`, one index task per file. Exposed for tests and
+    * for callers that persist the index (query many ingests against one
+    * indexing pass, CDX-style). */
+  def splitRanges(spark: SparkSession, paths: Seq[String],
+                  targetSplitBytes: Long): org.apache.spark.sql.Dataset[(String, Long, Long)] = {
+    import spark.implicits._
+    val bcConf = spark.sparkContext.broadcast(
+      confEntries(spark.sparkContext.hadoopConfiguration))
+    spark.createDataset(paths).flatMap { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(confFromEntries(bcConf.value))
+      val len = fs.getFileStatus(path).getLen
+      // the index pass holds one file in task memory (~1 GB worst case on
+      // CC-sized files); with a precomputed CDX index this pass is skipped
+      val bytes = new Array[Byte](len.toInt)
+      val in = fs.open(path)
+      try in.readFully(0L, bytes) finally in.close()
+      val offs = memberOffsets(bytes)
+      val bounds = (if (offs.isEmpty) Seq(0L) else offs) :+ len
+      val out = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+      var start = bounds.head
+      var i = 1
+      while (i < bounds.length) {
+        if ((bounds(i) - start >= targetSplitBytes || i == bounds.length - 1) &&
+            bounds(i) > start) {
+          out += ((p, start, bounds(i)))
+          start = bounds(i)
+        }
+        i += 1
+      }
+      out.toSeq
+    }
+  }
+
+  /** Parallel read of large per-record-gzip WARC files via member-aligned
+    * sub-file splits (see class doc). Row-identical to `read`; use when
+    * slots ≫ files. */
+  def readWithSplits(spark: SparkSession, paths: Seq[String],
+                     targetSplitBytes: Long = 128L << 20): DataFrame = {
+    import spark.implicits._
+    val bcConf = spark.sparkContext.broadcast(
+      confEntries(spark.sparkContext.hadoopConfiguration))
+    val splits = splitRanges(spark, paths, targetSplitBytes)
+      .repartition(spark.sparkContext.defaultParallelism) // splits = parallel unit
+    toPages(spark, splits.mapPartitions { it =>
+      it.map { case (p, start, end) =>
+        val path = new org.apache.hadoop.fs.Path(p)
+        val fs = path.getFileSystem(confFromEntries(bcConf.value))
+        val buf = new Array[Byte]((end - start).toInt)
+        val in = fs.open(path)
+        try in.readFully(start, buf) finally in.close()
+        buf // every split starts AND ends on a member boundary → parseAll works
+      }
+    })
   }
 
   /** Streaming variant: a WARC drop directory as a continuous source —

@@ -44,6 +44,53 @@ class WarcSpec extends AnyFunSuite {
     assert(parsed.count(_.recordType == "response") >= 1) // prefix records survive
   }
 
+  test("memberOffsets: one offset per gzip member, parseAll from any " +
+    "member offset yields exactly the tail records") {
+    val many = (1 to 40).map(i =>
+      (s"http://m.example/$i", f"2026-01-01T00:${i % 60}%02d:00Z",
+        s"<html><body><p>doc $i body text</p></body></html>".getBytes(UTF_8)))
+    val gz = Warc.writeWarc(many, gzipPerRecord = true)
+    val offs = Warc.memberOffsets(gz)
+    assert(offs.length == 41, s"warcinfo + 40 responses, got ${offs.length}") // one member per record
+    assert(offs.head == 0L)
+    // split at any member boundary: the slice parses to exactly the tail
+    Seq(1, 7, 40).foreach { k =>
+      val slice = java.util.Arrays.copyOfRange(gz, offs(k).toInt, gz.length)
+      val tail = Warc.parseAll(slice).filter(_.recordType == "response")
+      assert(tail.map(_.url) == many.drop(k - 1).map(_._1), s"split at member $k")
+    }
+    // non-gzip input has no members
+    assert(Warc.memberOffsets(Warc.writeWarc(many)).isEmpty)
+    // truncated final member: offsets up to the damage survive
+    assert(Warc.memberOffsets(gz.dropRight(20)).length >= 40)
+  }
+
+  test("readWithSplits: multi-member file processed by >1 task, output " +
+    "row-identical to the single-task read") {
+    import org.apache.spark.sql.functions._
+    val many = (1 to 60).map(i =>
+      (s"http://s.example/$i", f"2026-01-01T00:${i % 60}%02d:00Z",
+        (s"<html><body><p>split doc $i " + ("x" * 500) + "</p></body></html>").getBytes(UTF_8)))
+    val dir = java.nio.file.Files.createTempDirectory("warcsplit")
+    val f = dir.resolve("big.warc.gz")
+    java.nio.file.Files.write(f, Warc.writeWarc(many, gzipPerRecord = true))
+    val whole = Warc.read(spark, Seq(f.toString))
+    val split = Warc.readWithSplits(spark, Seq(f.toString), targetSplitBytes = 2048)
+    // >1 split planned, and >1 distinct task actually read data
+    assert(Warc.splitRanges(spark, Seq(f.toString), 2048).count() > 1)
+    val nTasks = split.withColumn("pid", spark_partition_id())
+      .select("pid").distinct().count()
+    assert(nTasks > 1, s"expected >1 reading task, got $nTasks")
+    // row-identical output (urls, timestamps, html bytes)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("url"), col("warc_ts"), md5(col("html")))
+        .collect().map(_.toSeq).sortBy(_.head.toString).toSeq
+    assert(canon(split) == canon(whole))
+    // splits cover everything exactly once even when the target exceeds
+    // the file size (single split) — degenerate case
+    assert(canon(Warc.readWithSplits(spark, Seq(f.toString))) == canon(whole))
+  }
+
   test("Spark ingest: binaryFile scan → pages table; non-2xx filtered") {
     val dir = java.nio.file.Files.createTempDirectory("warcspec")
     java.nio.file.Files.write(dir.resolve("a.warc.gz"),
