@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -60,44 +60,44 @@ object Similarity {
     bits.reduce((x, y) => x.bitwiseOR(y))
   }
 
+  // ---- persistable IVF index (index once, query many) -------------------
+
   /**
-   * True IVF with a LEARNED coarse quantizer: `nlist` centroids from a few
-   * Lloyd iterations (deterministic init: the nlist lowest-id vectors),
-   * corpus partitioned by nearest-centroid list, queries probe only their
-   * `nprobe` nearest lists. The quantizer is a tiny model (nlist × dim
-   * doubles) — it lives on the driver and broadcasts into the assignment
-   * expressions (nlist codegen'd dot products per row, no UDF, no cross
-   * join). At 10^12 rows the corpus assignment is one pass, the
-   * inverted lists are the shuffle partitioning, and a query touches
-   * ~nprobe/nlist of the data. Exact cosine re-rank on candidates only.
+   * A trained IVF index: the coarse quantizer (`centroids`, a tiny
+   * nlist × dim driver-side model) plus the inverted lists (`lists`,
+   * an (id, cl) DataFrame — ids only; vectors stay in the corpus table
+   * and are re-joined by id at re-rank). This is the artifact a 100 TB
+   * deployment builds ONCE per corpus snapshot and queries many times:
+   * `save` persists both parts (lists parquet is partitioned by `cl`,
+   * so a probe's list scan partition-prunes), `load` restores them
+   * without touching the corpus.
    */
-  def ivfKmeansKnn(corpus: DataFrame, queries: DataFrame,
-                   idCol: String, vecCol: String, qidCol: String,
-                   k: Int = 10, nlist: Int = 16, nprobe: Int = 4,
-                   iters: Int = 3): DataFrame = {
+  final case class IvfIndex(centroids: Array[Array[Double]], lists: DataFrame)
+
+  /** nearest-centroid assignment as codegen'd expressions over a small
+    * centroid table (normalized dot = cosine since centroids are unit) */
+  private def simsCol(v: Column, cents: Array[Array[Double]]): Column =
+    array(cents.map(ct => graft.plans.VectorKernels.dotConst(v, ct.toSeq)): _*)
+  private def assignCol(v: Column, cents: Array[Array[Double]]): Column = {
+    val sims = simsCol(v, cents)
+    // first index of the max similarity (deterministic tie-break)
+    (array_position(sims, array_max(sims)) - 1).cast("int")
+  }
+  private def normalize(vec: Array[Double]): Array[Double] = {
+    val n = math.sqrt(vec.map(x => x * x).sum)
+    if (n == 0) vec else vec.map(_ / n)
+  }
+
+  /** Train the coarse quantizer: deterministic init (the nlist lowest-id
+    * vectors, unit-normalized), then `iters` Lloyd rounds — assign
+    * (distributed, codegen'd) → per-(list, dim) mean → re-normalized
+    * centroids (tiny nlist × dim driver-side update, never the corpus). */
+  def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                        nlist: Int, iters: Int): Array[Array[Double]] = {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-
-    // nearest-centroid assignment as codegen'd expressions over a small
-    // centroid table (normalized dot = cosine since centroids are unit)
-    def simsCol(v: Column, cents: Array[Array[Double]]): Column =
-      array(cents.map(ct => graft.plans.VectorKernels.dotConst(v, ct.toSeq)): _*)
-    def assignCol(v: Column, cents: Array[Array[Double]]): Column = {
-      val sims = simsCol(v, cents)
-      // first index of the max similarity (deterministic tie-break)
-      (array_position(sims, array_max(sims)) - 1).cast("int")
-    }
-    def normalize(vec: Array[Double]): Array[Double] = {
-      val n = math.sqrt(vec.map(x => x * x).sum)
-      if (n == 0) vec else vec.map(_ / n)
-    }
-
-    // deterministic init: the nlist lowest-id vectors
     var centroids: Array[Array[Double]] = c.orderBy(col("id")).limit(nlist)
       .select(col("v")).collect()
       .map(r => normalize(r.getSeq[Float](0).toArray.map(_.toDouble)))
-
-    // Lloyd iterations: assign (distributed) → mean per (list, dim) → new
-    // unit centroids (tiny driver-side model update)
     var it = 0
     while (it < iters) {
       val assigned = c.select(assignCol(col("v"), centroids).as("cl"),
@@ -118,13 +118,57 @@ object Similarity {
       }.toArray
       it += 1
     }
+    centroids
+  }
 
-    // inverted lists + nprobe search. Candidate generation carries IDS
-    // ONLY (id, cl) — the embedding arrays are re-joined by id for the
-    // exact re-rank, so the candidate shuffle payload is bytes, not
-    // ×nprobe-duplicated vectors (same discipline as Dedup.minhashLsh).
+  /** Build the full index: train the quantizer, assign every corpus row
+    * to its nearest list (one distributed pass, ids only). */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    nlist: Int = 16, iters: Int = 3): IvfIndex = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val centroids = trainIvfCentroids(corpus, idCol, vecCol, nlist, iters)
+    IvfIndex(centroids, c.select(col("id"), assignCol(col("v"), centroids).as("cl")))
+  }
+
+  /** Persist: centroids (tiny) + inverted lists (partitioned by list id,
+    * so nprobe probing partition-prunes the candidate scan). */
+  def saveIvfIndex(index: IvfIndex, path: String): Unit = {
+    val spark = index.lists.sparkSession
+    import spark.implicits._
+    index.centroids.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cidx", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    index.lists.write.mode("overwrite")
+      .partitionBy("cl").parquet(s"$path/lists")
+  }
+
+  /** Restore a saved index; no corpus access, no training. A second (and
+    * every later) query batch starts here. */
+  def loadIvfIndex(spark: SparkSession, path: String): IvfIndex = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cidx")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val lists = spark.read.parquet(s"$path/lists")
+      .select(col("id"), col("cl").cast("int").as("cl"))
+    IvfIndex(centroids, lists)
+  }
+
+  /**
+   * Search a (built or loaded) IVF index: queries probe their `nprobe`
+   * nearest lists; candidates carry IDS ONLY; exact cosine re-rank joins
+   * the corpus vectors back by id (same discipline as Dedup.minhashLsh —
+   * the candidate shuffle payload is bytes, not ×nprobe-duplicated
+   * vectors).
+   */
+  def ivfSearch(index: IvfIndex, corpus: DataFrame, queries: DataFrame,
+                idCol: String, vecCol: String, qidCol: String,
+                k: Int = 10, nprobe: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val centroids = index.centroids
+    val nlist = centroids.length
+    val lists = index.lists
     val qbase = queries.select(col(qidCol).as("qid"), col(vecCol).as("qv"))
-    val lists = c.select(col("id"), assignCol(col("v"), centroids).as("cl"))
     val probes = qbase
       .withColumn("sims", simsCol(col("qv"), centroids))
       // nprobe highest-sim list ids: sort (sim, idx) pairs descending
@@ -148,29 +192,60 @@ object Similarity {
   }
 
   /**
-   * LSH/IVF approximate top-k: candidates = corpus rows sharing a bucket
-   * with the query in ANY of `tables` tables; exact cosine re-rank on the
-   * candidate set only.
+   * True IVF with a LEARNED coarse quantizer — the one-shot convenience
+   * shape (build + search in one call). The quantizer is a tiny model
+   * (nlist × dim doubles) that lives on the driver and broadcasts into
+   * the assignment expressions (nlist codegen'd dot products per row, no
+   * UDF, no cross join). At 10^12 rows the corpus assignment is one
+   * pass, the inverted lists are the shuffle partitioning, and a query
+   * touches ~nprobe/nlist of the data. For the index-once/query-many
+   * deployment shape use buildIvfIndex + saveIvfIndex / loadIvfIndex +
+   * ivfSearch directly.
    */
-  def ivfKnn(corpus: DataFrame, queries: DataFrame,
-             idCol: String, vecCol: String, qidCol: String,
-             k: Int = 10, planes: Int = 8, tables: Int = 4,
-             dim: Int = 64): DataFrame = {
-    // buckets computed from the vector, then the vector is DROPPED: the
-    // (t, bucket) candidate join carries ids only (×tables duplication of
-    // a 64-float array would otherwise dominate shuffle volume at 10^9+
-    // rows); vectors are re-joined by id for the exact cosine re-rank.
-    def withBuckets(df: DataFrame, id: String, v: String): DataFrame = {
-      val sigs = (0 until tables).map(t => bucketSig(col(v), t, planes, dim).as(s"sig_$t"))
-      df.select((Seq(col(id)) ++ sigs): _*)
-        .select(col(id),
-          posexplode(array((0 until tables).map(t => col(s"sig_$t")): _*)))
-        .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
-    }
+  def ivfKmeansKnn(corpus: DataFrame, queries: DataFrame,
+                   idCol: String, vecCol: String, qidCol: String,
+                   k: Int = 10, nlist: Int = 16, nprobe: Int = 4,
+                   iters: Int = 3): DataFrame =
+    ivfSearch(buildIvfIndex(corpus, idCol, vecCol, nlist, iters),
+      corpus, queries, idCol, vecCol, qidCol, k, nprobe)
+
+  // ---- hyperplane-LSH variant (k-means-free) ----------------------------
+
+  /** Hyperplane bucket table (id, t, bucket) — ids only, the vector is
+    * DROPPED after bucketing (×tables duplication of a 64-float array
+    * would otherwise dominate shuffle volume at 10^9+ rows). This table
+    * IS the persistable LSH index: plain parquet, see saveLshIndex. */
+  def buildLshBuckets(df: DataFrame, idCol: String, vecCol: String,
+                      planes: Int = 8, tables: Int = 4, dim: Int = 64): DataFrame = {
+    val sigs = (0 until tables).map(t => bucketSig(col(vecCol), t, planes, dim).as(s"sig_$t"))
+    df.select((Seq(col(idCol).as("id")) ++ sigs): _*)
+      .select(col("id"),
+        posexplode(array((0 until tables).map(t => col(s"sig_$t")): _*)))
+      .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
+  }
+
+  /** Persist the LSH bucket table partitioned by (t, bucket): a query's
+    * bucket probe partition-prunes the scan. */
+  def saveLshIndex(buckets: DataFrame, path: String): Unit =
+    buckets.write.mode("overwrite").partitionBy("t", "bucket").parquet(path)
+
+  def loadLshIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col("id"), col("t").cast("int").as("t"),
+        col("bucket").cast("bigint").as("bucket"))
+
+  /** Search a (built or loaded) LSH bucket index: candidates = corpus
+    * rows sharing a bucket with the query in ANY table; ids-only
+    * candidate join; exact cosine re-rank joins vectors back by id. */
+  def lshSearch(corpusBuckets: DataFrame, corpus: DataFrame, queries: DataFrame,
+                idCol: String, vecCol: String, qidCol: String,
+                k: Int = 10, planes: Int = 8, tables: Int = 4,
+                dim: Int = 64): DataFrame = {
     val cbase = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     val qbase = queries.select(col(qidCol).as("qid"), col(vecCol).as("qv"))
-    val c = withBuckets(cbase, "id", "v")
-    val q = withBuckets(qbase, "qid", "qv")
+    val c = corpusBuckets.select(col("id"), col("t"), col("bucket"))
+    val q = buildLshBuckets(qbase, "qid", "qv", planes, tables, dim)
+      .withColumnRenamed("id", "qid")
     val candIds = c.join(q, Seq("t", "bucket"))
       .where(col("id") =!= col("qid"))
       .select(col("qid"), col("id"))
@@ -184,4 +259,19 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id"), col("cos"))
   }
+
+  /**
+   * LSH/IVF approximate top-k, one-shot shape: candidates = corpus rows
+   * sharing a bucket with the query in ANY of `tables` tables; exact
+   * cosine re-rank on the candidate set only. For index-once/query-many
+   * use buildLshBuckets + saveLshIndex / loadLshIndex + lshSearch.
+   */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame,
+             idCol: String, vecCol: String, qidCol: String,
+             k: Int = 10, planes: Int = 8, tables: Int = 4,
+             dim: Int = 64): DataFrame =
+    lshSearch(
+      buildLshBuckets(corpus.select(col(idCol).as("id"), col(vecCol).as("v")),
+        "id", "v", planes, tables, dim),
+      corpus, queries, idCol, vecCol, qidCol, k, planes, tables, dim)
 }

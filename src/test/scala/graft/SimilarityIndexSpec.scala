@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import graft.pipeline.Similarity
+
+/** Persistable ANN indexes: build once, save, load in a "later batch",
+  * search — results identical to the one-shot path, and the loaded
+  * search never touches the corpus-side build (the "index once, query
+  * many" deployment shape a real 100 TB corpus needs). */
+class SimilarityIndexSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSessionFixture.spark
+
+  private val dim = 16
+  private def vecs(n: Int): DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (0 until n).map(i => (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+  }
+
+  private def canon(df: DataFrame): Seq[Seq[Any]] =
+    df.orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+
+  test("IVF index: save → load → search ≡ one-shot ivfKmeansKnn " +
+    "(trained quantizer, iters > 0)") {
+    val corpus = vecs(80)
+    val queries = corpus.where(org.apache.spark.sql.functions.col("vec_id") < 5)
+    val direct = Similarity.ivfKmeansKnn(corpus, queries,
+      "vec_id", "embedding", "vec_id", k = 5, nlist = 8, nprobe = 3, iters = 2)
+
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    val built = Similarity.buildIvfIndex(corpus, "vec_id", "embedding",
+      nlist = 8, iters = 2)
+    Similarity.saveIvfIndex(built, dir)
+    val loaded = Similarity.loadIvfIndex(spark, dir)
+
+    // quantizer round-trips bit-exactly (doubles through parquet)
+    assert(loaded.centroids.map(_.toSeq).toSeq == built.centroids.map(_.toSeq).toSeq)
+    val viaIndex = Similarity.ivfSearch(loaded, corpus, queries,
+      "vec_id", "embedding", "vec_id", k = 5, nprobe = 3)
+    assert(canon(viaIndex) == canon(direct))
+
+    // the loaded lists are backed by the index parquet, NOT recomputed
+    // from the corpus (corpus here is in-memory: a rebuilt lists frame
+    // would have no input files at all)
+    assert(loaded.lists.inputFiles.exists(_.contains(dir)))
+    assert(built.lists.inputFiles.isEmpty)
+
+    // a SECOND query batch reuses the same loaded index — no build step
+    val queries2 = corpus.where(org.apache.spark.sql.functions.col("vec_id") >= 70)
+    val second = Similarity.ivfSearch(loaded, corpus, queries2,
+      "vec_id", "embedding", "vec_id", k = 5, nprobe = 3)
+    val secondDirect = Similarity.ivfKmeansKnn(corpus, queries2,
+      "vec_id", "embedding", "vec_id", k = 5, nlist = 8, nprobe = 3, iters = 2)
+    assert(canon(second) == canon(secondDirect))
+  }
+
+  test("LSH bucket index: save → load → search ≡ one-shot ivfKnn") {
+    val corpus = vecs(80)
+    val queries = corpus.where(org.apache.spark.sql.functions.col("vec_id") < 5)
+    val direct = Similarity.ivfKnn(corpus, queries,
+      "vec_id", "embedding", "vec_id", k = 5, planes = 4, tables = 3, dim = dim)
+
+    val dir = java.nio.file.Files.createTempDirectory("lshidx").toString
+    val buckets = Similarity.buildLshBuckets(
+      corpus.select(org.apache.spark.sql.functions.col("vec_id").as("id"),
+        org.apache.spark.sql.functions.col("embedding").as("v")),
+      "id", "v", planes = 4, tables = 3, dim = dim)
+    Similarity.saveLshIndex(buckets, dir)
+    val loaded = Similarity.loadLshIndex(spark, dir)
+    assert(loaded.inputFiles.exists(_.contains(dir)))
+
+    val viaIndex = Similarity.lshSearch(loaded, corpus, queries,
+      "vec_id", "embedding", "vec_id", k = 5, planes = 4, tables = 3, dim = dim)
+    assert(canon(viaIndex) == canon(direct))
+  }
+}
