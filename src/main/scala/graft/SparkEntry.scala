@@ -540,6 +540,33 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q35_image_decode" -> ((s, dir) => {
+      // REAL image decode through the real multimodal plumbing: plant a
+      // PNG per document whose dimensions are a deterministic function of
+      // the md5-60bit text hash (16 + h % 120, 16 + (h >> 7) % 120),
+      // actually ENCODE it (javax.imageio), run it through
+      // Multimodal.extractFeatures whose decoder actually DECODES it
+      // (ImageIO.read), and emit the decoded width/height. DuckDB
+      // predicts the dimensions from md5 alone — any defect in the
+      // encode → decode → feature path breaks the hash (the stub
+      // fallback's formula is 64 + h % 1920, so a silent fallback
+      // mismatches too).
+      import s.implicits._
+      val rows = docs(s, dir)
+        .select(col("doc_id"), Dedup.md5Hash60(col("text")).as("h"))
+        .as[(Long, Long)]
+        .map { case (id, h) =>
+          val w = 16 + (h % 120).toInt
+          val ht = 16 + ((h >> 7) % 120).toInt
+          Multimodal.MediaRow(id, "image", Multimodal.encodePng(w, ht, h))
+        }
+      Multimodal.extractFeatures(s, rows)
+        .toDF()
+        .select(col("media_id").as("doc_id"),
+          col("meta.width").as("width"), col("meta.height").as("height"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- multimodal plumbing -------------------------------------------
     "q23_multimodal_features" -> ((s, dir) => {
       import s.implicits._
@@ -993,6 +1020,18 @@ object SparkEntry {
         |SELECT lang, sample_rank::INTEGER AS sample_rank, doc_id
         |FROM r WHERE sample_rank <= 25
         |ORDER BY lang, sample_rank""".stripMargin,
+
+    // real encode→decode round-trip: DuckDB predicts the TRUE pixel
+    // dimensions of the planted PNGs from the md5-60bit hash alone
+    "q35_image_decode" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(md5(text), 1, 15))::UBIGINT::BIGINT AS h
+        |  FROM documents)
+        |SELECT doc_id,
+        |  (16 + (h % 120))::INTEGER AS width,
+        |  (16 + ((h >> 7) % 120))::INTEGER AS height
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     // the stub decoder is built from oracle-reproducible primitives
     // (md5-60bit sizes, high-nibble hex histogram) — see Multimodal.scala

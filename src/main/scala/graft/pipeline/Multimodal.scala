@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
  * extraction runs via `mapPartitions` (the JVM analogue of `mapInPandas`:
  * batched, columnar-friendly, one decoder instance per partition).
  *
- * The actual media decode is STUBBED — this container has no image/audio
- * codecs — behind `MediaDecoder`, which produces a deterministic fake
- * (byte-statistics) feature vector. The Spark-side contract (schema,
- * batching, partition-level decoder lifecycle, null/short-payload
- * handling) is real and tested; swapping in a real decoder is a one-class
- * change.
+ * The IMAGE kind is decoded for real: the JDK ships javax.imageio with a
+ * pure-Java PNG codec, so an image payload that actually parses yields
+ * its TRUE width/height (q35 pins this end-to-end against a DuckDB
+ * oracle). Audio/video decode remains STUBBED — this container has no
+ * such codecs — behind `MediaDecoder`, which produces a deterministic
+ * fake (byte-statistics) feature vector; undecodable image bytes fall
+ * back to the same stub. The Spark-side contract (schema, batching,
+ * partition-level decoder lifecycle, null/short-payload handling) is
+ * real and tested; swapping in further real codecs is a one-class change.
  */
 object Multimodal {
 
@@ -52,11 +55,21 @@ object Multimodal {
       v >>> 4
     }
 
+    /** Real image decode (JDK javax.imageio — PNG/JPEG/GIF/BMP readers
+      * are pure Java, headless-safe): true dimensions when the payload
+      * parses, null when no installed reader recognizes the bytes. */
+    private def decodeImage(payload: Array[Byte]): java.awt.image.BufferedImage =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+
     def decode(kind: String, payload: Array[Byte]): (MediaMeta, Array[Double]) = {
       if (payload == null || payload.isEmpty)
         return (MediaMeta(kind, 0, 0, 0L), Array.fill(16)(0.0))
       val h = hash60(payload)
+      val realImage = if (kind == "image") decodeImage(payload) else null
       val meta = kind match {
+        case "image" if realImage != null =>
+          MediaMeta(kind, realImage.getWidth, realImage.getHeight, 0L)
         case "image" => MediaMeta(kind, 64 + (h % 1920).toInt, 64 + ((h >> 11) % 1080).toInt, 0L)
         case "audio" => MediaMeta(kind, 0, 0, 1000L + h % 600000L)
         case "video" => MediaMeta(kind, 320 + (h % 1600).toInt, 240 + ((h >> 7) % 840).toInt, 1000L + (h >> 13) % 3600000L)
@@ -68,6 +81,27 @@ object Multimodal {
       val n = payload.length.toDouble
       (meta, hist.map(_.toDouble / n))
     }
+  }
+
+  /** Deterministic PNG synthesis (real javax.imageio encode): pixel
+    * content is a pure function of (x, y, seed), so the same inputs give
+    * the same decoded image everywhere. Used by q35 to plant images whose
+    * TRUE dimensions DuckDB can predict from the md5-60bit hash. */
+  def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, (((x * 31 + y) * 131) ^ seed).toInt & 0xFFFFFF)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream(width * height / 2 + 256)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Frame-sample stub: deterministic frame offsets for a video payload. */

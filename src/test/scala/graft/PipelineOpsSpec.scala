@@ -343,6 +343,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(2L) == ((Some("a"), 1L)))
   }
 
+  test("multimodal image decode is REAL: a planted PNG round-trips its " +
+    "true dimensions through extractFeatures (javax.imageio)") {
+    import spark.implicits._
+    val png = Multimodal.encodePng(37, 21, 0xBEEFL)
+    // PNG magic proves a real encoder ran
+    assert((png(0) & 0xFF) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    // deterministic encode: same (w, h, seed) -> same bytes
+    assert(java.util.Arrays.equals(png, Multimodal.encodePng(37, 21, 0xBEEFL)))
+    val out = Multimodal.extractFeatures(spark, spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "image", png),
+      Multimodal.MediaRow(2L, "image", "not an image at all".getBytes)))).collect()
+    val real = out.find(_.media_id == 1L).get
+    assert(real.meta.width == 37 && real.meta.height == 21, real.meta)
+    // undecodable image bytes fall back to the deterministic stub
+    val stub = out.find(_.media_id == 2L).get
+    assert(stub.meta.width >= 64 && stub.meta.height >= 64)
+  }
+
   test("multimodal plumbing: schema, deterministic stub features, nulls") {
     import spark.implicits._
     val media = Seq(
