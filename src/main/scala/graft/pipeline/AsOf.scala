@@ -54,4 +54,74 @@ object AsOf {
       df.withColumn(c, col("__snap").getField(c))
     }.drop("__ts", "__is_l", "__snap")
   }
+
+  /**
+   * Skew-safe variant: identical semantics to `joinBackward`, but the
+   * big window partitions by (key, time-bucket) instead of key alone —
+   * a pathological hot key (one user = 10⁹ events) spreads across
+   * buckets instead of serializing through one window task.
+   *
+   * Each bucket must still see snapshots from EARLIER buckets, so a
+   * small pre-pass computes per-(key, bucket) carry-in rows: the latest
+   * right snapshot per (key, bucket) (one aggregation), carried forward
+   * along buckets with one per-key window — but that window runs over
+   * #distinct-buckets rows per key, not #events, so the hot key's
+   * serialized work is ~(time span / bucketSeconds), independent of its
+   * event count. Carry rows enter their bucket sorted FIRST (bucket
+   * start ts, side tag −1), so any real in-bucket snapshot at the same
+   * instant wins, exactly as a newer row should.
+   *
+   * Cost: two extra small exchanges (per-bucket latest + carry window)
+   * versus `joinBackward`'s one — use it when key skew is expected;
+   * output is row-identical (pinned by the equality property test).
+   */
+  def joinBackwardBucketed(left: DataFrame, right: DataFrame, key: String,
+                           leftTs: String, rightTs: String,
+                           payload: Seq[String],
+                           bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    // epoch seconds incl. fraction → bucket ordinal
+    def bkt(c: Column): Column = floor(c.cast("double") / bucketSeconds).cast("long")
+
+    val l = left.withColumn("__ts", col(leftTs)).withColumn("__is_l", lit(1))
+      .withColumn("__b", bkt(col(leftTs)))
+    val r = right.select((Seq(col(key), col(rightTs).as("__ts")) ++
+      payload.map(col)): _*).withColumn("__is_l", lit(0))
+      .withColumn("__b", bkt(col("__ts")))
+
+    // latest right snapshot per (key, bucket): max over (ts, payload)
+    // structs — (key, ts) is unique per the operator contract, so the
+    // comparison is decided by __ts alone
+    val snapStruct = struct((Seq(col("__ts")) ++ payload.map(col)): _*)
+    val perBucket = r.groupBy(col(key), col("__b"))
+      .agg(max(snapStruct).as("__latest"))
+
+    // carry-in per (key, bucket), for every bucket either side touches:
+    // the latest snapshot from any STRICTLY earlier bucket
+    val buckets = l.select(col(key), col("__b"))
+      .union(r.select(col(key), col("__b"))).distinct()
+    val wCarry = Window.partitionBy(col(key)).orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = buckets.join(perBucket, Seq(key, "__b"), "left")
+      .withColumn("__carry", last(col("__latest"), ignoreNulls = true).over(wCarry))
+      .where(col("__carry").isNotNull)
+      .select(col(key), col("__b"), col("__carry"))
+    val carryRows = payload.foldLeft(
+      carries
+        .withColumn("__ts", (col("__b") * bucketSeconds).cast("timestamp"))
+        .withColumn("__is_l", lit(-1))) { (df, c) =>
+      df.withColumn(c, col("__carry").getField(c))
+    }.drop("__carry")
+
+    val u = l.unionByName(r, allowMissingColumns = true)
+      .unionByName(carryRows, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key), col("__b"))
+      .orderBy(col("__ts").asc, col("__is_l").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val snap = when(col("__is_l") <= 0, struct(payload.map(col): _*))
+    val filled = u.withColumn("__snap", last(snap, ignoreNulls = true).over(w))
+    payload.foldLeft(filled.where(col("__is_l") === 1)) { (df, c) =>
+      df.withColumn(c, col("__snap").getField(c))
+    }.drop("__ts", "__is_l", "__b", "__snap")
+  }
 }
