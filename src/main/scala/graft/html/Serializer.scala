@@ -28,9 +28,21 @@ object Serializer {
   private def write(sb: java.lang.StringBuilder, n: Node, withTail: Boolean): Unit = {
     sb.append('<').append(n.tag)
     n.attrs.foreach { case (k, v) =>
-      sb.append(' ').append(k).append("=\"")
-      escapeAttr(sb, v)
-      sb.append('"')
+      sb.append(' ').append(k).append('=')
+      // xmlBufWriteQuotedString quote selection: a value containing a
+      // double quote (and no single quote) is SINGLE-quoted with the
+      // double quote left raw; only a value containing both kinds gets
+      // double quotes with &quot;. Reachable on the real corpus
+      // (businessinsider: an alt attribute quoting a phrase).
+      if (v.indexOf('"') >= 0 && v.indexOf('\'') < 0) {
+        sb.append('\'')
+        escapeAttr(sb, v, escapeQuote = false)
+        sb.append('\'')
+      } else {
+        sb.append('"')
+        escapeAttr(sb, v, escapeQuote = true)
+        sb.append('"')
+      }
     }
     if (Void.contains(n.tag)) {
       sb.append('>')
@@ -62,18 +74,19 @@ object Serializer {
   // is emitted as character references (a \n can reach an attribute via
   // libxml2's CRLF→LF input normalization; \r only from programmatic
   // trees). Text nodes do NOT get these — only & < > there.
-  private def escapeAttr(sb: java.lang.StringBuilder, s: String): Unit = {
+  private def escapeAttr(sb: java.lang.StringBuilder, s: String,
+                         escapeQuote: Boolean): Unit = {
     var i = 0
     while (i < s.length) {
       s.charAt(i) match {
-        case '&'  => sb.append("&amp;")
-        case '<'  => sb.append("&lt;")
-        case '>'  => sb.append("&gt;")
-        case '"'  => sb.append("&quot;")
-        case '\n' => sb.append("&#10;")
-        case '\r' => sb.append("&#13;")
-        case '\t' => sb.append("&#9;")
-        case c    => sb.append(c)
+        case '&'                  => sb.append("&amp;")
+        case '<'                  => sb.append("&lt;")
+        case '>'                  => sb.append("&gt;")
+        case '"' if escapeQuote   => sb.append("&quot;")
+        case '\n'                 => sb.append("&#10;")
+        case '\r'                 => sb.append("&#13;")
+        case '\t'                 => sb.append("&#9;")
+        case c                    => sb.append(c)
       }
       i += 1
     }
