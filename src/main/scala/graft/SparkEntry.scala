@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.extract.{Extractor, Page}
-import graft.pipeline.{AsOf, Dedup, Multimodal, Sampling, Similarity, TextOps}
+import graft.pipeline.{AsOf, Dedup, Multimodal, Sampling, Search, Similarity, TextOps}
 
 /**
  * Driver contract (SURVEY.md §7): `entry` = flagship extraction over a
@@ -540,6 +540,27 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q36_span_dedup" -> ((s, dir) => {
+      // exact-substring contamination signal: fraction of each document's
+      // 8-gram spans occurring in ≥1 other document (the per-doc stat
+      // suffix-array dedup pipelines act on). md5Hash60 spans so DuckDB
+      // reproduces the hash values; no pairwise join anywhere.
+      Dedup.spanDupStats(docs(s, dir), "doc_id", "text", n = 8,
+        hashFn = Dedup.md5Hash60)
+        .select(col("id").as("doc_id"), col("n_spans"), col("dup_spans"),
+          col("dup_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q37_bm25" -> ((s, dir) => {
+      // corpus search primitive (targeted retrieval / leakage checks):
+      // Okapi BM25 of every document against a fixed term bag
+      Search.bm25(docs(s, dir), "doc_id", "text",
+        terms = Seq("window", "merge", "spark", "stream"))
+        .select(col("id").as("doc_id"), col("bm25"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q35_image_decode" -> ((s, dir) => {
       // REAL image decode through the real multimodal plumbing: plant a
       // PNG per document whose dimensions are a deterministic function of
@@ -1020,6 +1041,48 @@ object SparkEntry {
         |SELECT lang, sample_rank::INTEGER AS sample_rank, doc_id
         |FROM r WHERE sample_rank <= 25
         |ORDER BY lang, sample_rank""".stripMargin,
+
+    "q36_span_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 8
+        |    THEN [('0x' || substring(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::UBIGINT::BIGINT
+        |          for i in range(1, len(t) - 6)]
+        |    ELSE [('0x' || substring(md5(array_to_string(t, ' ')), 1, 15))::UBIGINT::BIGINT]
+        |    END) AS s
+        |  FROM toks),
+        |post AS (SELECT doc_id, unnest(s) AS h FROM sh),
+        |dfh AS (SELECT h, count(*) AS hdf FROM post GROUP BY h)
+        |SELECT doc_id, count(*) AS n_spans,
+        |  sum(CASE WHEN hdf >= 2 THEN 1 ELSE 0 END)::BIGINT AS dup_spans,
+        |  round(sum(CASE WHEN hdf >= 2 THEN 1 ELSE 0 END) / count(*)::DOUBLE, 4) AS dup_frac
+        |FROM post JOIN dfh USING (h)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q37_bm25" -> {
+      val terms = Seq("window", "merge", "spark", "stream")
+        .map(t => s"'$t'").mkString("(", ", ", ")")
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+         |  FROM documents),
+         |dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM toks),
+         |stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+         |tf AS (
+         |  SELECT doc_id, tok, count(*)::DOUBLE AS tf
+         |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+         |  WHERE tok IN $terms GROUP BY doc_id, tok),
+         |dfq AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+         |w AS (
+         |  SELECT tf.doc_id,
+         |    ln((n - df + 0.5) / (df + 0.5) + 1) * tf * (1.2 + 1)
+         |      / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS w
+         |  FROM tf JOIN dfq USING (tok) JOIN dl ON dl.doc_id = tf.doc_id
+         |  CROSS JOIN stats)
+         |SELECT doc_id, round(sum(w), 4) AS bm25
+         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     // real encode→decode round-trip: DuckDB predicts the TRUE pixel
     // dimensions of the planted PNGs from the md5-60bit hash alone

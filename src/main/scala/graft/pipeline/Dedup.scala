@@ -336,6 +336,40 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  // ---- cross-doc repeated spans (exact-substring contamination) --------
+
+  /**
+   * Per-document repeated-span statistics: the fraction of a document's
+   * word n-gram spans (default n=8, ~the granularity suffix-array
+   * dedup pipelines use for exact-substring dedup) that also occur in at
+   * least one OTHER document. High dup_frac = boilerplate / mirrored /
+   * eval-contaminated content — the per-doc curation signal used to drop
+   * or trim documents before training.
+   *
+   * Scale shape: NO pairwise join at all — one postings shuffle to count
+   * each span's document frequency, one join back, one per-doc
+   * aggregation. A span shared by d documents costs d posting rows, not
+   * d² pair rows, so stop-spans need no cap here (unlike ngramJaccard).
+   *
+   * @param hashFn span hash (xxhash64 default; md5Hash60 for oracled paths)
+   */
+  def spanDupStats(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 8,
+                   hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    // distinct span hashes per doc, so a span's count(*) over postings IS
+    // its document frequency
+    val spans = df.select(col(idCol).as("id"),
+      explode(shingleHashesWith(col(textCol), hashFn, n)).as("h"))
+      .localCheckpoint(true) // shingling feeds the df-count AND the join-back
+    val dfh = spans.groupBy(col("h")).agg(count(lit(1)).as("hdf"))
+    spans.join(dfh, Seq("h"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("hdf") >= 2, 1L).otherwise(0L)).as("dup_spans"))
+      .withColumn("dup_frac",
+        round(col("dup_spans").cast("double") / col("n_spans").cast("double"), 4))
+  }
+
   // ---- duplicate clusters (connected components) -----------------------
 
   /**

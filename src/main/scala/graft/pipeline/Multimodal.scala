@@ -90,15 +90,18 @@ object Multimodal {
   def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](width * height)
     var y = 0
     while (y < height) {
       var x = 0
       while (x < width) {
-        img.setRGB(x, y, (((x * 31 + y) * 131) ^ seed).toInt & 0xFFFFFF)
+        px(y * width + x) = (((x * 31 + y) * 131) ^ seed).toInt & 0xFFFFFF
         x += 1
       }
       y += 1
     }
+    img.setRGB(0, 0, width, height, px, 0, width) // one bulk raster write
+
     val bos = new java.io.ByteArrayOutputStream(width * height / 2 + 256)
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray

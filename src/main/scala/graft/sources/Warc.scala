@@ -300,11 +300,18 @@ object Warc {
       val fs = path.getFileSystem(confFromEntries(bcConf.value))
       val len = fs.getFileStatus(path).getLen
       // the index pass holds one file in task memory (~1 GB worst case on
-      // CC-sized files); with a precomputed CDX index this pass is skipped
-      val bytes = new Array[Byte](len.toInt)
-      val in = fs.open(path)
-      try in.readFully(0L, bytes) finally in.close()
-      val offs = memberOffsets(bytes)
+      // CC-sized files); with a precomputed CDX index this pass is skipped.
+      // JVM byte arrays cap at 2 GB — same ceiling as Spark's own
+      // binaryFile source (maxLength = Int.MaxValue), so an oversized
+      // file degrades to a single unindexed split instead of crashing
+      val offs =
+        if (len > Int.MaxValue - 8) Seq.empty[Long]
+        else {
+          val bytes = new Array[Byte](len.toInt)
+          val in = fs.open(path)
+          try in.readFully(0L, bytes) finally in.close()
+          memberOffsets(bytes)
+        }
       val bounds = (if (offs.isEmpty) Seq(0L) else offs) :+ len
       val out = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
       var start = bounds.head

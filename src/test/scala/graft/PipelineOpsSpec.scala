@@ -343,6 +343,47 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(2L) == ((Some("a"), 1L)))
   }
 
+  test("span dedup: cross-doc repeated n-gram spans counted, within-doc " +
+    "repetition and short docs handled") {
+    val df = docsDf(Seq(
+      (1L, "a b c d e f"),          // 4 tri-gram spans
+      (2L, "x a b c y z"),          // shares exactly "a b c" with doc 1
+      (3L, "u v w q r s"),          // nothing shared
+      (4L, "p q2 r p q2 r p q2 r"), // repeats INSIDE the doc only
+      (5L, "t1 t2")))               // < n tokens -> one whole-text span
+    val out = Dedup.spanDupStats(df, "doc_id", "text", n = 3)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("dup_spans"),
+          r.getAs[Double]("dup_frac")))).toMap
+    assert(out(1L) == ((4L, 1L, 0.25)))
+    assert(out(2L) == ((4L, 1L, 0.25)))
+    assert(out(3L) == ((4L, 0L, 0.0)))
+    // distinct spans per doc: internal repetition is NOT cross-doc dup
+    assert(out(4L) == ((3L, 0L, 0.0)))
+    assert(out(5L) == ((1L, 0L, 0.0)))
+  }
+
+  test("bm25: higher tf scores higher, term-free docs absent, rarer " +
+    "terms weigh more, matches the formula") {
+    import graft.pipeline.Search
+    val df = docsDf(Seq(
+      (1L, "window window window filler filler filler"),
+      (2L, "window filler filler filler filler filler"),
+      (3L, "merge filler filler filler filler filler"),
+      (4L, "filler filler filler filler filler filler")))
+    val out = Search.bm25(df, "doc_id", "text", Seq("window", "merge"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("bm25")).toMap
+    assert(!out.contains(4L)) // no query term
+    assert(out(1L) > out(2L)) // tf saturating but monotone
+    // "merge" (df=1) outweighs "window" (df=2) at equal tf and equal dl
+    assert(out(3L) > out(2L))
+    // exact value for doc 2: tf=1, df=2, N=4, dl=6, avgdl=6
+    val idf = math.log((4.0 - 2 + 0.5) / (2 + 0.5) + 1)
+    val expect = idf * 1 * 2.2 / (1 + 1.2 * (1 - 0.75 + 0.75 * 1.0))
+    assert(math.abs(out(2L) - (math.rint(expect * 10000) / 10000)) < 1e-9,
+      s"${out(2L)} vs $expect")
+  }
+
   test("bucketed as-of join ≡ plain as-of join on seeded random data " +
     "(several bucket widths, null payloads included)") {
     import spark.implicits._
