@@ -186,21 +186,79 @@ object Dedup {
                      k: Int = 32, bands: Int = 8,
                      threshold: Double = 0.8,
                      shingleHash: Column => Column = xxhash64(_)): DataFrame = {
-    def prep(df: DataFrame) = df.select(
-      col(idCol).as("id"),
+    val index = buildMinHashIndex(corpus, idCol, textCol, k, bands, shingleHash)
+    minhashLshJoinIndexed(index, batch, idCol, textCol, threshold, shingleHash)
+  }
+
+  // ---- persistable MinHash-LSH corpus index (index once, ingest many) --
+
+  /**
+   * The corpus-side LSH artifact a real deployment computes ONCE per
+   * corpus snapshot and joins every daily ingest against: the banded
+   * signatures (candidate generation; ids only) plus the shingle arrays
+   * (Jaccard verification payload, re-joined by id). `k`/`bands` are
+   * carried in the index so a later batch cannot be banded with
+   * mismatched parameters.
+   */
+  final case class MinHashIndex(k: Int, bands: Int,
+                                banded: DataFrame,   // (id, band, band_hash)
+                                shingles: DataFrame) // (id, sh)
+
+  private def prepShingles(df: DataFrame, idCol: String, textCol: String,
+                           shingleHash: Column => Column): DataFrame =
+    df.select(col(idCol).as("id"),
       shingleHashesWith(col(textCol), shingleHash).as("sh"))
       .localCheckpoint(true)
-    val shC = prep(corpus)
-    val shB = prep(batch)
-    val a = bandedSignature(shC, k, bands)
+
+  def buildMinHashIndex(corpus: DataFrame, idCol: String, textCol: String,
+                        k: Int = 32, bands: Int = 8,
+                        shingleHash: Column => Column = xxhash64(_)): MinHashIndex = {
+    val sh = prepShingles(corpus, idCol, textCol, shingleHash)
+    MinHashIndex(k, bands, bandedSignature(sh, k, bands), sh)
+  }
+
+  /** Persist: banded signatures partitioned by band (an ingest's
+    * candidate join prunes per band), shingles plain, parameters in a
+    * one-row meta table. An appended corpus delta can be written with
+    * mode("append") to the same layout. */
+  def saveMinHashIndex(index: MinHashIndex, path: String): Unit = {
+    val spark = index.banded.sparkSession
+    import spark.implicits._
+    Seq((index.k, index.bands)).toDF("k", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    index.banded.write.mode("overwrite").partitionBy("band")
+      .parquet(s"$path/banded")
+    index.shingles.write.mode("overwrite").parquet(s"$path/shingles")
+  }
+
+  def loadMinHashIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String): MinHashIndex = {
+    val meta = spark.read.parquet(s"$path/meta").head
+    MinHashIndex(meta.getInt(0), meta.getInt(1),
+      spark.read.parquet(s"$path/banded")
+        .select(col("id"), col("band").cast("int").as("band"), col("band_hash")),
+      spark.read.parquet(s"$path/shingles"))
+  }
+
+  /** One ingest against a (built or loaded) corpus index: only the BATCH
+    * is shingled and banded; candidates = one equi-join on
+    * (band, band_hash) against the index; Jaccard verify re-joins the
+    * index's shingle arrays by id. Output: (id_a = corpus id,
+    * id_b = batch id, jaccard). */
+  def minhashLshJoinIndexed(index: MinHashIndex, batch: DataFrame,
+                            idCol: String, textCol: String,
+                            threshold: Double = 0.8,
+                            shingleHash: Column => Column = xxhash64(_)): DataFrame = {
+    val shB = prepShingles(batch, idCol, textCol, shingleHash)
+    val a = index.banded
       .select(col("band"), col("band_hash"), col("id").as("id_a"))
-    val b = bandedSignature(shB, k, bands)
+    val b = bandedSignature(shB, index.k, index.bands)
       .select(col("band"), col("band_hash"), col("id").as("id_b"))
     val pairs = a.join(b, Seq("band", "band_hash"))
       .where(col("id_a") =!= col("id_b")) // a url can sit in both sides
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    verifyJaccard(pairs, shC, shB, threshold)
+    verifyJaccard(pairs, index.shingles, shB, threshold)
   }
 
   // ---- simhash --------------------------------------------------------

@@ -57,6 +57,43 @@ class SimilarityIndexSpec extends AnyFunSuite {
     assert(canon(second) == canon(secondDirect))
   }
 
+  test("MinHash corpus index: save → load → ingest join ≡ one-shot " +
+    "minhashLshJoin; parameters travel with the index") {
+    import spark.implicits._
+    import graft.pipeline.Dedup
+    val base = (1 to 60).map(i => s"token$i").mkString(" ")
+    val corpus = Seq(
+      (1L, base),
+      (2L, (100 to 160).map(i => s"word$i").mkString(" "))).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, (1 to 57).map(i => s"token$i").mkString(" ") + " tokenX tokenY tokenZ"),
+      (11L, (200 to 260).map(i => s"other$i").mkString(" "))).toDF("doc_id", "text")
+    def canon(df: DataFrame) = df.orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+    val direct = Dedup.minhashLshJoin(corpus, batch, "doc_id", "text",
+      k = 32, bands = 16, threshold = 0.5)
+    assert(direct.count() == 1) // the planted near-dup pair (1, 10)
+
+    val dir = java.nio.file.Files.createTempDirectory("mhidx").toString
+    Dedup.saveMinHashIndex(
+      Dedup.buildMinHashIndex(corpus, "doc_id", "text", k = 32, bands = 16), dir)
+    val loaded = Dedup.loadMinHashIndex(spark, dir)
+    assert(loaded.k == 32 && loaded.bands == 16) // parameters round-trip
+    assert(loaded.banded.inputFiles.exists(_.contains(dir)))
+    val viaIndex = Dedup.minhashLshJoinIndexed(loaded, batch, "doc_id", "text",
+      threshold = 0.5)
+    assert(canon(viaIndex) == canon(direct))
+
+    // a SECOND ingest batch against the same loaded index — no corpus work
+    val batch2 = Seq(
+      (20L, (4 to 60).map(i => s"token$i").mkString(" ") + " tokenA tokenB tokenC"))
+      .toDF("doc_id", "text")
+    val second = Dedup.minhashLshJoinIndexed(loaded, batch2, "doc_id", "text",
+      threshold = 0.5)
+    val secondDirect = Dedup.minhashLshJoin(corpus, batch2, "doc_id", "text",
+      k = 32, bands = 16, threshold = 0.5)
+    assert(canon(second) == canon(secondDirect))
+  }
+
   test("LSH bucket index: save → load → search ≡ one-shot ivfKnn") {
     val corpus = vecs(80)
     val queries = corpus.where(org.apache.spark.sql.functions.col("vec_id") < 5)
