@@ -24,7 +24,12 @@ import graft.extract.{Extracted, Extractor, Page}
  * collected via an accumulator (no second pass over the data) and written
  * to `<out>/_lineage`.
  *
- * Usage: ExtractJob <pagesDir|warcGlob> <outDir> [--resume] [--warc] [--partitions N]
+ * Usage: ExtractJob <pagesDir|warcGlob> <outDir> [--resume] [--warc]
+ *          [--warc-splits] [--partitions N]
+ *
+ * --warc-splits: read WARC input via member-aligned sub-file splits
+ * (Warc.readWithSplits) instead of one task per file — for the slots ≫
+ * files regime (a handful of 1 GB warc.gz files on a wide cluster).
  */
 object ExtractJob {
 
@@ -50,20 +55,34 @@ object ExtractJob {
 
     val resume = args.contains("--resume")
     val n = run(spark, pagesDir, outDir, partitions, resume,
-      warcInput = args.contains("--warc"))
+      warcInput = args.contains("--warc") || args.contains("--warc-splits"),
+      warcSplits = args.contains("--warc-splits"))
     println(s"""{"extracted_rows":$n,"out":"$outDir"}""")
     spark.stop()
   }
 
   def run(spark: SparkSession, pagesDir: String, outDir: String,
           partitions: Int, resume: Boolean,
-          warcInput: Boolean = false): Long = {
+          warcInput: Boolean = false,
+          warcSplits: Boolean = false): Long = {
     import spark.implicits._
 
     // --warc: ingest straight from a crawl drop (WARC files) instead of
-    // the curated parquet pages table — same job from there on
+    // the curated parquet pages table — same job from there on.
+    // --warc-splits additionally splits each file at gzip member
+    // boundaries so a few large files still fill every slot.
     var input: DataFrame =
-      if (warcInput) graft.sources.Warc.read(spark, pagesDir)
+      if (warcSplits) {
+        val glob = new org.apache.hadoop.fs.Path(pagesDir)
+        val fs = glob.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val files = fs.globStatus(glob) match {
+          case null  => Array.empty[org.apache.hadoop.fs.FileStatus]
+          case stats => stats
+        }
+        graft.sources.Warc.readWithSplits(spark,
+          files.filterNot(_.isDirectory).map(_.getPath.toString).sorted.toSeq)
+      }
+      else if (warcInput) graft.sources.Warc.read(spark, pagesDir)
       else spark.read.parquet(pagesDir)
         .select(PageTableIO.ExtractColumns.map(col): _*)
 

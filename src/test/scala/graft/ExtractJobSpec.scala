@@ -73,6 +73,17 @@ class ExtractJobSpec extends AnyFunSuite {
     val out = spark.read.parquet(s"$tmp/out/extracted")
     assert(out.count() == 12L)
     assert(out.where(col("status") === "ok").count() == 12L)
+
+    // --warc-splits over the same drop: identical extracted output (the
+    // sub-file-split ingest path feeding the REAL production job)
+    val n3 = ExtractJob.run(spark, s"$tmp/drop/*.warc.gz", s"$tmp/out_splits",
+      partitions = 4, resume = false, warcInput = true, warcSplits = true)
+    assert(n3 == 12L)
+    val outS = spark.read.parquet(s"$tmp/out_splits/extracted")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("url", "status", "extracted_text")
+        .collect().map(_.toSeq).sortBy(_.head.toString).toSeq
+    assert(canon(outS) == canon(out))
   }
 
   test("resume: appends only the missing urls (exactly-once per url)") {
