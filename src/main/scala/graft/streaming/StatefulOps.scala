@@ -77,6 +77,36 @@ object StatefulOps {
       }
   }
 
+  /**
+   * Stream–static enrichment join: the continuous-ingest shape where each
+   * micro-batch of pages picks up attributes from a slowly-changing
+   * dimension (host metadata, crawl policy, language priors). The static
+   * side is broadcast into every micro-batch — no stream-side shuffle, no
+   * state store; unknown keys survive via left join. At 10^12 rows the
+   * dimension stays driver/broadcast-sized (hosts ≪ pages), which is why
+   * this beats a stream-stream join for slowly-changing reference data.
+   */
+  def enrichWithHostDim(pages: DataFrame, hostDim: DataFrame): DataFrame =
+    pages
+      .withColumn("host", regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1))
+      .join(broadcast(hostDim), Seq("host"), "left")
+
+  /** Streaming face of enrichWithHostDim: file source → parquet sink,
+    * append mode (a per-row enrichment is stateless). */
+  def enrichQuery(spark: SparkSession, pagesDir: String, hostDim: DataFrame,
+                  outDir: String, checkpointDir: String,
+                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    enrichWithHostDim(
+      spark.readStream.schema(ExtractStream.PageSchema).parquet(pagesDir),
+      hostDim)
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(trigger)
+      .start()
+
   /** Streaming face of hostStats: file source → memory/parquet sink is the
     * caller's choice; update mode required by mapGroupsWithState. */
   def hostStatsQuery(spark: SparkSession, pagesDir: String,

@@ -100,4 +100,57 @@ class FuzzSpec extends AnyFunSuite {
     val junk = new Array[Byte](4096); rnd.nextBytes(junk)
     graft.sources.Warc.parseAll(junk) // must not throw
   }
+
+  test("gzip member scanner: total over mutated/truncated/random bytes; " +
+    "surviving offsets always start with gzip magic") {
+    import graft.sources.Warc
+    val seed = Warc.writeWarc((1 to 12).map(i =>
+      (s"http://f.example/$i", "2026-01-01T00:00:00Z",
+        s"<html><p>member $i</p></html>".getBytes("UTF-8"))),
+      gzipPerRecord = true)
+    assert(Warc.memberOffsets(seed).length == 13) // warcinfo + 12
+    (1 to 200).foreach { i =>
+      val mutated = seed.clone()
+      (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      }
+      val offs =
+        try Warc.memberOffsets(mutated)
+        catch { case e: Throwable => fail(s"memberOffsets fuzz $i threw ${e.getClass}") }
+      // every reported offset must genuinely sit on a gzip magic
+      offs.foreach { o =>
+        assert((mutated(o.toInt) & 0xFF) == 0x1F && (mutated(o.toInt + 1) & 0xFF) == 0x8B,
+          s"fuzz $i: offset $o not a member boundary")
+      }
+      try Warc.memberOffsets(mutated.take(rnd.nextInt(mutated.length)))
+      catch { case e: Throwable => fail(s"memberOffsets truncation $i threw ${e.getClass}") }
+    }
+    val junk = new Array[Byte](4096); rnd.nextBytes(junk)
+    Warc.memberOffsets(junk) // must not throw
+    assert(Warc.memberOffsets(Array.emptyByteArray).isEmpty)
+    Warc.memberOffsets(Array[Byte](0x1F, 0x8B.toByte)) // magic-only: no throw
+  }
+
+  test("readWithSplits ≡ read property: random record counts/sizes, " +
+    "random split targets (seeded)") {
+    import graft.sources.Warc
+    val spark = SparkSessionFixture.spark
+    (1 to 3).foreach { trial =>
+      val n = 5 + rnd.nextInt(40)
+      val recs = (1 to n).map(i =>
+        (s"http://p.example/$trial/$i", "2026-01-01T00:00:00Z",
+          (s"<html><p>" + ("y" * rnd.nextInt(3000)) + s"</p></html>").getBytes("UTF-8")))
+      val dir = java.nio.file.Files.createTempDirectory(s"warcprop$trial")
+      val f = dir.resolve("f.warc.gz")
+      java.nio.file.Files.write(f, Warc.writeWarc(recs, gzipPerRecord = true))
+      val target = 256L << rnd.nextInt(8) // 256 B .. 32 KB
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select("url", "html").collect()
+          .map(r => (r.getString(0), java.util.Arrays.hashCode(r.getAs[Array[Byte]](1))))
+          .sortBy(_._1).toSeq
+      assert(canon(Warc.readWithSplits(spark, Seq(f.toString), target)) ==
+        canon(Warc.read(spark, Seq(f.toString))),
+        s"trial $trial target $target diverged")
+    }
+  }
 }

@@ -118,6 +118,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(stats("h1.example.org")._2 == 525)
   }
 
+  test("stream-static enrichment join: each micro-batch picks up the " +
+    "broadcast host dimension; unknown hosts survive via left join") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("streamj").toString
+    val pagesDir = s"$base/pages"
+    val rows = (0 until 9).map { i =>
+      graft.extract.Page(s"https://h${i % 3}.example.org/p/$i",
+        new java.sql.Timestamp(1767225600000L + i * 60000L),
+        Array.emptyByteArray, s"t$i", "en")
+    }
+    spark.createDataset(rows).toDF().write.parquet(pagesDir)
+    // dimension covers h0/h1 only — h2 is the unknown host
+    val dim = Seq(("h0.example.org", "tier1", 1.0),
+      ("h1.example.org", "tier2", 0.5)).toDF("host", "tier", "weight")
+
+    val q = graft.streaming.StatefulOps.enrichQuery(
+      spark, pagesDir, dim, s"$base/out", s"$base/ckpt")
+    q.awaitTermination(120000)
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.count() == 9)
+    val byTier = out.groupBy("tier").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(byTier(Some("tier1")) == 3)
+    assert(byTier(Some("tier2")) == 3)
+    assert(byTier(None) == 3) // unknown host: kept, dimension columns null
+    // enrichment carries the numeric attribute through too
+    assert(out.where(org.apache.spark.sql.functions.col("host") === "h1.example.org")
+      .select("weight").distinct().head.getDouble(0) == 0.5)
+  }
+
   test("watermarked window metrics aggregate per hour") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("streamw").toString
