@@ -83,27 +83,65 @@ object Multimodal {
     }
   }
 
-  /** Deterministic PNG synthesis (real javax.imageio encode): pixel
-    * content is a pure function of (x, y, seed), so the same inputs give
-    * the same decoded image everywhere. Used by q35 to plant images whose
-    * TRUE dimensions DuckDB can predict from the md5-60bit hash. */
+  /** Deterministic PNG synthesis: pixel content is a pure function of
+    * (x, y, seed), so the same inputs give the same decoded image
+    * everywhere. Hand-rolled spec-conformant encoder (signature + IHDR +
+    * one IDAT + IEND, 8-bit RGB, filter 0, BEST_SPEED deflate) because
+    * ImageIO's PNG WRITER runs max-compression and dominated q35's cost;
+    * the DECODE side — the operator under test — stays the real
+    * javax.imageio reader, which round-trips these bytes pixel-exactly
+    * (pinned in PipelineOpsSpec). */
   def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(
-      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    val px = new Array[Int](width * height)
+    // raw image data: per scanline, 1 filter byte (0 = None) + RGB triples
+    val raw = new Array[Byte](height * (1 + width * 3))
+    var idx = 0
     var y = 0
     while (y < height) {
+      raw(idx) = 0; idx += 1
       var x = 0
       while (x < width) {
-        px(y * width + x) = (((x * 31 + y) * 131) ^ seed).toInt & 0xFFFFFF
+        val v = (((x * 31 + y) * 131) ^ seed).toInt & 0xFFFFFF
+        raw(idx) = ((v >> 16) & 0xFF).toByte
+        raw(idx + 1) = ((v >> 8) & 0xFF).toByte
+        raw(idx + 2) = (v & 0xFF).toByte
+        idx += 3
         x += 1
       }
       y += 1
     }
-    img.setRGB(0, 0, width, height, px, 0, width) // one bulk raster write
+    val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+    val idat = {
+      val out = new java.io.ByteArrayOutputStream(raw.length / 3 + 64)
+      val ds = new java.util.zip.DeflaterOutputStream(out, deflater, 1 << 14)
+      ds.write(raw); ds.finish()
+      out.toByteArray
+    }
+    deflater.end()
 
-    val bos = new java.io.ByteArrayOutputStream(width * height / 2 + 256)
-    javax.imageio.ImageIO.write(img, "png", bos)
+    val bos = new java.io.ByteArrayOutputStream(idat.length + 64)
+    bos.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1A, '\n'), 0, 8)
+    def chunk(kind: String, data: Array[Byte]): Unit = {
+      def be(v: Int): Array[Byte] = Array(
+        ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+        ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+      val tag = kind.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      bos.write(be(data.length), 0, 4)
+      bos.write(tag, 0, 4)
+      bos.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32
+      crc.update(tag); crc.update(data)
+      bos.write(be(crc.getValue.toInt), 0, 4)
+    }
+    val ihdr = new java.io.ByteArrayOutputStream(13)
+    def be32(v: Int): Unit = { ihdr.write((v >> 24) & 0xFF); ihdr.write((v >> 16) & 0xFF)
+      ihdr.write((v >> 8) & 0xFF); ihdr.write(v & 0xFF) }
+    be32(width); be32(height)
+    ihdr.write(8)  // bit depth
+    ihdr.write(2)  // color type: truecolor RGB
+    ihdr.write(0); ihdr.write(0); ihdr.write(0) // compression, filter, interlace
+    chunk("IHDR", ihdr.toByteArray)
+    chunk("IDAT", idat)
+    chunk("IEND", Array.emptyByteArray)
     bos.toByteArray
   }
 

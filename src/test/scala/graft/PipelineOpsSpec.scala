@@ -461,10 +461,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     "true dimensions through extractFeatures (javax.imageio)") {
     import spark.implicits._
     val png = Multimodal.encodePng(37, 21, 0xBEEFL)
-    // PNG magic proves a real encoder ran
+    // PNG magic proves a spec-conformant encoder ran
     assert((png(0) & 0xFF) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
     // deterministic encode: same (w, h, seed) -> same bytes
     assert(java.util.Arrays.equals(png, Multimodal.encodePng(37, 21, 0xBEEFL)))
+    // the REAL ImageIO reader round-trips the hand-rolled encoder's
+    // output pixel-exactly (validates the encoder beyond dimensions)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == 37 && img.getHeight == 21)
+    for ((x, y) <- Seq((0, 0), (3, 2), (36, 20))) {
+      val expect = (((x * 31 + y) * 131) ^ 0xBEEFL).toInt & 0xFFFFFF
+      assert((img.getRGB(x, y) & 0xFFFFFF) == expect, s"pixel ($x,$y)")
+    }
     val out = Multimodal.extractFeatures(spark, spark.createDataset(Seq(
       Multimodal.MediaRow(1L, "image", png),
       Multimodal.MediaRow(2L, "image", "not an image at all".getBytes)))).collect()
