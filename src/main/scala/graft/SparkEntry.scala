@@ -287,7 +287,7 @@ object SparkEntry {
       Dedup.minhashLsh(
         docs(s, dir).where(pmod(col("doc_id"), lit(5)) === 0),
         "doc_id", "text", k = 32, bands = 32, threshold = 0.02,
-        shingleHash = Dedup.md5Hash60)
+        shingleAlgo = Dedup.AlgoMd5)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -300,7 +300,7 @@ object SparkEntry {
         d.where(pmod(col("doc_id"), lit(5)) === 0),
         d.where(pmod(col("doc_id"), lit(5)) === 2),
         "doc_id", "text", k = 32, bands = 32, threshold = 0.02,
-        shingleHash = Dedup.md5Hash60)
+        shingleAlgo = Dedup.AlgoMd5)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -546,7 +546,7 @@ object SparkEntry {
       // suffix-array dedup pipelines act on). md5Hash60 spans so DuckDB
       // reproduces the hash values; no pairwise join anywhere.
       Dedup.spanDupStats(docs(s, dir), "doc_id", "text", n = 8,
-        hashFn = Dedup.md5Hash60)
+        algo = Dedup.AlgoMd5)
         .select(col("id").as("doc_id"), col("n_spans"), col("dup_spans"),
           col("dup_frac"))
         .orderBy(col("doc_id"))

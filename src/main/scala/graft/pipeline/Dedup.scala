@@ -35,9 +35,23 @@ object Dedup {
       .otherwise(array(concat_ws(" ", t)))
   }
 
-  /** Distinct shingle 64-bit hashes. */
-  def shingleHashes(text: Column, n: Int = 3): Column =
-    array_distinct(transform(shingles(text, n), s => xxhash64(s)))
+  /** Shingle-hash algorithms: xxhash64 (production default) and the
+    * DuckDB-replicable md5-60bit used by oracled paths. */
+  val AlgoXx64 = "xx64"
+  val AlgoMd5 = "md5-60"
+
+  private def algoIsMd5(algo: String): Boolean = algo match {
+    case AlgoXx64 => false
+    case AlgoMd5  => true
+    case other    => throw new IllegalArgumentException(
+      s"unknown shingle algo '$other' (expected $AlgoXx64 or $AlgoMd5)")
+  }
+
+  /** Distinct shingle hashes — native codegen kernel (one compiled pass),
+    * bit-identical to array_distinct(transform(shingles(text, n), hash))
+    * (KernelParitySpec). */
+  def shingleHashes(text: Column, n: Int = 3, algo: String = AlgoXx64): Column =
+    graft.plans.VectorKernels.shingleHash(text, n, algoIsMd5(algo))
 
   /** Oracle-replicable 60-bit hash: decimal value of the first 15 hex
     * digits of md5. Slower than xxhash64 (use it for verification paths);
@@ -46,8 +60,10 @@ object Dedup {
   def md5Hash60(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
-  /** shingleHashes with a pluggable hash (md5Hash60 for oracled queries). */
-  def shingleHashesWith(text: Column, hashFn: Column => Column, n: Int = 3): Column =
+  /** The interpreted higher-order formulation of shingleHashes — kept as
+    * the independent reference the kernel is pinned against
+    * (KernelParitySpec); NOT for hot paths. */
+  def shingleHashesHof(text: Column, hashFn: Column => Column, n: Int = 3): Column =
     array_distinct(transform(shingles(text, n), hashFn))
 
   // ---- exact ----------------------------------------------------------
@@ -102,18 +118,18 @@ object Dedup {
    * candidate pairs are ids; the shingle arrays needed for Jaccard
    * verification are re-joined by id afterwards. At web scale the pair
    * stage dominates shuffle volume, so its payload must not include the
-   * (large) shingle arrays. `shingleHash` is pluggable so oracled queries
-   * can use md5Hash60 (DuckDB-replicable) instead of xxhash64.
+   * (large) shingle arrays. `shingleAlgo` selects xxhash64 (default) or
+   * the DuckDB-replicable md5-60bit for oracled queries.
    */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  k: Int = 32, bands: Int = 8,
                  threshold: Double = 0.8,
-                 shingleHash: Column => Column = xxhash64(_)): DataFrame = {
+                 shingleAlgo: String = AlgoXx64): DataFrame = {
     // materialized once: the signature path and both verification re-joins
     // consume the shingle arrays, and shingling is the expensive step
     val withSh = df.select(
       col(idCol).as("id"),
-      shingleHashesWith(col(textCol), shingleHash).as("sh"))
+      shingleHashes(col(textCol), algo = shingleAlgo).as("sh"))
       .localCheckpoint(true)
     val banded = bandedSignature(withSh, k, bands)
 
@@ -185,9 +201,9 @@ object Dedup {
                      idCol: String, textCol: String,
                      k: Int = 32, bands: Int = 8,
                      threshold: Double = 0.8,
-                     shingleHash: Column => Column = xxhash64(_)): DataFrame = {
-    val index = buildMinHashIndex(corpus, idCol, textCol, k, bands, shingleHash)
-    minhashLshJoinIndexed(index, batch, idCol, textCol, threshold, shingleHash)
+                     shingleAlgo: String = AlgoXx64): DataFrame = {
+    val index = buildMinHashIndex(corpus, idCol, textCol, k, bands, shingleAlgo)
+    minhashLshJoinIndexed(index, batch, idCol, textCol, threshold)
   }
 
   // ---- persistable MinHash-LSH corpus index (index once, ingest many) --
@@ -196,25 +212,25 @@ object Dedup {
    * The corpus-side LSH artifact a real deployment computes ONCE per
    * corpus snapshot and joins every daily ingest against: the banded
    * signatures (candidate generation; ids only) plus the shingle arrays
-   * (Jaccard verification payload, re-joined by id). `k`/`bands` are
-   * carried in the index so a later batch cannot be banded with
-   * mismatched parameters.
+   * (Jaccard verification payload, re-joined by id). `k`/`bands`/the
+   * shingle algo are carried in the index so a later batch cannot be
+   * shingled or banded with mismatched parameters.
    */
-  final case class MinHashIndex(k: Int, bands: Int,
+  final case class MinHashIndex(k: Int, bands: Int, shingleAlgo: String,
                                 banded: DataFrame,   // (id, band, band_hash)
                                 shingles: DataFrame) // (id, sh)
 
   private def prepShingles(df: DataFrame, idCol: String, textCol: String,
-                           shingleHash: Column => Column): DataFrame =
+                           shingleAlgo: String): DataFrame =
     df.select(col(idCol).as("id"),
-      shingleHashesWith(col(textCol), shingleHash).as("sh"))
+      shingleHashes(col(textCol), algo = shingleAlgo).as("sh"))
       .localCheckpoint(true)
 
   def buildMinHashIndex(corpus: DataFrame, idCol: String, textCol: String,
                         k: Int = 32, bands: Int = 8,
-                        shingleHash: Column => Column = xxhash64(_)): MinHashIndex = {
-    val sh = prepShingles(corpus, idCol, textCol, shingleHash)
-    MinHashIndex(k, bands, bandedSignature(sh, k, bands), sh)
+                        shingleAlgo: String = AlgoXx64): MinHashIndex = {
+    val sh = prepShingles(corpus, idCol, textCol, shingleAlgo)
+    MinHashIndex(k, bands, shingleAlgo, bandedSignature(sh, k, bands), sh)
   }
 
   /** Persist: banded signatures partitioned by band (an ingest's
@@ -224,7 +240,7 @@ object Dedup {
   def saveMinHashIndex(index: MinHashIndex, path: String): Unit = {
     val spark = index.banded.sparkSession
     import spark.implicits._
-    Seq((index.k, index.bands)).toDF("k", "bands")
+    Seq((index.k, index.bands, index.shingleAlgo)).toDF("k", "bands", "algo")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     index.banded.write.mode("overwrite").partitionBy("band")
       .parquet(s"$path/banded")
@@ -234,7 +250,7 @@ object Dedup {
   def loadMinHashIndex(spark: org.apache.spark.sql.SparkSession,
                        path: String): MinHashIndex = {
     val meta = spark.read.parquet(s"$path/meta").head
-    MinHashIndex(meta.getInt(0), meta.getInt(1),
+    MinHashIndex(meta.getInt(0), meta.getInt(1), meta.getString(2),
       spark.read.parquet(s"$path/banded")
         .select(col("id"), col("band").cast("int").as("band"), col("band_hash")),
       spark.read.parquet(s"$path/shingles"))
@@ -247,9 +263,8 @@ object Dedup {
     * id_b = batch id, jaccard). */
   def minhashLshJoinIndexed(index: MinHashIndex, batch: DataFrame,
                             idCol: String, textCol: String,
-                            threshold: Double = 0.8,
-                            shingleHash: Column => Column = xxhash64(_)): DataFrame = {
-    val shB = prepShingles(batch, idCol, textCol, shingleHash)
+                            threshold: Double = 0.8): DataFrame = {
+    val shB = prepShingles(batch, idCol, textCol, index.shingleAlgo)
     val a = index.banded
       .select(col("band"), col("band_hash"), col("id").as("id_a"))
     val b = bandedSignature(shB, index.k, index.bands)
@@ -409,15 +424,15 @@ object Dedup {
    * aggregation. A span shared by d documents costs d posting rows, not
    * d² pair rows, so stop-spans need no cap here (unlike ngramJaccard).
    *
-   * @param hashFn span hash (xxhash64 default; md5Hash60 for oracled paths)
+   * @param algo span-hash algo (AlgoXx64 default; AlgoMd5 for oracled paths)
    */
   def spanDupStats(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 8,
-                   hashFn: Column => Column = xxhash64(_)): DataFrame = {
+                   algo: String = AlgoXx64): DataFrame = {
     // distinct span hashes per doc, so a span's count(*) over postings IS
     // its document frequency
     val spans = df.select(col(idCol).as("id"),
-      explode(shingleHashesWith(col(textCol), hashFn, n)).as("h"))
+      explode(shingleHashes(col(textCol), n, algo)).as("h"))
       .localCheckpoint(true) // shingling feeds the df-count AND the join-back
     val dfh = spans.groupBy(col("h")).agg(count(lit(1)).as("hdf"))
     spans.join(dfh, Seq("h"))

@@ -120,6 +120,81 @@ object VectorKernels {
     new GenericArrayData(mins)
   }
 
+  /** MD5 digests are not thread-safe and allocation isn't free — one per
+    * executor thread. */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val WsRegex = org.apache.spark.unsafe.types.UTF8String.fromString("\\s+")
+
+  /**
+   * Distinct hashed word n-gram shingles of a text column in ONE compiled
+   * pass — replaces the interpreted
+   * `array_distinct(transform(shingles(text, n), hash))` pipeline that
+   * dominated the dedup-family queries (the `shingles` HOF allocates a
+   * lambda call per window, plus one per hash).
+   *
+   * Bit-identical semantics to the column formulation, reproduced by
+   * calling the SAME primitives Spark's expressions call:
+   *  - trim  = UTF8String.trim (ASCII space only, as StringTrim)
+   *  - lower = UTF8String.toLowerCase (as Lower/CollationSupport default)
+   *  - split = UTF8String.split("\\s+", -1) (as StringSplit: leading
+   *    separator yields an empty first token; "" yields [""])
+   *  - < n tokens ⇒ one whole-text shingle (space-joined), as the
+   *    `otherwise` branch
+   *  - hash: xxhash64(seed 42, over the shingle's UTF-8 bytes — XXH64,
+   *    exactly XxHash64's string path) or md5-60bit (value of the first
+   *    15 hex digits = top 60 bits of the digest — exactly
+   *    conv(substring(md5(s),1,15),16,10)::long)
+   *  - distinct keeps first-occurrence order, as array_distinct
+   * Pinned against the HOF formulation in KernelParitySpec.
+   */
+  def shingleHashes(text: org.apache.spark.unsafe.types.UTF8String,
+                    n: Int, md5: Boolean): ArrayData = {
+    val toks = text.trim().toLowerCase().split(WsRegex, -1)
+    val width = if (toks.length >= n) n else toks.length
+    val count = if (toks.length >= n) toks.length - n + 1 else 1
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val digest = if (md5) md5Local.get() else null
+    var i = 0
+    while (i < count) {
+      // space-joined shingle bytes (concat_ws(" ", slice))
+      var len = math.max(0, width - 1)
+      var j = 0
+      while (j < width) { len += toks(i + j).numBytes(); j += 1 }
+      val bytes = new Array[Byte](len)
+      var pos = 0
+      j = 0
+      while (j < width) {
+        val t = toks(i + j)
+        t.writeToMemory(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + pos)
+        pos += t.numBytes()
+        if (j < width - 1) { bytes(pos) = ' '; pos += 1 }
+        j += 1
+      }
+      val h =
+        if (md5) {
+          digest.reset()
+          val d = digest.digest(bytes)
+          var v = 0L
+          var b = 0
+          while (b < 8) { v = (v << 8) | (d(b) & 0xFFL); b += 1 }
+          v >>> 4
+        } else {
+          org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+            bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
+        }
+      seen.add(h)
+      i += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
   // ---- Column builders -------------------------------------------------
 
   def dotConst(v: Column, w: Seq[Double]): Column =
@@ -132,6 +207,8 @@ object VectorKernels {
   def minhash(hs: Column, params: Seq[(Long, Long)]): Column =
     GraftSqlShim.column(MinHashSig(GraftSqlShim.expression(hs),
       params.map(_._1).toIndexedSeq, params.map(_._2).toIndexedSeq))
+  def shingleHash(text: Column, n: Int, md5: Boolean): Column =
+    GraftSqlShim.column(ShingleHash(GraftSqlShim.expression(text), n, md5))
 }
 
 /** Dot product of a float/double array column with a constant vector. */
@@ -218,6 +295,30 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
   override def prettyName: String = "graft_simhash64"
+}
+
+/** Distinct hashed word n-gram shingles of a string column (see
+  * VectorKernels.shingleHashes for the pinned semantics). */
+case class ShingleHash(child: Expression, n: Int, md5: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_shingle_hash requires string, got ${other.sql}")
+    }
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.shingleHashes(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, md5)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.VectorKernels.shingleHashes($c, $n, $md5)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHash =
+    copy(child = newChild)
+  override def prettyName: String = "graft_shingle_hash"
 }
 
 /** MinHash signature (array<long>) of a long-array column. */

@@ -100,6 +100,30 @@ class KernelParitySpec extends AnyFunSuite {
       VectorKernels.minhash(col("hs"), params).as("kernel"), hofSig.as("hof")))
   }
 
+  test("ShingleHash === array_distinct(transform(shingles(...), hash)) " +
+    "bit-for-bit, both algos, over adversarial texts") {
+    import spark.implicits._
+    // adversarial shapes: empty, pure whitespace, leading tab (StringSplit
+    // yields an empty first token), multi-space runs, NBSP (NOT regex \s),
+    // mixed case + unicode lowercasing (Turkish İ, ß, CJK), < n tokens,
+    // exactly n tokens, duplicated shingles (distinct path), long text
+    val texts = Seq(
+      "", "   ", "\tleading tab", "a", "a b", "a b c", "a b c d e",
+      "A  B\t\nC  d", "word joined nbsp", "İstanbul ıI ß STRASSE",
+      "中文 测试 文本 分词 中文 测试 文本 分词",
+      "x y z x y z x y z x y z",
+      (1 to 200).map(i => s"tok${i % 37}").mkString(" "),
+      "  padded   both   ends  ")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for (n <- Seq(3, 8); md5 <- Seq(false, true)) {
+      val hashFn: Column => Column =
+        if (md5) Dedup.md5Hash60 else (c => xxhash64(c))
+      assertAllEqual(df.select(
+        VectorKernels.shingleHash(col("text"), n, md5).as("kernel"),
+        Dedup.shingleHashesHof(col("text"), hashFn, n).as("hof")))
+    }
+  }
+
   test("kernels survive codegen inside a realistic plan (filter + join)") {
     // smoke: evaluate inside WholeStageCodegen with surrounding operators
     val out = vecDf.as("x").join(vecDf.as("y"), col("x.id") < col("y.id"))
