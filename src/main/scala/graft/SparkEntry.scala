@@ -308,7 +308,7 @@ object SparkEntry {
       // md5Hash60 token hashes (oracle-replicable signatures)
       val withSig = docs(s, dir).where(pmod(col("doc_id"), lit(10)) === 0)
         .select(col("doc_id").as("id"),
-          transform(Dedup.tokens(col("text")), t => Dedup.md5Hash60(t)).as("hs"))
+          Dedup.tokenHashes(col("text"), Dedup.AlgoMd5).as("hs"))
         .select(col("id"), Dedup.simhashFromHashes(col("hs")).as("sig"))
       // maxBucket = 0 EXPLICITLY: the DuckDB oracle is uncapped, so byte
       // parity must not depend on corpus size (the production default of

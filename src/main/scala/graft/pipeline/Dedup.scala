@@ -53,6 +53,12 @@ object Dedup {
   def shingleHashes(text: Column, n: Int = 3, algo: String = AlgoXx64): Column =
     graft.plans.VectorKernels.shingleHash(text, n, algoIsMd5(algo))
 
+  /** NON-deduplicated token hashes (SimHash's majority vote needs token
+    * frequency) — kernel form of transform(tokens(text), hash), same
+    * parity pin. */
+  def tokenHashes(text: Column, algo: String = AlgoXx64): Column =
+    graft.plans.VectorKernels.shingleHash(text, 1, algoIsMd5(algo), distinct = false)
+
   /** Oracle-replicable 60-bit hash: decimal value of the first 15 hex
     * digits of md5. Slower than xxhash64 (use it for verification paths);
     * DuckDB computes the identical value via
@@ -292,7 +298,7 @@ object Dedup {
     graft.plans.VectorKernels.simhash(hs)
 
   def simhash(text: Column): Column =
-    simhashFromHashes(transform(tokens(text), t => xxhash64(t)))
+    simhashFromHashes(tokenHashes(text))
 
   /**
    * Blocking keys for `maxDist <= 2`: the 6 quarter-PAIRS (32-bit values).

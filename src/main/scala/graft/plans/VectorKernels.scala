@@ -151,11 +151,19 @@ object VectorKernels {
    * Pinned against the HOF formulation in KernelParitySpec.
    */
   def shingleHashes(text: org.apache.spark.unsafe.types.UTF8String,
-                    n: Int, md5: Boolean): ArrayData = {
+                    n: Int, md5: Boolean): ArrayData =
+    shingleHashes(text, n, md5, distinct = true)
+
+  /** distinct = false (with n = 1) reproduces
+    * `transform(tokens(text), hash)` — the NON-deduplicated token-hash
+    * stream SimHash's majority vote needs (frequency matters there). */
+  def shingleHashes(text: org.apache.spark.unsafe.types.UTF8String,
+                    n: Int, md5: Boolean, distinct: Boolean): ArrayData = {
     val toks = text.trim().toLowerCase().split(WsRegex, -1)
     val width = if (toks.length >= n) n else toks.length
     val count = if (toks.length >= n) toks.length - n + 1 else 1
-    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val seen = if (distinct) new java.util.LinkedHashSet[java.lang.Long]() else null
+    val all = if (distinct) null else new Array[Long](count)
     val digest = if (md5) md5Local.get() else null
     var i = 0
     while (i < count) {
@@ -185,9 +193,10 @@ object VectorKernels {
           org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
             bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
         }
-      seen.add(h)
+      if (distinct) seen.add(h) else all(i) = h
       i += 1
     }
+    if (!distinct) return new GenericArrayData(all)
     val out = new Array[Long](seen.size())
     val it = seen.iterator()
     var k = 0
@@ -207,8 +216,9 @@ object VectorKernels {
   def minhash(hs: Column, params: Seq[(Long, Long)]): Column =
     GraftSqlShim.column(MinHashSig(GraftSqlShim.expression(hs),
       params.map(_._1).toIndexedSeq, params.map(_._2).toIndexedSeq))
-  def shingleHash(text: Column, n: Int, md5: Boolean): Column =
-    GraftSqlShim.column(ShingleHash(GraftSqlShim.expression(text), n, md5))
+  def shingleHash(text: Column, n: Int, md5: Boolean,
+                  distinct: Boolean = true): Column =
+    GraftSqlShim.column(ShingleHash(GraftSqlShim.expression(text), n, md5, distinct))
 }
 
 /** Dot product of a float/double array column with a constant vector. */
@@ -299,7 +309,8 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
 /** Distinct hashed word n-gram shingles of a string column (see
   * VectorKernels.shingleHashes for the pinned semantics). */
-case class ShingleHash(child: Expression, n: Int, md5: Boolean)
+case class ShingleHash(child: Expression, n: Int, md5: Boolean,
+                       distinct: Boolean = true)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -312,10 +323,10 @@ case class ShingleHash(child: Expression, n: Int, md5: Boolean)
     }
   override def nullSafeEval(input: Any): Any =
     VectorKernels.shingleHashes(
-      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, md5)
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, md5, distinct)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.plans.VectorKernels.shingleHashes($c, $n, $md5)")
+      c => s"graft.plans.VectorKernels.shingleHashes($c, $n, $md5, $distinct)")
   override protected def withNewChildInternal(newChild: Expression): ShingleHash =
     copy(child = newChild)
   override def prettyName: String = "graft_shingle_hash"

@@ -124,6 +124,21 @@ class KernelParitySpec extends AnyFunSuite {
     }
   }
 
+  test("ShingleHash(n=1, distinct=false) === transform(tokens(text), hash) " +
+    "bit-for-bit (duplicate tokens preserved, in order)") {
+    import spark.implicits._
+    val texts = Seq("", "   ", "a a a b a", "\tx  y\tx", "İ ß 中文 中文",
+      (1 to 300).map(i => s"w${i % 11}").mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for (md5 <- Seq(false, true)) {
+      val hashFn: Column => Column =
+        if (md5) Dedup.md5Hash60 else (c => xxhash64(c))
+      assertAllEqual(df.select(
+        VectorKernels.shingleHash(col("text"), 1, md5, distinct = false).as("kernel"),
+        transform(Dedup.tokens(col("text")), hashFn).as("hof")))
+    }
+  }
+
   test("kernels survive codegen inside a realistic plan (filter + join)") {
     // smoke: evaluate inside WholeStageCodegen with surrounding operators
     val out = vecDf.as("x").join(vecDf.as("y"), col("x.id") < col("y.id"))
