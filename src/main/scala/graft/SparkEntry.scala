@@ -561,6 +561,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q38_bpe_tokens" -> ((s, dir) => {
+      // tokenizer budgeting: whitespace count next to the GPT-2-style
+      // pre-tokenizer piece count (the count BPE merges start from)
+      docs(s, dir).select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("ws_tokens"),
+        TextOps.bpeTokenCount(col("text")).as("bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q39_winnow_fp" -> ((s, dir) => {
+      // winnowing (MOSS) document fingerprints — the rolling-hash
+      // fingerprint artifact a plagiarism/contamination index stores;
+      // md5-60bit grams so DuckDB reproduces the exact selected hashes
+      Dedup.winnowFingerprints(docs(s, dir), "doc_id", "text",
+        k = 4, w = 5, algo = Dedup.AlgoMd5)
+        .select(col("id").as("doc_id"), col("fp"))
+        .orderBy(col("doc_id"), col("fp"))
+    }),
+
     "q35_image_decode" -> ((s, dir) => {
       // REAL image decode through the real multimodal plumbing: plant a
       // PNG per document whose dimensions are a deterministic function of
@@ -1083,6 +1102,39 @@ object SparkEntry {
          |SELECT doc_id, round(sum(w), 4) AS bm25
          |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+
+    "q38_bpe_tokens" -> {
+      // identical pattern string; RE2 (DuckDB) and Java (Spark) agree on
+      // this lookahead-free subset with leftmost-first alternation.
+      // DuckDB single-quoted literals keep backslashes raw — only the
+      // contraction apostrophe needs SQL escaping
+      val re = TextOps.BpeTokenRe.replace("'", "''")
+      s"""SELECT doc_id,
+         |  len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+         |  len(regexp_extract_all(text, '$re')) AS bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "q39_winnow_fp" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(t) >= 4
+        |    THEN [('0x' || substring(md5(array_to_string(t[i:i+3], ' ')), 1, 15))::UBIGINT::BIGINT
+        |          for i in range(1, len(t) - 2)]
+        |    ELSE [('0x' || substring(md5(array_to_string(t, ' ')), 1, 15))::UBIGINT::BIGINT]
+        |    END AS s
+        |  FROM toks),
+        |pos AS (SELECT doc_id, len(s) AS n,
+        |          unnest([{'p': i - 1, 'h': s[i]} for i in range(1, len(s) + 1)]) AS u
+        |        FROM sh),
+        |win AS (SELECT doc_id, u.p AS pos, n,
+        |          min(u.h) OVER (PARTITION BY doc_id ORDER BY u.p
+        |                         ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS minh
+        |        FROM pos)
+        |SELECT DISTINCT doc_id, minh AS fp FROM win WHERE pos <= n - 5
+        |ORDER BY doc_id, fp""".stripMargin,
 
     // real encode→decode round-trip: DuckDB predicts the TRUE pixel
     // dimensions of the planted PNGs from the md5-60bit hash alone

@@ -59,6 +59,42 @@ object Dedup {
   def tokenHashes(text: Column, algo: String = AlgoXx64): Column =
     graft.plans.VectorKernels.shingleHash(text, 1, algoIsMd5(algo), distinct = false)
 
+  /**
+   * Winnowing document fingerprints (the Schleimer–Wilkerson–Aiken / MOSS
+   * algorithm — the classic "rolling" fingerprint scheme): hash every
+   * word k-gram IN POSITION ORDER (non-distinct), slide a window of `w`
+   * consecutive positions, select each window's minimum hash; the
+   * distinct selected hashes are the document's fingerprint set. The
+   * winnowing guarantee: any two documents sharing a token run of length
+   * ≥ w + k − 1 share at least one fingerprint, while only ~2/(w+1) of
+   * all k-grams are kept — the storage/recall dial real fingerprint
+   * indexes use.
+   *
+   * Scale shape: one kernel pass per doc for the hashes, one window over
+   * (doc, position) — partitioned BY DOCUMENT, so it parallelizes
+   * per-doc with no cross-doc shuffle beyond the per-doc grouping;
+   * fingerprints then feed an inverted index exactly like shingle
+   * postings. Documents with fewer than w windows emit nothing (mirror
+   * the rule in any consumer).
+   */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 4, w: Int = 5,
+                         algo: String = AlgoXx64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hs = df.select(col(idCol).as("id"),
+      posexplode(graft.plans.VectorKernels.shingleHash(
+        col(textCol), k, algoIsMd5(algo), distinct = false)))
+      .withColumnRenamed("col", "h")
+    val perDoc = Window.partitionBy(col("id"))
+    val wMin = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    hs.withColumn("n", count(lit(1)).over(perDoc))
+      .withColumn("minh", min(col("h")).over(wMin))
+      .where(col("pos") <= col("n") - w) // full windows only
+      .select(col("id"), col("minh").as("fp"))
+      .distinct()
+  }
+
   /** Oracle-replicable 60-bit hash: decimal value of the first 15 hex
     * digits of md5. Slower than xxhash64 (use it for verification paths);
     * DuckDB computes the identical value via

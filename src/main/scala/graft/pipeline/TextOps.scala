@@ -28,6 +28,21 @@ object TextOps {
     size(split(trim(text), "\\s+")) +
       length(regexp_replace(text, "[^.,;:!?]", "")).cast("int")
 
+  /** GPT-2-style pre-tokenizer pattern, constrained to the Java∩RE2
+    * regex subset (NO lookahead — DuckDB's RE2 must count identical
+    * matches): contractions split off first, then optional-space letter
+    * runs, digit runs, symbol runs, residual whitespace. Leftmost-first
+    * alternation semantics agree between Java and RE2. */
+  val BpeTokenRe: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Pre-tokenizer token count under BpeTokenRe — the token-budget
+    * estimate an LLM-data pipeline runs over every document (the true
+    * BPE merge step only ever SPLITS these pieces further, so this is
+    * the canonical piece count the merges start from). */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpeTokenRe))
+
   /**
    * Heuristic language ID via stopword hit ratios (n-gram-free variant —
    * the synthetic corpus is space-tokenized). Scores a small stopword set

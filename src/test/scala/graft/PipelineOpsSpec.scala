@@ -343,6 +343,48 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(2L) == ((Some("a"), 1L)))
   }
 
+  test("bpe-ish pre-tokenizer count: contractions, optional-space runs, " +
+    "digits, symbols, residual whitespace") {
+    import graft.pipeline.TextOps
+    val df = docsDf(Seq(
+      (1L, "don't stop"),          // don | 't | " stop"
+      (2L, "abc123!!"),            // abc | 123 | !!
+      (3L, "hello world"),         // hello | " world"
+      (4L, "  "),                  // one whitespace run
+      (5L, "x, y; z")))            // x | , | " y" | ; | " z"
+    val out = df.select(col("doc_id"), TextOps.bpeTokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out(1L) == 3, out)
+    assert(out(2L) == 3)
+    assert(out(3L) == 2)
+    assert(out(4L) == 1)
+    assert(out(5L) == 5)
+  }
+
+  test("winnowing fingerprints: shared >= w+k-1 token run guarantees a " +
+    "shared fingerprint; disjoint docs share none; short docs emit none; " +
+    "deterministic") {
+    // k=3, w=4: guarantee length = w+k-1 = 6 shared tokens
+    val sharedRun = "s1 s2 s3 s4 s5 s6"
+    val df = docsDf(Seq(
+      (1L, s"a1 a2 $sharedRun a3 a4"),
+      (2L, s"b1 b2 b3 $sharedRun b4"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9"), // disjoint vocabulary
+      (4L, "d1 d2 d3")))                  // 1 tri-gram -> n=1 < w -> none
+    val fp = Dedup.winnowFingerprints(df, "doc_id", "text", k = 3, w = 4)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("fp"))
+      .groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).toSet }
+    assert((fp(1L) intersect fp(2L)).nonEmpty, "winnowing guarantee violated")
+    assert((fp(1L) intersect fp(3L)).isEmpty)
+    assert(!fp.contains(4L), "short doc must emit no fingerprints")
+    // ~2/(w+1) selectivity: far fewer fingerprints than k-grams
+    assert(fp(3L).size < 7)
+    // deterministic across runs
+    val fp2 = Dedup.winnowFingerprints(df, "doc_id", "text", k = 3, w = 4)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("fp"))).toSet
+    assert(fp2 == fp.toSeq.flatMap { case (id, s) => s.map(id -> _) }.toSet)
+  }
+
   test("span dedup: cross-doc repeated n-gram spans counted, within-doc " +
     "repetition and short docs handled") {
     val df = docsDf(Seq(
