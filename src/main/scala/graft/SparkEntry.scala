@@ -442,12 +442,26 @@ object SparkEntry {
       // credentials apply), so on a real cluster the staging path can be
       // any shared FS the session is configured for (here: file:/ under
       // java.io.tmpdir — fine at local[*] where executors share the node)
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q32_warc_" +
-        Integer.toHexString(dir.hashCode) + "_" + s.sparkContext.applicationId
+      val prefix = "graft_q32_warc_" + Integer.toHexString(dir.hashCode) + "_"
+      val tmpBase = System.getProperty("java.io.tmpdir")
+      val tmp = s"$tmpBase/$prefix${s.sparkContext.applicationId}"
       val tmpPath = new org.apache.hadoop.fs.Path(tmp)
       val fs = tmpPath.getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(tmpPath, true)
       fs.mkdirs(tmpPath)
+      // no leak across sessions: this session's dir goes on JVM exit, and
+      // stale siblings from crashed/killed JVMs are swept once they are
+      // old enough that no live interleaved bench can still be reading
+      // them (age gate avoids re-introducing the delete-vs-read race)
+      fs.deleteOnExit(tmpPath)
+      val staleBefore = System.currentTimeMillis() - 3600L * 1000
+      val siblings = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$tmpBase/$prefix*"))
+      if (siblings != null) siblings.foreach { st =>
+        if (st.getPath.toString != tmpPath.toString &&
+            st.getModificationTime < staleBefore)
+          try fs.delete(st.getPath, true) catch { case _: Exception => }
+      }
       // Configuration isn't Serializable and Spark's SerializableConfiguration
       // wrapper is private[spark] — broadcast the entries and rebuild
       val bcConf = s.sparkContext.broadcast(

@@ -75,12 +75,21 @@ object ExtractJob {
       if (warcSplits) {
         val glob = new org.apache.hadoop.fs.Path(pagesDir)
         val fs = glob.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val files = fs.globStatus(glob) match {
-          case null  => Array.empty[org.apache.hadoop.fs.FileStatus]
-          case stats => stats
+        val matched = fs.globStatus(glob)
+        // a nonexistent path / typo'd glob must fail loudly, not extract
+        // 0 rows with a success exit
+        if (matched == null || matched.isEmpty)
+          throw new IllegalArgumentException(
+            s"--warc-splits: no files or directories match '$pagesDir'")
+        // a matched directory expands to its files (one level, like the
+        // binaryFile source --warc uses); an existing-but-empty drop dir
+        // is legitimately an empty run
+        val files = matched.flatMap { st =>
+          if (st.isDirectory) fs.listStatus(st.getPath).filterNot(_.isDirectory)
+          else Array(st)
         }
         graft.sources.Warc.readWithSplits(spark,
-          files.filterNot(_.isDirectory).map(_.getPath.toString).sorted.toSeq)
+          files.map(_.getPath.toString).sorted.toSeq)
       }
       else if (warcInput) graft.sources.Warc.read(spark, pagesDir)
       else spark.read.parquet(pagesDir)

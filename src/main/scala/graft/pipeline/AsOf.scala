@@ -106,9 +106,14 @@ object AsOf {
       .withColumn("__carry", last(col("__latest"), ignoreNulls = true).over(wCarry))
       .where(col("__carry").isNotNull)
       .select(col(key), col("__b"), col("__carry"))
+    // carry rows sort at the bucket start; cast to the LEFT ts column's
+    // type so the three-way unionByName stays type-compatible when the
+    // caller's timestamps are numeric epochs rather than TIMESTAMP
+    val bucketStart =
+      (col("__b") * bucketSeconds).cast(left.schema(leftTs).dataType)
     val carryRows = payload.foldLeft(
       carries
-        .withColumn("__ts", (col("__b") * bucketSeconds).cast("timestamp"))
+        .withColumn("__ts", bucketStart)
         .withColumn("__is_l", lit(-1))) { (df, c) =>
       df.withColumn(c, col("__carry").getField(c))
     }.drop("__carry")

@@ -55,11 +55,21 @@ object Multimodal {
       v >>> 4
     }
 
-    /** Real image decode (JDK javax.imageio — PNG/JPEG/GIF/BMP readers
-      * are pure Java, headless-safe): true dimensions when the payload
-      * parses, null when no installed reader recognizes the bytes. */
+    /** True only for magic bytes that cannot occur as leading plain text
+      * (PNG's 0x89 lead, JPEG's 0xFFD8FF): gates the real decoder so
+      * text-byte stub payloads (q23) NEVER depend on how lenient some
+      * installed ImageIO reader is about ASCII-leading formats ("BM...",
+      * "GIF87a" are valid document prefixes). */
+    private def hasBinaryImageMagic(p: Array[Byte]): Boolean =
+      (p.length > 8 && (p(0) & 0xFF) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+        (p.length > 3 && (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8 && (p(2) & 0xFF) == 0xFF)
+
+    /** Real image decode (JDK javax.imageio — the PNG/JPEG readers are
+      * pure Java, headless-safe): true dimensions when the payload
+      * carries a binary image signature and parses; null otherwise. */
     private def decodeImage(payload: Array[Byte]): java.awt.image.BufferedImage =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (!hasBinaryImageMagic(payload)) null
+      else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       catch { case _: Exception => null }
 
     def decode(kind: String, payload: Array[Byte]): (MediaMeta, Array[Double]) = {

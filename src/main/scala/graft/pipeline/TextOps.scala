@@ -32,9 +32,12 @@ object TextOps {
     * regex subset (NO lookahead — DuckDB's RE2 must count identical
     * matches): contractions split off first, then optional-space letter
     * runs, digit runs, symbol runs, residual whitespace. Leftmost-first
-    * alternation semantics agree between Java and RE2. */
+    * alternation semantics agree between Java and RE2. Whitespace is an
+    * EXPLICIT class, not \s: Java's \s includes U+000B (vertical tab),
+    * RE2's does not — the one divergence in this subset. */
+  private val Ws = " \\t\\n\\x0B\\f\\r"
   val BpeTokenRe: String =
-    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    s"'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^$Ws\\p{L}\\p{N}]+|[$Ws]+"
 
   /** Pre-tokenizer token count under BpeTokenRe — the token-budget
     * estimate an LLM-data pipeline runs over every document (the true

@@ -302,16 +302,20 @@ object Warc {
       // the index pass holds one file in task memory (~1 GB worst case on
       // CC-sized files); with a precomputed CDX index this pass is skipped.
       // JVM byte arrays cap at 2 GB — same ceiling as Spark's own
-      // binaryFile source (maxLength = Int.MaxValue), so an oversized
-      // file degrades to a single unindexed split instead of crashing
-      val offs =
-        if (len > Int.MaxValue - 8) Seq.empty[Long]
-        else {
-          val bytes = new Array[Byte](len.toInt)
-          val in = fs.open(path)
-          try in.readFully(0L, bytes) finally in.close()
-          memberOffsets(bytes)
-        }
+      // binaryFile source (maxLength = Int.MaxValue) — and the READ side
+      // has the same ceiling per split, so an oversized file must fail
+      // LOUDLY here, not overflow the Int cast downstream
+      if (len > Int.MaxValue - 8)
+        throw new IllegalArgumentException(
+          s"$p is ${len} bytes — beyond the 2 GB JVM byte-array ceiling " +
+            "(the same limit as Spark's binaryFile source). Split the file " +
+            "upstream or read it via a CDX offset index.")
+      val offs = {
+        val bytes = new Array[Byte](len.toInt)
+        val in = fs.open(path)
+        try in.readFully(0L, bytes) finally in.close()
+        memberOffsets(bytes)
+      }
       val bounds = (if (offs.isEmpty) Seq(0L) else offs) :+ len
       val out = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
       var start = bounds.head

@@ -84,6 +84,17 @@ class ExtractJobSpec extends AnyFunSuite {
       df.select("url", "status", "extracted_text")
         .collect().map(_.toSeq).sortBy(_.head.toString).toSeq
     assert(canon(outS) == canon(out))
+
+    // a typo'd/nonexistent glob must FAIL, not succeed with 0 rows
+    val err = intercept[IllegalArgumentException] {
+      ExtractJob.run(spark, s"$tmp/no_such_dir/*.warc.gz", s"$tmp/out_err",
+        partitions = 4, resume = false, warcInput = true, warcSplits = true)
+    }
+    assert(err.getMessage.contains("no files"))
+    // a DIRECTORY path expands to its files, matching --warc's behavior
+    val nDir = ExtractJob.run(spark, s"$tmp/drop", s"$tmp/out_dir",
+      partitions = 4, resume = false, warcInput = true, warcSplits = true)
+    assert(nDir == 12L)
   }
 
   test("resume: appends only the missing urls (exactly-once per url)") {

@@ -351,7 +351,9 @@ class PipelineOpsSpec extends AnyFunSuite {
       (2L, "abc123!!"),            // abc | 123 | !!
       (3L, "hello world"),         // hello | " world"
       (4L, "  "),                  // one whitespace run
-      (5L, "x, y; z")))            // x | , | " y" | ; | " z"
+      (5L, "x, y; z"),             // x | , | " y" | ; | " z"
+      (6L, "&"),             // & | VT — the Java-vs-RE2 \s edge:
+      (7L, "ab")))           // the explicit class makes both count VT as ws
     val out = df.select(col("doc_id"), TextOps.bpeTokenCount(col("text")).as("n"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(out(1L) == 3, out)
@@ -359,6 +361,8 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(3L) == 2)
     assert(out(4L) == 1)
     assert(out(5L) == 5)
+    assert(out(6L) == 2) // verified equal to DuckDB RE2 on the same pattern
+    assert(out(7L) == 3)
   }
 
   test("winnowing fingerprints: shared >= w+k-1 token run guarantees a " +
@@ -453,6 +457,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed as-of join works with NUMERIC epoch timestamp columns " +
+    "(carry rows cast to the source ts type, union stays type-compatible)") {
+    import spark.implicits._
+    import graft.pipeline.AsOf
+    val base = 1767225600L
+    val left = (0 until 200).map(i => (i.toLong, (i % 4).toLong, base + i * 7L))
+      .toDF("event_id", "user_id", "ts") // ts: BIGINT epoch seconds
+    val right = (0 until 4).flatMap(k => (0 until 10).map(m =>
+      (k.toLong, base + m * 120L, s"v$k-$m")))
+      .toDF("user_id", "snap_ts", "tag")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "tag").collect()
+        .map(r => (r.getLong(0), Option(r.getAs[String]("tag")))).sortBy(_._1).toSeq
+    val plain = canon(AsOf.joinBackward(left, right,
+      "user_id", "ts", "snap_ts", Seq("tag")))
+    val bucketed = canon(AsOf.joinBackwardBucketed(left, right,
+      "user_id", "ts", "snap_ts", Seq("tag"), bucketSeconds = 300))
+    assert(bucketed == plain)
+  }
+
   test("bucketed as-of join spreads a hot key across >1 window task " +
     "(plain variant serializes it in one)") {
     import spark.implicits._
@@ -517,12 +541,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
     val out = Multimodal.extractFeatures(spark, spark.createDataset(Seq(
       Multimodal.MediaRow(1L, "image", png),
-      Multimodal.MediaRow(2L, "image", "not an image at all".getBytes)))).collect()
+      Multimodal.MediaRow(2L, "image", "not an image at all".getBytes),
+      // ASCII-leading magics that are VALID TEXT PREFIXES must stay on
+      // the stub path — q23's text payloads must never reach a lenient
+      // ImageIO reader (only binary PNG/JPEG magic gates the decoder)
+      Multimodal.MediaRow(3L, "image", "GIF87a document about gifs".getBytes),
+      Multimodal.MediaRow(4L, "image", "BM25 ranking notes".getBytes)))).collect()
     val real = out.find(_.media_id == 1L).get
     assert(real.meta.width == 37 && real.meta.height == 21, real.meta)
     // undecodable image bytes fall back to the deterministic stub
     val stub = out.find(_.media_id == 2L).get
     assert(stub.meta.width >= 64 && stub.meta.height >= 64)
+    Seq(3L, 4L).foreach { id =>
+      val m = out.find(_.media_id == id).get.meta
+      assert(m.width >= 64 && m.height >= 64, s"$id not on the stub path: $m")
+    }
   }
 
   test("multimodal plumbing: schema, deterministic stub features, nulls") {

@@ -91,6 +91,25 @@ class WarcSpec extends AnyFunSuite {
     assert(canon(Warc.readWithSplits(spark, Seq(f.toString))) == canon(whole))
   }
 
+  test("splitRanges fails LOUDLY on a file beyond the 2 GB byte-array " +
+    "ceiling (never a downstream negative-size allocation)") {
+    val dir = java.nio.file.Files.createTempDirectory("warcbig")
+    val f = dir.resolve("huge.warc.gz")
+    // sparse file: 3 GB length, no disk blocks
+    val ch = java.nio.channels.FileChannel.open(f,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+    try { ch.position(3L * 1024 * 1024 * 1024 - 1); ch.write(java.nio.ByteBuffer.wrap(Array[Byte](0))) }
+    finally ch.close()
+    val e = intercept[org.apache.spark.SparkException] {
+      Warc.splitRanges(spark, Seq(f.toString), 1L << 20).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+      c.getMessage.contains("2 GB")), e.getMessage.take(300))
+    java.nio.file.Files.delete(f)
+  }
+
   test("Spark ingest: binaryFile scan → pages table; non-2xx filtered") {
     val dir = java.nio.file.Files.createTempDirectory("warcspec")
     java.nio.file.Files.write(dir.resolve("a.warc.gz"),
