@@ -84,6 +84,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(q.contains("Filter"), q.take(2000))
   }
 
+  test("round-4 operators keep their scale shapes: span dedup has no " +
+    "pairwise join, BM25 broadcasts df/stats, winnowing windows by doc, " +
+    "shingle kernel runs inside codegen") {
+    // q36: postings df-count + join-back — NEVER a self-join pair blowup
+    val p36 = plan(SparkEntry.queries("q36_span_dedup")(spark, sf))
+    assert(!p36.contains("CartesianProduct") && !p36.contains("BroadcastNestedLoopJoin"))
+    // q37: the term-level frames broadcast into the scoring pass
+    val p37 = plan(SparkEntry.queries("q37_bm25")(spark, sf))
+    assert(p37.contains("BroadcastExchange") || p37.contains("BroadcastHashJoin"), p37.take(2000))
+    assert(!p37.contains("CartesianProduct"))
+    // q39: exactly one Window, partitioned by the document id — per-doc
+    // parallelism, no global ordering
+    val p39 = plan(SparkEntry.queries("q39_winnow_fp")(spark, sf))
+    // (the operator's internal doc column is named `id`)
+    val winLines = p39.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty &&
+      winLines.forall(_.contains("windowspecdefinition(id#")), winLines.mkString("\n"))
+    // the shingle kernel evaluates inside a WholeStageCodegen span
+    val df16 = spark.read.parquet(s"$sf/documents.parquet")
+      .select(graft.pipeline.Dedup.shingleHashes(col("text")).as("sh"))
+    val p16 = plan(df16)
+    assert(p16.linesIterator.exists(l => l.contains("*(") && l.contains("graft_shingle_hash")),
+      p16.take(1500))
+  }
+
   test("brute knn broadcasts the query side (corpus never shuffles)") {
     val p = plan(SparkEntry.queries("q20_knn_brute")(spark, "/root/testdata/sf0.001"))
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p.take(2000))
