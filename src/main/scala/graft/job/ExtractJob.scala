@@ -71,27 +71,28 @@ object ExtractJob {
     // the curated parquet pages table — same job from there on.
     // --warc-splits additionally splits each file at gzip member
     // boundaries so a few large files still fill every slot.
+    // Both modes resolve CONCRETE file paths up front: a typo'd glob
+    // fails loudly instead of extracting 0 rows, and binaryFile never
+    // sees a raw glob (whose FileStreamSink metadata probe logs a
+    // crash-shaped FileNotFoundException into job output).
+    def resolveWarcFiles(): Seq[String] = {
+      val glob = new org.apache.hadoop.fs.Path(pagesDir)
+      val fs = glob.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val matched = fs.globStatus(glob)
+      if (matched == null || matched.isEmpty)
+        throw new IllegalArgumentException(
+          s"--warc: no files or directories match '$pagesDir'")
+      // a matched directory expands to its files (one level, like the
+      // binaryFile source); an existing-but-empty drop dir is
+      // legitimately an empty run
+      matched.flatMap { st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).filterNot(_.isDirectory)
+        else Array(st)
+      }.map(_.getPath.toString).sorted.toSeq
+    }
     var input: DataFrame =
-      if (warcSplits) {
-        val glob = new org.apache.hadoop.fs.Path(pagesDir)
-        val fs = glob.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val matched = fs.globStatus(glob)
-        // a nonexistent path / typo'd glob must fail loudly, not extract
-        // 0 rows with a success exit
-        if (matched == null || matched.isEmpty)
-          throw new IllegalArgumentException(
-            s"--warc-splits: no files or directories match '$pagesDir'")
-        // a matched directory expands to its files (one level, like the
-        // binaryFile source --warc uses); an existing-but-empty drop dir
-        // is legitimately an empty run
-        val files = matched.flatMap { st =>
-          if (st.isDirectory) fs.listStatus(st.getPath).filterNot(_.isDirectory)
-          else Array(st)
-        }
-        graft.sources.Warc.readWithSplits(spark,
-          files.map(_.getPath.toString).sorted.toSeq)
-      }
-      else if (warcInput) graft.sources.Warc.read(spark, pagesDir)
+      if (warcSplits) graft.sources.Warc.readWithSplits(spark, resolveWarcFiles())
+      else if (warcInput) graft.sources.Warc.read(spark, resolveWarcFiles())
       else spark.read.parquet(pagesDir)
         .select(PageTableIO.ExtractColumns.map(col): _*)
 
