@@ -354,6 +354,21 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    "q40_pq_adc" -> ((s, dir) => {
+      // product-quantized ANN: 64-dim vectors → 8 codes (32× memory
+      // compression); ADC search scans ONLY the codes. Gate shape at
+      // iters=0 (deterministic lowest-id codebook init, as q28) so
+      // codebooks, code assignment and ADC sums are all bit-reproducible
+      // in DuckDB; Lloyd refinement is pinned by the planted recall test.
+      val e = emb(s, dir)
+      val cb = Similarity.trainPqCodebooks(e, "vec_id", "embedding",
+        m = 8, ksub = 16, iters = 0)
+      Similarity.pqAdcSearch(
+        Similarity.pqEncode(e, "vec_id", "embedding", cb),
+        e.where(col("vec_id") < 10), "vec_id", "embedding", cb, k = 10)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // ---- extraction (the engine itself) --------------------------------
     "q22_extract_docs" -> ((s, dir) => {
       import s.implicits._
@@ -1195,6 +1210,36 @@ object SparkEntry {
         |  CASE WHEN nbytes = 0 THEN 0.0 ELSE
         |    round((length(nb) - length(replace(nb, '7', ''))) / length(nb)::DOUBLE, 4) END AS f7
         |FROM h ORDER BY media_id""".stripMargin,
+
+    // PQ at iters=0: codebook j = subvectors [j*8+1 .. j*8+8] of the 16
+    // lowest-id vectors; code = argmax dot (ties → lowest k); ADC =
+    // sum over subspaces of the query-side dot table entries
+    "q40_pq_adc" ->
+      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+        |initk AS (SELECT row_number() OVER (ORDER BY id) - 1 AS k, v
+        |          FROM (SELECT id, v FROM e ORDER BY id LIMIT 16) t),
+        |cb AS (SELECT r.j, initk.k, v[r.j*8+1 : r.j*8+8] AS c
+        |       FROM initk, range(8) r(j)),
+        |enc AS (
+        |  SELECT e.id, cb.j, cb.k,
+        |    row_number() OVER (PARTITION BY e.id, cb.j
+        |      ORDER BY list_dot_product(e.v[cb.j*8+1 : cb.j*8+8], cb.c) DESC,
+        |               cb.k ASC) AS rn
+        |  FROM e CROSS JOIN cb),
+        |codes AS (SELECT id, j, k AS code FROM enc WHERE rn = 1),
+        |adc AS (
+        |  SELECT q.qid, codes.id,
+        |    round(sum(list_dot_product(q.qv[codes.j*8+1 : codes.j*8+8], cb.c)), 6) AS adc
+        |  FROM codes JOIN cb ON cb.j = codes.j AND cb.k = codes.code
+        |  CROSS JOIN q
+        |  WHERE codes.id <> q.qid
+        |  GROUP BY q.qid, codes.id),
+        |ranked AS (SELECT qid, id, adc,
+        |    row_number() OVER (PARTITION BY qid ORDER BY adc DESC, id ASC) AS rank
+        |  FROM adc)
+        |SELECT qid, rank, id, adc FROM ranked WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
 
     // iters=0 gate shape: centroids = the 16 lowest-id vectors, unit-
     // normalized — fully deterministic, so assignment/probes/re-rank are

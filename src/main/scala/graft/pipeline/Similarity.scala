@@ -260,6 +260,109 @@ object Similarity {
       .select(col("qid"), col("rank"), col("id"), col("cos"))
   }
 
+  // ---- product quantization (compressed-domain ANN) ---------------------
+
+  /**
+   * Train PQ codebooks: the vector space splits into `m` subspaces of
+   * dim/m dimensions; each subspace gets `ksub` centroids. iters=0 uses
+   * the deterministic init (the ksub lowest-id vectors' subvectors) —
+   * fully reproducible cross-engine, the oracled gate shape (same
+   * convention as ivfKmeansKnn). iters>0 runs per-subspace Lloyd rounds
+   * (distributed assign → per-(subspace, code, dim) mean — a tiny
+   * m × ksub × dsub driver-side model update), pinned by the planted
+   * recall test instead (float averaging is not cross-engine
+   * reproducible).
+   *
+   * Returns codebooks(j)(k) = the k-th centroid of subspace j.
+   */
+  def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                       m: Int = 8, ksub: Int = 16,
+                       iters: Int = 0): Array[Array[Array[Double]]] = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val init = c.orderBy(col("id")).limit(ksub)
+      .select(col("v")).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val dim = init.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    var codebooks: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(j => init.map(v => v.slice(j * dsub, (j + 1) * dsub)))
+    var it = 0
+    while (it < iters) {
+      // one distributed pass assigns every (row, subspace) pair; the
+      // means update the tiny model on the driver
+      val assigned = c.select(explode(array((0 until m).map { j =>
+          struct(lit(j).as("j"),
+            pqCodeCol(col("v"), codebooks, j, dsub).as("code"),
+            slice(col("v"), j * dsub + 1, dsub).as("sub"))
+        }: _*)).as("a"))
+        .select(col("a.j"), col("a.code"), posexplode(col("a.sub")))
+        .groupBy(col("j"), col("code"), col("pos"))
+        .agg(avg(col("col")).as("mean"))
+        .collect()
+      val next = codebooks.map(_.map(_.clone()))
+      assigned.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+      }
+      codebooks = next
+      it += 1
+    }
+    codebooks
+  }
+
+  /** argmax-dot code of subspace j (first-index tie-break, as q28). */
+  private def pqCodeCol(v: Column, cb: Array[Array[Array[Double]]],
+                        j: Int, dsub: Int): Column = {
+    val sub = slice(v, j * dsub + 1, dsub)
+    val dots = array(cb(j).map(c =>
+      graft.plans.VectorKernels.dotConst(sub, c.toSeq)): _*)
+    (array_position(dots, array_max(dots)) - 1).cast("int")
+  }
+
+  /** Encode every vector to m small codes — the 32× memory artifact
+    * (a 64-float vector becomes 8 codes) a 10^12-row deployment stores
+    * and scans instead of raw vectors. Codes compute as codegen'd dot
+    * products; the vector column is DROPPED from the result. */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    corpus.select(col(idCol).as("id"),
+      array((0 until m).map(j =>
+        pqCodeCol(col(vecCol), codebooks, j, dsub)): _*).as("codes"))
+  }
+
+  /**
+   * ADC search (asymmetric distance computation): each query builds its
+   * m × ksub dot-product table against the codebooks as expressions; a
+   * code vector scores as the sum of its m table entries — the scan
+   * touches ONLY the compressed codes (broadcast queries, no corpus
+   * vector access). Top-k by ADC score; callers wanting exact results
+   * re-rank the top candidates by true cosine via an id re-join (the
+   * standard PQ + re-rank pipeline).
+   */
+  def pqAdcSearch(encoded: DataFrame, queries: DataFrame,
+                  qidCol: String, vecCol: String,
+                  codebooks: Array[Array[Array[Double]]],
+                  k: Int = 10): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val qbase = queries.select(col(qidCol).as("qid"), col(vecCol).as("qv"))
+    val adc = (0 until m).map { j =>
+      val qtable = array(codebooks(j).map(c =>
+        graft.plans.VectorKernels.dotConst(
+          slice(col("qv"), j * dsub + 1, dsub), c.toSeq)): _*)
+      element_at(qtable, element_at(col("codes"), j + 1) + 1)
+    }.reduce(_ + _)
+    val scored = encoded.join(broadcast(qbase))
+      .where(col("id") =!= col("qid"))
+      .withColumn("adc", round(adc, 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("adc"))
+  }
+
   /**
    * LSH/IVF approximate top-k, one-shot shape: candidates = corpus rows
    * sharing a bucket with the query in ANY of `tables` tables; exact

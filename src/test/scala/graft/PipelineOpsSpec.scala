@@ -343,6 +343,45 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(2L) == ((Some("a"), 1L)))
   }
 
+  test("product quantization: planted near-identical vectors share codes " +
+    "and top ADC rank (trained codebooks, iters > 0); 32x compression shape") {
+    import spark.implicits._
+    import graft.pipeline.Similarity
+    val dim = 16
+    val rnd = new scala.util.Random(5)
+    // two tight clusters + noise; vector 100 is a near-copy of vector 0
+    def jitter(base: Array[Float]) = base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f)
+    val a = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+    val b = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+    val rows = (0 until 40).map { i =>
+      val v = if (i == 0 || i == 100) a
+        else if (i % 2 == 0) jitter(a) else jitter(b)
+      (i.toLong, v)
+    } :+ (100L, jitter(a))
+    val df = rows.toDF("vec_id", "embedding")
+    val cb = Similarity.trainPqCodebooks(df, "vec_id", "embedding",
+      m = 4, ksub = 8, iters = 2)
+    assert(cb.length == 4 && cb(0).length == 8 && cb(0)(0).length == 4)
+    val enc = Similarity.pqEncode(df, "vec_id", "embedding", cb)
+    // compression shape: codes only, m entries per row
+    assert(enc.columns.toSeq == Seq("id", "codes"))
+    assert(enc.head.getSeq[Int](1).length == 4)
+    // the near-copy of vector 0 gets IDENTICAL codes (same cells)
+    val codes = enc.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes(100L) == codes(0L), s"${codes(0L)} vs ${codes(100L)}")
+    // ADC scores the near-copy at the TOP score (code-identical vectors
+    // tie exactly — ADC can't rank within a cell, by construction — so
+    // assert membership in the top-score tie, not rank 1)
+    val res = Similarity.pqAdcSearch(enc,
+      df.where(col("vec_id") === 0L), "vec_id", "embedding", cb, k = 50)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("adc"))
+    val best = res.map(_._2).max
+    assert(res.toMap.apply(100L) == best, res.take(5).mkString("; "))
+    // and every cluster-B vector scores strictly below the top
+    val bIds = (1 until 40 by 2).map(_.toLong).toSet
+    assert(res.filter(r => bIds(r._1)).forall(_._2 < best))
+  }
+
   test("bpe-ish pre-tokenizer count: contractions, optional-space runs, " +
     "digits, symbols, residual whitespace") {
     import graft.pipeline.TextOps
