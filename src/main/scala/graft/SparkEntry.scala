@@ -354,6 +354,22 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    "q41_hll_distinct" -> ((s, dir) => {
+      // cardinality profiling a 100 TB pipeline runs continuously:
+      // per-language distinct-token estimate via the deterministic HLL
+      // sketch, next to the exact count and the realized error
+      val toks = docs(s, dir)
+        .select(col("lang"), explode(Dedup.tokens(col("text"))).as("tok"))
+      val est = graft.pipeline.Sketch.hllDistinct(toks, Seq("lang"), col("tok"))
+      val exact = toks.groupBy(col("lang"))
+        .agg(countDistinct(col("tok")).as("exact_distinct"))
+      est.join(exact, Seq("lang"))
+        .withColumn("rel_err_pct",
+          round(abs(col("hll_estimate") - col("exact_distinct")) /
+            col("exact_distinct") * 100, 2))
+        .orderBy(col("lang"))
+    }),
+
     "q40_pq_adc" -> ((s, dir) => {
       // product-quantized ANN: 64-dim vectors → 8 codes (32× memory
       // compression); ADC search scans ONLY the codes. Gate shape at
@@ -1210,6 +1226,36 @@ object SparkEntry {
         |  CASE WHEN nbytes = 0 THEN 0.0 ELSE
         |    round((length(nb) - length(replace(nb, '7', ''))) / length(nb)::DOUBLE, 4) END AS f7
         |FROM h ORDER BY media_id""".stripMargin,
+
+    // the HLL register math is deterministic end-to-end: md5-60 hashes,
+    // integer-exact rho via bin()-length (both engines emit minimal
+    // binary strings), fixed alpha/m constants
+    "q41_hll_distinct" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |h AS (SELECT lang, tok,
+        |        ('0x' || substring(md5(tok), 1, 15))::UBIGINT::BIGINT AS h
+        |      FROM toks),
+        |br AS (SELECT lang, h >> 51 AS bucket,
+        |         CASE WHEN (h & ((1::BIGINT << 51) - 1)) = 0 THEN 52
+        |              ELSE 52 - length(bin(h & ((1::BIGINT << 51) - 1))) END AS rho
+        |       FROM h),
+        |regs AS (SELECT lang, bucket, max(rho) AS r FROM br GROUP BY lang, bucket),
+        |agg AS (SELECT lang, sum(pow(2.0, -r)) AS sinv, count(*) AS used
+        |        FROM regs GROUP BY lang),
+        |est AS (SELECT lang,
+        |   0.7213 / (1 + 1.079 / 512) * 512 * 512 / (sinv + (512 - used)) AS rawE,
+        |   512 - used AS zeros FROM agg),
+        |fin AS (SELECT lang,
+        |   round(CASE WHEN rawE <= 2.5 * 512 AND zeros > 0
+        |         THEN 512 * ln(512 / zeros) ELSE rawE END, 2) AS hll_estimate
+        |   FROM est),
+        |ex AS (SELECT lang, count(DISTINCT tok) AS exact_distinct
+        |       FROM toks GROUP BY lang)
+        |SELECT fin.lang, hll_estimate, exact_distinct,
+        |  round(abs(hll_estimate - exact_distinct) / exact_distinct * 100, 2) AS rel_err_pct
+        |FROM fin JOIN ex USING (lang) ORDER BY lang""".stripMargin,
 
     // PQ at iters=0: codebook j = subvectors [j*8+1 .. j*8+8] of the 16
     // lowest-id vectors; code = argmax dot (ties → lowest k); ADC =

@@ -343,6 +343,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(2L) == ((Some("a"), 1L)))
   }
 
+  test("HLL sketch: estimate within the m=512 error envelope at 10k " +
+    "distinct; small-range correction lands near-exact at 10 distinct; " +
+    "duplicates don't move the estimate") {
+    import spark.implicits._
+    import graft.pipeline.Sketch
+    val big = (1 to 10000).map(i => ("g1", s"val$i")) ++
+      (1 to 10).map(i => ("g2", s"tiny$i"))
+    val df = big.toDF("g", "v")
+    val est = Sketch.hllDistinct(df, Seq("g"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // 3 sigma at m=512 is ~14% (1.04/sqrt(512) per sigma)
+    assert(math.abs(est("g1") - 10000) / 10000 < 0.15, est("g1"))
+    // linear-counting regime: near-exact for tiny cardinalities
+    assert(math.abs(est("g2") - 10) <= 1.0, est("g2"))
+    // multiplicity-invariant: tripling every row changes nothing
+    val est3 = Sketch.hllDistinct(
+      (big ++ big ++ big).toDF("g", "v"), Seq("g"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(est3 == est)
+  }
+
   test("product quantization: planted near-identical vectors share codes " +
     "and top ADC rank (trained codebooks, iters > 0); 32x compression shape") {
     import spark.implicits._
