@@ -332,6 +332,29 @@ object Similarity {
         pqCodeCol(col(vecCol), codebooks, j, dsub)): _*).as("codes"))
   }
 
+  /** Persist PQ codebooks (a tiny m × ksub × dsub model) as (j, k, c)
+    * parquet rows — with the encoded codes table this is the complete
+    * compressed index an "encode once, query many" deployment stores. */
+  def savePqCodebooks(codebooks: Array[Array[Array[Double]]],
+                      spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    codebooks.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (c, k) => (j, k, c.toSeq) }
+    }.toSeq.toDF("j", "k", "c")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadPqCodebooks(spark: SparkSession, path: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(path)
+      .select(col("j"), col("k"), col("c")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = rows.map(_._1).max + 1
+    val ksub = rows.map(_._2).max + 1
+    val out = Array.ofDim[Array[Double]](m, ksub)
+    rows.foreach { case (j, k, c) => out(j)(k) = c }
+    out.map(_.toArray)
+  }
+
   /**
    * ADC search (asymmetric distance computation): each query builds its
    * m × ksub dot-product table against the codebooks as expressions; a

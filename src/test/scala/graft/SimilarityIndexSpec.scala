@@ -94,6 +94,25 @@ class SimilarityIndexSpec extends AnyFunSuite {
     assert(canon(second) == canon(secondDirect))
   }
 
+  test("PQ codebooks: save → load round-trips bit-exactly; ADC search on " +
+    "loaded codebooks ≡ direct") {
+    val corpus = vecs(60)
+    val queries = corpus.where(org.apache.spark.sql.functions.col("vec_id") < 4)
+    val cb = Similarity.trainPqCodebooks(corpus, "vec_id", "embedding",
+      m = 4, ksub = 8, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("pqcb").toString
+    Similarity.savePqCodebooks(cb, spark, dir)
+    val loaded = Similarity.loadPqCodebooks(spark, dir)
+    assert(loaded.map(_.map(_.toSeq).toSeq).toSeq == cb.map(_.map(_.toSeq).toSeq).toSeq)
+    val direct = Similarity.pqAdcSearch(
+      Similarity.pqEncode(corpus, "vec_id", "embedding", cb),
+      queries, "vec_id", "embedding", cb, k = 5)
+    val viaLoaded = Similarity.pqAdcSearch(
+      Similarity.pqEncode(corpus, "vec_id", "embedding", loaded),
+      queries, "vec_id", "embedding", loaded, k = 5)
+    assert(canon(viaLoaded) == canon(direct))
+  }
+
   test("LSH bucket index: save → load → search ≡ one-shot ivfKnn") {
     val corpus = vecs(80)
     val queries = corpus.where(org.apache.spark.sql.functions.col("vec_id") < 5)
