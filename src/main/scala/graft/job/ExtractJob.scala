@@ -76,19 +76,25 @@ object ExtractJob {
     // sees a raw glob (whose FileStreamSink metadata probe logs a
     // crash-shaped FileNotFoundException into job output).
     def resolveWarcFiles(): Seq[String] = {
+      val mode = if (warcSplits) "--warc-splits" else "--warc"
       val glob = new org.apache.hadoop.fs.Path(pagesDir)
       val fs = glob.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val matched = fs.globStatus(glob)
       if (matched == null || matched.isEmpty)
         throw new IllegalArgumentException(
-          s"--warc: no files or directories match '$pagesDir'")
-      // a matched directory expands to its files (one level, like the
-      // binaryFile source); an existing-but-empty drop dir is
-      // legitimately an empty run
-      matched.flatMap { st =>
-        if (st.isDirectory) fs.listStatus(st.getPath).filterNot(_.isDirectory)
-        else Array(st)
-      }.map(_.getPath.toString).sorted.toSeq
+          s"$mode: no files or directories match '$pagesDir'")
+      // matched directories expand RECURSIVELY (binaryFile's own listing
+      // descends into nested drop layouts like drop/segment-NN/*.warc.gz);
+      // hidden/metadata entries (_SUCCESS, .*.crc) are skipped exactly as
+      // Spark's file index skips them. An existing-but-empty drop dir is
+      // legitimately an empty run.
+      def hidden(p: org.apache.hadoop.fs.Path): Boolean =
+        p.getName.startsWith("_") || p.getName.startsWith(".")
+      def walk(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
+        if (hidden(st.getPath)) Nil
+        else if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(walk)
+        else Seq(st)
+      matched.toSeq.flatMap(walk).map(_.getPath.toString).sorted
     }
     var input: DataFrame =
       if (warcSplits) graft.sources.Warc.readWithSplits(spark, resolveWarcFiles())

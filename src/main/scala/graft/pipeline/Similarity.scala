@@ -352,7 +352,12 @@ object Similarity {
     val ksub = rows.map(_._2).max + 1
     val out = Array.ofDim[Array[Double]](m, ksub)
     rows.foreach { case (j, k, c) => out(j)(k) = c }
-    out.map(_.toArray)
+    // fail HERE on a truncated/partial index, not with an opaque NPE
+    // inside a later encode/search job
+    for (j <- 0 until m; k <- 0 until ksub)
+      require(out(j)(k) != null,
+        s"codebook at $path is not dense: missing (j=$j, k=$k) of ${m}x$ksub")
+    out
   }
 
   /**

@@ -95,6 +95,19 @@ class ExtractJobSpec extends AnyFunSuite {
     val nDir = ExtractJob.run(spark, s"$tmp/drop", s"$tmp/out_dir",
       partitions = 4, resume = false, warcInput = true, warcSplits = true)
     assert(nDir == 12L)
+
+    // NESTED drop layouts (drop/segment-NN/*.warc.gz, the Common-Crawl
+    // shape) are walked recursively, and hidden/metadata entries
+    // (_SUCCESS, .crc) are skipped — both as the binaryFile source does
+    val seg = java.nio.file.Paths.get(s"$tmp/nested/segment-00")
+    java.nio.file.Files.createDirectories(seg)
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$tmp/drop/a.warc.gz"),
+      seg.resolve("a.warc.gz"))
+    java.nio.file.Files.write(seg.resolve("_SUCCESS"), Array.emptyByteArray)
+    java.nio.file.Files.write(seg.resolve(".a.warc.gz.crc"), "junk".getBytes)
+    val nNested = ExtractJob.run(spark, s"$tmp/nested", s"$tmp/out_nested",
+      partitions = 4, resume = false, warcInput = true, warcSplits = true)
+    assert(nNested == 8L, s"nested layout should yield file a's 8 urls, got $nNested")
   }
 
   test("resume: appends only the missing urls (exactly-once per url)") {
