@@ -354,6 +354,16 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    "q42_weighted_sample" -> ((s, dir) => {
+      // quality-weighted curation draw (Efraimidis–Spirakis A-ES,
+      // deterministic): 25 docs per language, draw probability
+      // proportional to document length
+      Sampling.weightedSample(docs(s, dir), Seq("lang"), "doc_id",
+        length(col("text")), n = 25)
+        .select(col("lang"), col("sample_rank"), col("doc_id"))
+        .orderBy(col("lang"), col("sample_rank"))
+    }),
+
     "q41_hll_distinct" -> ((s, dir) => {
       // cardinality profiling a 100 TB pipeline runs continuously:
       // per-language distinct-token estimate via the deterministic HLL
@@ -1226,6 +1236,23 @@ object SparkEntry {
         |  CASE WHEN nbytes = 0 THEN 0.0 ELSE
         |    round((length(nb) - length(replace(nb, '7', ''))) / length(nb)::DOUBLE, 4) END AS f7
         |FROM h ORDER BY media_id""".stripMargin,
+
+    // A-ES keys u^(1/w) in doubles over the md5-60 uniform — both
+    // engines compute identical values; ranks tie-break by doc_id
+    "q42_weighted_sample" ->
+      """WITH k AS (
+        |  SELECT lang, doc_id,
+        |    pow((('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT::DOUBLE + 1)
+        |          / pow(2.0, 60),
+        |        1.0 / length(text)) AS key
+        |  FROM documents WHERE length(text) > 0),
+        |r AS (SELECT lang, doc_id,
+        |        row_number() OVER (PARTITION BY lang
+        |                           ORDER BY key DESC, doc_id ASC) AS sample_rank
+        |      FROM k)
+        |SELECT lang, sample_rank::INTEGER AS sample_rank, doc_id
+        |FROM r WHERE sample_rank <= 25
+        |ORDER BY lang, sample_rank""".stripMargin,
 
     // the HLL register math is deterministic end-to-end: md5-60 hashes,
     // integer-exact rho via bin()-length (both engines emit minimal

@@ -47,4 +47,33 @@ object Sampling {
     df.withColumn("sample_rank", row_number().over(w))
       .where(col("sample_rank") <= n)
   }
+
+  /**
+   * Deterministic WEIGHTED sampling without replacement (Efraimidis–
+   * Spirakis A-ES): each row gets key = u^(1/weight) with u a
+   * deterministic hash-uniform in (0, 1]; the n largest keys are the
+   * sample. A row with twice the weight is twice as likely to be drawn —
+   * the quality-weighted curation draw (sample by quality score, docs
+   * above a bar proportionally favored) an LLM-data pipeline runs after
+   * scoring. Same plan shape as stratifiedQuota: rank-filter window →
+   * WindowGroupLimit partial top-n before the (optional strata) shuffle.
+   *
+   * Deterministic and cross-engine-reproducible: u = (h + 1) / 2^60 over
+   * the md5-60bit id hash, key = pow(u, 1/w) in doubles — DuckDB computes
+   * the identical values. Non-positive weights are excluded (their draw
+   * probability is 0).
+   */
+  def weightedSample(df: DataFrame, strataCols: Seq[String], idCol: String,
+                     weightCol: Column, n: Int): DataFrame = {
+    val u = (Dedup.md5Hash60(col(idCol).cast("string")).cast("double") + 1.0) /
+      math.pow(2.0, 60)
+    val key = pow(u, lit(1.0) / weightCol.cast("double"))
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(col("__aes_key").desc, col(idCol).asc)
+    df.where(weightCol.cast("double") > 0)
+      .withColumn("__aes_key", key)
+      .withColumn("sample_rank", row_number().over(w))
+      .where(col("sample_rank") <= n)
+      .drop("__aes_key")
+  }
 }

@@ -343,6 +343,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(2L) == ((Some("a"), 1L)))
   }
 
+  test("weighted sampling (A-ES): heavy weights dominate the draw, " +
+    "non-positive weights excluded, deterministic across runs") {
+    import spark.implicits._
+    import graft.pipeline.Sampling
+    // 100 heavy rows (w=5000) vs 100 light rows (w=0.5): a light row's
+    // key is u^2 << u^(1/5000), so the top-50 draw is all-heavy
+    val df = ((0 until 100).map(i => (i.toLong, "g", 5000.0)) ++
+      (100 until 200).map(i => (i.toLong, "g", 0.5)) ++
+      Seq((999L, "g", 0.0), (998L, "g", -3.0))) // excluded
+      .toDF("doc_id", "grp", "w")
+    val out = Sampling.weightedSample(df, Seq("grp"), "doc_id", col("w"), n = 50)
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.count() == 50)
+    assert(ids.forall(_ < 100), s"light/excluded rows drawn: ${ids.filter(_ >= 100)}")
+    assert(!ids.contains(999L) && !ids.contains(998L))
+    // rank column well-formed and the draw is reproducible
+    assert(out.agg(max(col("sample_rank"))).head.getInt(0) == 50)
+    val again = Sampling.weightedSample(df, Seq("grp"), "doc_id", col("w"), n = 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == ids)
+  }
+
   test("HLL sketch: estimate within the m=512 error envelope at 10k " +
     "distinct; small-range correction lands near-exact at 10 distinct; " +
     "duplicates don't move the estimate") {
