@@ -354,6 +354,21 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    "q43_cms_freq" -> ((s, dir) => {
+      // heavy-hitter frequency estimation: a 4×1024 count-min sketch
+      // over the token stream, point-queried for the exact top-20 tokens
+      // (estimate ≥ exact always; the d-row min bounds the overcount)
+      import graft.pipeline.Sketch
+      val toks = docs(s, dir).select(explode(Dedup.tokens(col("text"))).as("tok"))
+      val cms = Sketch.cmsBuild(toks, col("tok"))
+      val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("tok").asc).limit(20)
+      Sketch.cmsLookup(cms, top, col("tok"))
+        .withColumn("overcount", col("cms_estimate") - col("exact_cnt"))
+        .select(col("tok"), col("exact_cnt"), col("cms_estimate"), col("overcount"))
+        .orderBy(col("exact_cnt").desc, col("tok").asc)
+    }),
+
     "q42_weighted_sample" -> ((s, dir) => {
       // quality-weighted curation draw (Efraimidis–Spirakis A-ES,
       // deterministic): 25 docs per language, draw probability
@@ -1236,6 +1251,42 @@ object SparkEntry {
         |  CASE WHEN nbytes = 0 THEN 0.0 ELSE
         |    round((length(nb) - length(replace(nb, '7', ''))) / length(nb)::DOUBLE, 4) END AS f7
         |FROM h ORDER BY media_id""".stripMargin,
+
+    // pure integer math with the q17 affine constants — the sketch
+    // reproduces EXACTLY (no float anywhere)
+    "q43_cms_freq" -> {
+      val params = Dedup.hashParams(4)
+      def bucket(i: Int, h: String): String = {
+        val (a, b) = params(i)
+        s"((($a * ($h % 2147483647) + $b) % ${Dedup.MersennePrime}) % 1024)"
+      }
+      val rbUnion = (0 until 4).map(i =>
+        s"SELECT $i AS r, ${bucket(i, "h")} AS bucket FROM h").mkString("\n  UNION ALL ")
+      val trbUnion = (0 until 4).map(i =>
+        s"SELECT tok, exact_cnt, $i AS r, ${bucket(i, "h")} AS bucket FROM th")
+        .mkString("\n  UNION ALL ")
+      s"""WITH toks AS (
+         |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+         |  FROM documents),
+         |h AS (SELECT ('0x' || substring(md5(tok), 1, 15))::UBIGINT::BIGINT AS h FROM toks),
+         |rb AS (
+         |  $rbUnion),
+         |cms AS (SELECT r, bucket, count(*) AS cnt FROM rb GROUP BY r, bucket),
+         |top AS (SELECT tok, count(*) AS exact_cnt FROM toks GROUP BY tok
+         |        ORDER BY exact_cnt DESC, tok ASC LIMIT 20),
+         |th AS (SELECT tok, exact_cnt,
+         |         ('0x' || substring(md5(tok), 1, 15))::UBIGINT::BIGINT AS h
+         |       FROM top),
+         |trb AS (
+         |  $trbUnion),
+         |j AS (SELECT trb.tok, trb.exact_cnt, coalesce(cms.cnt, 0) AS cnt
+         |      FROM trb LEFT JOIN cms USING (r, bucket))
+         |SELECT tok, exact_cnt::BIGINT AS exact_cnt,
+         |  min(cnt)::BIGINT AS cms_estimate,
+         |  (min(cnt) - exact_cnt)::BIGINT AS overcount
+         |FROM j GROUP BY tok, exact_cnt
+         |ORDER BY exact_cnt DESC, tok ASC""".stripMargin
+    },
 
     // A-ES keys u^(1/w) in doubles over the md5-60 uniform — both
     // engines compute identical values; ranks tie-break by doc_id

@@ -33,6 +33,53 @@ object Sketch {
    * Plan shape: one partial-aggregating shuffle to (group, bucket) —
    * at most m rows per group survive — then a tiny per-group rollup.
    */
+  /** CMS row-i bucket of a value: affine Carter-Wegman over the md5-60
+    * hash reduced mod 2^31 (same family and constants as the minhash
+    * signatures — Dedup.hashParams — so oracle SQL embeds identical
+    * a/b values; pure integer math, overflow-safe under ANSI since
+    * a < 2^31 and h' < 2^31). */
+  private def cmsBucket(h: Column, a: Long, b: Long, w: Int): Column =
+    pmod((lit(a) * pmod(h, lit(2147483647L)) + lit(b)) % lit(Dedup.MersennePrime),
+      lit(w.toLong))
+
+  /**
+   * Count-min sketch over a value stream: d×w integer counters; an
+   * item's estimate is the MIN of its d row counters — always ≥ the true
+   * count, within εN with probability 1−δ for w = e/ε, d = ln(1/δ).
+   * The fixed-size counter table is the frequency/heavy-hitter state a
+   * pipeline keeps where exact per-token counts would be another
+   * full-vocabulary shuffle. Pure integer math end-to-end — the sketch
+   * reproduces EXACTLY cross-engine (q43).
+   */
+  def cmsBuild(df: DataFrame, valueCol: Column,
+               d: Int = 4, w: Int = 1024): DataFrame = {
+    val params = Dedup.hashParams(d)
+    val h = Dedup.md5Hash60(valueCol)
+    df.select(explode(array(params.zipWithIndex.map { case ((a, b), i) =>
+        struct(lit(i).as("row"), cmsBucket(h, a, b, w).as("bucket"))
+      }: _*)).as("rb"))
+      .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for `queries`' values against a built sketch:
+    * min over the d row counters (0 when a counter row is absent). */
+  def cmsLookup(cms: DataFrame, queries: DataFrame, valueCol: Column,
+                d: Int = 4, w: Int = 1024): DataFrame = {
+    val params = Dedup.hashParams(d)
+    val h = Dedup.md5Hash60(valueCol)
+    queries
+      .withColumn("__rb", explode(array(params.zipWithIndex.map { case ((a, b), i) =>
+        struct(lit(i).as("row"), cmsBucket(h, a, b, w).as("bucket"))
+      }: _*)))
+      .join(broadcast(cms),
+        col("__rb.row") === cms("row") && col("__rb.bucket") === cms("bucket"),
+        "left")
+      .drop("row", "bucket", "__rb")
+      .groupBy(queries.columns.map(col): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_estimate"))
+  }
+
   def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: Column,
                   p: Int = 9): DataFrame = {
     require(p >= 4 && p <= 16, s"p=$p out of range")

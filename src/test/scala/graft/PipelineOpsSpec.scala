@@ -343,6 +343,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(2L) == ((Some("a"), 1L)))
   }
 
+  test("count-min sketch: estimate >= exact always; exact when no " +
+    "collision; overcount bounded by stream size / w") {
+    import spark.implicits._
+    import graft.pipeline.Sketch
+    val stream = (1 to 500).flatMap(i => Seq.fill(1 + i % 5)(s"tok$i"))
+    val df = stream.toDF("v")
+    val cms = Sketch.cmsBuild(df, col("v"), d = 4, w = 1024)
+    val exact = df.groupBy(col("v")).agg(count(lit(1)).as("exact"))
+    val est = Sketch.cmsLookup(cms, exact, col("v"), d = 4, w = 1024)
+      .collect().map(r => (r.getAs[String]("v"),
+        r.getAs[Long]("exact"), r.getAs[Long]("cms_estimate")))
+    assert(est.length == 500)
+    est.foreach { case (v, ex, e) =>
+      assert(e >= ex, s"$v: estimate $e below exact $ex — impossible for CMS")
+      // d=4, w=1024, N=1500: expected overcount per row ~ N/w ≈ 1.5;
+      // min over 4 rows — generous bound still catches broken hashing
+      assert(e - ex <= 20, s"$v overcount ${e - ex}")
+    }
+    // an absent value estimates near zero (min over its 4 counters)
+    val ghost = Sketch.cmsLookup(cms, Seq("nosuchtoken").toDF("v"), col("v"))
+      .head.getAs[Long]("cms_estimate")
+    assert(ghost <= 20, s"ghost estimate $ghost")
+  }
+
   test("weighted sampling (A-ES): heavy weights dominate the draw, " +
     "non-positive weights excluded, deterministic across runs") {
     import spark.implicits._
