@@ -354,6 +354,24 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    "q44_bloom_frontier" -> ((s, dir) => {
+      // crawl-frontier membership: Bloom filter over the crawled urls
+      // (even doc_ids), probed with a mixed batch — no false negatives
+      // by construction; false positives show as in_corpus=false,
+      // bloom_hit=true
+      import graft.pipeline.Sketch
+      val url = concat(lit("https://example.com/p/"), col("doc_id"))
+      val corpus = docs(s, dir).where(pmod(col("doc_id"), lit(2)) === 0)
+        .select(url.as("url"))
+      val filter = Sketch.bloomBuild(corpus, col("url"))
+      val probes = docs(s, dir).where(col("doc_id") < 250)
+        .select(col("doc_id"), url.as("url"),
+          (pmod(col("doc_id"), lit(2)) === 0).as("in_corpus"))
+      Sketch.bloomProbe(filter, probes, col("url"))
+        .select(col("doc_id"), col("in_corpus"), col("bloom_hit"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q43_cms_freq" -> ((s, dir) => {
       // heavy-hitter frequency estimation: a 4×1024 count-min sketch
       // over the token stream, point-queried for the exact top-20 tokens
@@ -1252,31 +1270,51 @@ object SparkEntry {
         |    round((length(nb) - length(replace(nb, '7', ''))) / length(nb)::DOUBLE, 4) END AS f7
         |FROM h ORDER BY media_id""".stripMargin,
 
-    // pure integer math with the q17 affine constants — the sketch
-    // reproduces EXACTLY (no float anywhere)
+    // same salted-md5 position construction as the CMS; membership is a
+    // positions-set left join — all integer/bit math, exact cross-engine
+    "q44_bloom_frontier" -> {
+      def pos(i: Int, v: String): String =
+        s"(('0x' || substring(md5($v || '#$i'), 1, 15))::UBIGINT::BIGINT % 16384)"
+      val fUnion = (0 until 4).map(i => s"SELECT ${pos(i, "url")} AS pos FROM corp")
+        .mkString("\n  UNION ALL ")
+      val pUnion = (0 until 4).map(i =>
+        s"SELECT doc_id, in_corpus, ${pos(i, "url")} AS pos FROM pr")
+        .mkString("\n  UNION ALL ")
+      s"""WITH corp AS (
+         |  SELECT 'https://example.com/p/' || doc_id AS url
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |fpos AS (SELECT DISTINCT pos FROM (
+         |  $fUnion)),
+         |pr AS (SELECT doc_id, (doc_id % 2 = 0) AS in_corpus,
+         |        'https://example.com/p/' || doc_id AS url
+         |      FROM documents WHERE doc_id < 250),
+         |prb AS (
+         |  $pUnion),
+         |j AS (SELECT prb.doc_id, prb.in_corpus,
+         |        CASE WHEN fpos.pos IS NULL THEN 0 ELSE 1 END AS s
+         |      FROM prb LEFT JOIN fpos USING (pos))
+         |SELECT doc_id, in_corpus, (sum(s) = 4) AS bloom_hit
+         |FROM j GROUP BY doc_id, in_corpus ORDER BY doc_id""".stripMargin
+    },
+
+    // pure integer math over salted md5 positions (independent rows) —
+    // the sketch reproduces EXACTLY (no float anywhere)
     "q43_cms_freq" -> {
-      val params = Dedup.hashParams(4)
-      def bucket(i: Int, h: String): String = {
-        val (a, b) = params(i)
-        s"((($a * ($h % 2147483647) + $b) % ${Dedup.MersennePrime}) % 1024)"
-      }
+      def bucket(i: Int, v: String): String =
+        s"(('0x' || substring(md5($v || '#$i'), 1, 15))::UBIGINT::BIGINT % 1024)"
       val rbUnion = (0 until 4).map(i =>
-        s"SELECT $i AS r, ${bucket(i, "h")} AS bucket FROM h").mkString("\n  UNION ALL ")
+        s"SELECT $i AS r, ${bucket(i, "tok")} AS bucket FROM toks").mkString("\n  UNION ALL ")
       val trbUnion = (0 until 4).map(i =>
-        s"SELECT tok, exact_cnt, $i AS r, ${bucket(i, "h")} AS bucket FROM th")
+        s"SELECT tok, exact_cnt, $i AS r, ${bucket(i, "tok")} AS bucket FROM top")
         .mkString("\n  UNION ALL ")
       s"""WITH toks AS (
          |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
          |  FROM documents),
-         |h AS (SELECT ('0x' || substring(md5(tok), 1, 15))::UBIGINT::BIGINT AS h FROM toks),
          |rb AS (
          |  $rbUnion),
          |cms AS (SELECT r, bucket, count(*) AS cnt FROM rb GROUP BY r, bucket),
          |top AS (SELECT tok, count(*) AS exact_cnt FROM toks GROUP BY tok
          |        ORDER BY exact_cnt DESC, tok ASC LIMIT 20),
-         |th AS (SELECT tok, exact_cnt,
-         |         ('0x' || substring(md5(tok), 1, 15))::UBIGINT::BIGINT AS h
-         |       FROM top),
          |trb AS (
          |  $trbUnion),
          |j AS (SELECT trb.tok, trb.exact_cnt, coalesce(cms.cnt, 0) AS cnt

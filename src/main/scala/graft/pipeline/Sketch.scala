@@ -19,6 +19,82 @@ import org.apache.spark.sql.functions._
  */
 object Sketch {
 
+  /** Row-i bucket of a value: md5-60 over the SALTED value ("value#i") —
+    * k fully independent hash functions (an affine family over one base
+    * hash collapses: a*h+b mod 2^14 depends only on h's low bits, so all
+    * k positions correlate and the Bloom FP rate degenerated to
+    * n/m — caught by the FP-rate unit test). Oracle SQL computes the
+    * identical salted md5. */
+  private def saltedBucket(value: Column, i: Int, w: Int): Column =
+    pmod(Dedup.md5Hash60(concat(value.cast("string"), lit(s"#$i"))), lit(w.toLong))
+
+  /**
+   * Count-min sketch over a value stream: d×w integer counters; an
+   * item's estimate is the MIN of its d row counters — always ≥ the true
+   * count, within εN with probability 1−δ for w = e/ε, d = ln(1/δ).
+   * The fixed-size counter table is the frequency/heavy-hitter state a
+   * pipeline keeps where exact per-token counts would be another
+   * full-vocabulary shuffle. Pure integer math end-to-end — the sketch
+   * reproduces EXACTLY cross-engine (q43).
+   */
+  def cmsBuild(df: DataFrame, valueCol: Column,
+               d: Int = 4, w: Int = 1024): DataFrame = {
+    df.select(explode(array((0 until d).map { i =>
+        struct(lit(i).as("row"), saltedBucket(valueCol, i, w).as("bucket"))
+      }: _*)).as("rb"))
+      .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for `queries`' values against a built sketch:
+    * min over the d row counters (0 when a counter row is absent). */
+  def cmsLookup(cms: DataFrame, queries: DataFrame, valueCol: Column,
+                d: Int = 4, w: Int = 1024): DataFrame = {
+    queries
+      .withColumn("__rb", explode(array((0 until d).map { i =>
+        struct(lit(i).as("row"), saltedBucket(valueCol, i, w).as("bucket"))
+      }: _*)))
+      .join(broadcast(cms),
+        col("__rb.row") === cms("row") && col("__rb.bucket") === cms("bucket"),
+        "left")
+      .drop("row", "bucket", "__rb")
+      .groupBy(queries.columns.map(col): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_estimate"))
+  }
+
+  /**
+   * Bloom filter over a value column — the "have we crawled this url"
+   * membership structure a frontier keeps at bits-per-key cost. k
+   * independent salted-md5 positions per value (as the CMS rows); the
+   * filter is the DISTINCT set-position table, the
+   * relational form of the bitmap (a deployment packs it into m/64
+   * longs via groupBy(pos >> 6) + bit_or — same information, same
+   * math). Membership = ALL k positions present: no false negatives,
+   * false positives at ~(1 − e^(−kn/m))^k. Pure integer math —
+   * reproduces exactly cross-engine (q44).
+   */
+  def bloomBuild(df: DataFrame, valueCol: Column,
+                 m: Int = 16384, k: Int = 4): DataFrame = {
+    df.select(explode(array((0 until k).map(i =>
+        saltedBucket(valueCol, i, m)): _*)).as("pos"))
+      .distinct()
+  }
+
+  /** Probe values against a built filter: `bloom_hit` = all k positions
+    * set. Probes explode to (probe, position) and LEFT-join the filter —
+    * one broadcastable join at any filter size that fits m bits. */
+  def bloomProbe(filter: DataFrame, probes: DataFrame, valueCol: Column,
+                 m: Int = 16384, k: Int = 4): DataFrame = {
+    val hits = filter.select(col("pos"), lit(1).as("__set"))
+    probes
+      .withColumn("__pos", explode(array((0 until k).map(i =>
+        saltedBucket(valueCol, i, m)): _*)))
+      .join(broadcast(hits), col("__pos") === hits("pos"), "left")
+      .drop("pos")
+      .groupBy(probes.columns.map(col): _*)
+      .agg((sum(coalesce(col("__set"), lit(0))) === k).as("bloom_hit"))
+  }
+
   /**
    * Per-group HyperLogLog distinct estimate of `valueCol`.
    *
@@ -33,53 +109,6 @@ object Sketch {
    * Plan shape: one partial-aggregating shuffle to (group, bucket) —
    * at most m rows per group survive — then a tiny per-group rollup.
    */
-  /** CMS row-i bucket of a value: affine Carter-Wegman over the md5-60
-    * hash reduced mod 2^31 (same family and constants as the minhash
-    * signatures — Dedup.hashParams — so oracle SQL embeds identical
-    * a/b values; pure integer math, overflow-safe under ANSI since
-    * a < 2^31 and h' < 2^31). */
-  private def cmsBucket(h: Column, a: Long, b: Long, w: Int): Column =
-    pmod((lit(a) * pmod(h, lit(2147483647L)) + lit(b)) % lit(Dedup.MersennePrime),
-      lit(w.toLong))
-
-  /**
-   * Count-min sketch over a value stream: d×w integer counters; an
-   * item's estimate is the MIN of its d row counters — always ≥ the true
-   * count, within εN with probability 1−δ for w = e/ε, d = ln(1/δ).
-   * The fixed-size counter table is the frequency/heavy-hitter state a
-   * pipeline keeps where exact per-token counts would be another
-   * full-vocabulary shuffle. Pure integer math end-to-end — the sketch
-   * reproduces EXACTLY cross-engine (q43).
-   */
-  def cmsBuild(df: DataFrame, valueCol: Column,
-               d: Int = 4, w: Int = 1024): DataFrame = {
-    val params = Dedup.hashParams(d)
-    val h = Dedup.md5Hash60(valueCol)
-    df.select(explode(array(params.zipWithIndex.map { case ((a, b), i) =>
-        struct(lit(i).as("row"), cmsBucket(h, a, b, w).as("bucket"))
-      }: _*)).as("rb"))
-      .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
-      .agg(count(lit(1)).as("cnt"))
-  }
-
-  /** Point estimates for `queries`' values against a built sketch:
-    * min over the d row counters (0 when a counter row is absent). */
-  def cmsLookup(cms: DataFrame, queries: DataFrame, valueCol: Column,
-                d: Int = 4, w: Int = 1024): DataFrame = {
-    val params = Dedup.hashParams(d)
-    val h = Dedup.md5Hash60(valueCol)
-    queries
-      .withColumn("__rb", explode(array(params.zipWithIndex.map { case ((a, b), i) =>
-        struct(lit(i).as("row"), cmsBucket(h, a, b, w).as("bucket"))
-      }: _*)))
-      .join(broadcast(cms),
-        col("__rb.row") === cms("row") && col("__rb.bucket") === cms("bucket"),
-        "left")
-      .drop("row", "bucket", "__rb")
-      .groupBy(queries.columns.map(col): _*)
-      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_estimate"))
-  }
-
   def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: Column,
                   p: Int = 9): DataFrame = {
     require(p >= 4 && p <= 16, s"p=$p out of range")

@@ -343,6 +343,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(2L) == ((Some("a"), 1L)))
   }
 
+  test("bloom filter: NO false negatives ever; false-positive rate near " +
+    "the theoretical (1-e^(-kn/m))^k; absent values mostly miss") {
+    import spark.implicits._
+    import graft.pipeline.Sketch
+    val members = (0 until 2000).map(i => s"url$i")
+    val filter = Sketch.bloomBuild(members.toDF("v"), col("v"))
+    // every member MUST hit (the defining guarantee)
+    val memberHits = Sketch.bloomProbe(filter, members.toDF("v"), col("v"))
+      .where(!col("bloom_hit")).count()
+    assert(memberHits == 0, s"$memberHits false negatives — impossible for a correct Bloom filter")
+    // non-members: fp rate ~ (1 - e^(-4*2000/16384))^4 ≈ 2.3%
+    val ghosts = (0 until 2000).map(i => s"ghost$i")
+    val fp = Sketch.bloomProbe(filter, ghosts.toDF("v"), col("v"))
+      .where(col("bloom_hit")).count()
+    assert(fp < 2000 * 0.08, s"fp rate ${fp / 2000.0} far above theory (~0.023)")
+  }
+
   test("count-min sketch: estimate >= exact always; exact when no " +
     "collision; overcount bounded by stream size / w") {
     import spark.implicits._
