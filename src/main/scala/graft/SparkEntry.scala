@@ -367,7 +367,8 @@ object SparkEntry {
       val probes = docs(s, dir).where(col("doc_id") < 250)
         .select(col("doc_id"), url.as("url"),
           (pmod(col("doc_id"), lit(2)) === 0).as("in_corpus"))
-      Sketch.bloomProbe(filter, probes, col("url"))
+      val hit = Sketch.bloomProbe(filter, probes, col("url"))
+      probes.join(hit, probes("url") === hit("v")) // payloads re-join by value
         .select(col("doc_id"), col("in_corpus"), col("bloom_hit"))
         .orderBy(col("doc_id"))
     }),
@@ -381,7 +382,8 @@ object SparkEntry {
       val cms = Sketch.cmsBuild(toks, col("tok"))
       val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
         .orderBy(col("exact_cnt").desc, col("tok").asc).limit(20)
-      Sketch.cmsLookup(cms, top, col("tok"))
+      val est = Sketch.cmsLookup(cms, top, col("tok"))
+      top.join(est, top("tok") === est("v")) // payloads re-join by value
         .withColumn("overcount", col("cms_estimate") - col("exact_cnt"))
         .select(col("tok"), col("exact_cnt"), col("cms_estimate"), col("overcount"))
         .orderBy(col("exact_cnt").desc, col("tok").asc)

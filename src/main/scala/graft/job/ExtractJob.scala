@@ -85,16 +85,27 @@ object ExtractJob {
           s"$mode: no files or directories match '$pagesDir'")
       // matched directories expand RECURSIVELY (binaryFile's own listing
       // descends into nested drop layouts like drop/segment-NN/*.warc.gz);
-      // hidden/metadata entries (_SUCCESS, .*.crc) are skipped exactly as
-      // Spark's file index skips them. An existing-but-empty drop dir is
-      // legitimately an empty run.
+      // hidden/metadata entries (_SUCCESS, .*.crc) are skipped DURING
+      // descent exactly as Spark's file index skips them — but never the
+      // user-supplied roots themselves (Spark doesn't filter given
+      // paths either, and a '/data/_staging' root must stay readable).
+      // Depth-capped: a symlink cycle inside a drop must fail with a
+      // clear error, not a StackOverflowError.
       def hidden(p: org.apache.hadoop.fs.Path): Boolean =
         p.getName.startsWith("_") || p.getName.startsWith(".")
-      def walk(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
-        if (hidden(st.getPath)) Nil
-        else if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(walk)
+      def walk(st: org.apache.hadoop.fs.FileStatus,
+               depth: Int): Seq[org.apache.hadoop.fs.FileStatus] = {
+        if (depth > 32)
+          throw new IllegalArgumentException(
+            s"$mode: directory nesting beyond depth 32 under '$pagesDir' — " +
+              "symlink cycle in the drop?")
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).toSeq
+            .filterNot(c => hidden(c.getPath))
+            .flatMap(walk(_, depth + 1))
         else Seq(st)
-      matched.toSeq.flatMap(walk).map(_.getPath.toString).sorted
+      }
+      matched.toSeq.flatMap(walk(_, 0)).map(_.getPath.toString).sorted
     }
     var input: DataFrame =
       if (warcSplits) graft.sources.Warc.readWithSplits(spark, resolveWarcFiles())

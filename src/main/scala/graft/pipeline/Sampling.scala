@@ -60,8 +60,14 @@ object Sampling {
    *
    * Deterministic and cross-engine-reproducible: u = (h + 1) / 2^60 over
    * the md5-60bit id hash, key = pow(u, 1/w) in doubles — DuckDB computes
-   * the identical values. Non-positive weights are excluded (their draw
-   * probability is 0).
+   * the identical values. Non-positive and NaN weights are excluded
+   * (their draw probability is 0; under Spark's SQL ordering NaN would
+   * otherwise sort above every real key and hijack the sample).
+   * Accepted float caveat: keys are ORDERED unrounded, so a 1-ulp
+   * pow() divergence between libm implementations could in principle
+   * swap a pair whose keys differ by < 1e-16 — at corpus key spacing
+   * (~1e-6) that needs two keys essentially equal, probability ~1e-8
+   * per dataset; same acceptance class as the other float oracles.
    */
   def weightedSample(df: DataFrame, strataCols: Seq[String], idCol: String,
                      weightCol: Column, n: Int): DataFrame = {
@@ -70,7 +76,7 @@ object Sampling {
     val key = pow(u, lit(1.0) / weightCol.cast("double"))
     val w = Window.partitionBy(strataCols.map(col): _*)
       .orderBy(col("__aes_key").desc, col(idCol).asc)
-    df.where(weightCol.cast("double") > 0)
+    df.where(weightCol.cast("double") > 0 && !isnan(weightCol.cast("double")))
       .withColumn("__aes_key", key)
       .withColumn("sample_rank", row_number().over(w))
       .where(col("sample_rank") <= n)

@@ -338,22 +338,29 @@ object Similarity {
   def savePqCodebooks(codebooks: Array[Array[Array[Double]]],
                       spark: SparkSession, path: String): Unit = {
     import spark.implicits._
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    // declared shape rides on every row so a truncated file can't
+    // silently shrink the index at load time
     codebooks.zipWithIndex.flatMap { case (cb, j) =>
-      cb.zipWithIndex.map { case (c, k) => (j, k, c.toSeq) }
-    }.toSeq.toDF("j", "k", "c")
+      cb.zipWithIndex.map { case (c, k) => (m, ksub, j, k, c.toSeq) }
+    }.toSeq.toDF("m", "ksub", "j", "k", "c")
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
   def loadPqCodebooks(spark: SparkSession, path: String): Array[Array[Array[Double]]] = {
     val rows = spark.read.parquet(path)
-      .select(col("j"), col("k"), col("c")).collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-    val m = rows.map(_._1).max + 1
-    val ksub = rows.map(_._2).max + 1
+      .select(col("m"), col("ksub"), col("j"), col("k"), col("c")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getSeq[Double](4).toArray))
+    require(rows.nonEmpty, s"codebook at $path is empty")
+    val m = rows.head._1
+    val ksub = rows.head._2
+    // validate against the DECLARED shape (max-present indices would let
+    // uniform truncation pass) — fail HERE with a clear message, not
+    // with an opaque NPE inside a later encode/search job
     val out = Array.ofDim[Array[Double]](m, ksub)
-    rows.foreach { case (j, k, c) => out(j)(k) = c }
-    // fail HERE on a truncated/partial index, not with an opaque NPE
-    // inside a later encode/search job
+    rows.foreach { case (_, _, j, k, c) => out(j)(k) = c }
     for (j <- 0 until m; k <- 0 until ksub)
       require(out(j)(k) != null,
         s"codebook at $path is not dense: missing (j=$j, k=$k) of ${m}x$ksub")

@@ -46,19 +46,21 @@ object Sketch {
       .agg(count(lit(1)).as("cnt"))
   }
 
-  /** Point estimates for `queries`' values against a built sketch:
-    * min over the d row counters (0 when a counter row is absent). */
+  /** Point estimates against a built sketch: one row per DISTINCT value
+    * of `valueCol` in `queries` — (v, cms_estimate), min over the d row
+    * counters (0 when a counter row is absent). VALUE-keyed by design:
+    * callers re-join wider payloads by value (the ids-only discipline —
+    * the exploded probe shuffle carries values, never row payloads). */
   def cmsLookup(cms: DataFrame, queries: DataFrame, valueCol: Column,
                 d: Int = 4, w: Int = 1024): DataFrame = {
-    queries
+    queries.select(valueCol.as("v")).distinct()
       .withColumn("__rb", explode(array((0 until d).map { i =>
-        struct(lit(i).as("row"), saltedBucket(valueCol, i, w).as("bucket"))
+        struct(lit(i).as("row"), saltedBucket(col("v"), i, w).as("bucket"))
       }: _*)))
       .join(broadcast(cms),
         col("__rb.row") === cms("row") && col("__rb.bucket") === cms("bucket"),
         "left")
-      .drop("row", "bucket", "__rb")
-      .groupBy(queries.columns.map(col): _*)
+      .groupBy(col("v"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_estimate"))
   }
 
@@ -80,18 +82,18 @@ object Sketch {
       .distinct()
   }
 
-  /** Probe values against a built filter: `bloom_hit` = all k positions
-    * set. Probes explode to (probe, position) and LEFT-join the filter —
-    * one broadcastable join at any filter size that fits m bits. */
+  /** Membership probe against a built filter: one row per DISTINCT value
+    * — (v, bloom_hit), true iff all k positions are set. VALUE-keyed as
+    * cmsLookup; the exploded probe join is broadcastable at any filter
+    * size that fits m bits. */
   def bloomProbe(filter: DataFrame, probes: DataFrame, valueCol: Column,
                  m: Int = 16384, k: Int = 4): DataFrame = {
     val hits = filter.select(col("pos"), lit(1).as("__set"))
-    probes
+    probes.select(valueCol.as("v")).distinct()
       .withColumn("__pos", explode(array((0 until k).map(i =>
-        saltedBucket(valueCol, i, m)): _*)))
+        saltedBucket(col("v"), i, m)): _*)))
       .join(broadcast(hits), col("__pos") === hits("pos"), "left")
-      .drop("pos")
-      .groupBy(probes.columns.map(col): _*)
+      .groupBy(col("v"))
       .agg((sum(coalesce(col("__set"), lit(0))) === k).as("bloom_hit"))
   }
 

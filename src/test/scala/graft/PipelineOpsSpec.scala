@@ -368,8 +368,9 @@ class PipelineOpsSpec extends AnyFunSuite {
     val df = stream.toDF("v")
     val cms = Sketch.cmsBuild(df, col("v"), d = 4, w = 1024)
     val exact = df.groupBy(col("v")).agg(count(lit(1)).as("exact"))
-    val est = Sketch.cmsLookup(cms, exact, col("v"), d = 4, w = 1024)
-      .collect().map(r => (r.getAs[String]("v"),
+    val lookups = Sketch.cmsLookup(cms, exact, col("v"), d = 4, w = 1024)
+    val est = exact.join(lookups, exact("v") === lookups("v"))
+      .collect().map(r => (r.getAs[String](0),
         r.getAs[Long]("exact"), r.getAs[Long]("cms_estimate")))
     assert(est.length == 500)
     est.foreach { case (v, ex, e) =>
