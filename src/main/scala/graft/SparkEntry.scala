@@ -354,6 +354,21 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    "q45_length_quantiles" -> ((s, dir) => {
+      // corpus distribution profiling: EXACT interpolated percentiles of
+      // document length per language (Spark's percentile aggregate vs
+      // DuckDB's quantile_cont — both (n−1)·q linear interpolation on
+      // doubles)
+      docs(s, dir)
+        .select(col("lang"), length(col("text")).cast("double").as("l"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          round(element_at(expr("percentile(l, array(0.5D, 0.9D, 0.99D))"), 1), 4).as("p50"),
+          round(element_at(expr("percentile(l, array(0.5D, 0.9D, 0.99D))"), 2), 4).as("p90"),
+          round(element_at(expr("percentile(l, array(0.5D, 0.9D, 0.99D))"), 3), 4).as("p99"))
+        .orderBy(col("lang"))
+    }),
+
     "q44_bloom_frontier" -> ((s, dir) => {
       // crawl-frontier membership: Bloom filter over the crawled urls
       // (even doc_ids), probed with a mixed batch — no false negatives
@@ -1271,6 +1286,14 @@ object SparkEntry {
         |  CASE WHEN nbytes = 0 THEN 0.0 ELSE
         |    round((length(nb) - length(replace(nb, '7', ''))) / length(nb)::DOUBLE, 4) END AS f7
         |FROM h ORDER BY media_id""".stripMargin,
+
+    "q45_length_quantiles" ->
+      """SELECT lang, count(*) AS docs,
+        |  round(quantile_cont(l, 0.5), 4) AS p50,
+        |  round(quantile_cont(l, 0.9), 4) AS p90,
+        |  round(quantile_cont(l, 0.99), 4) AS p99
+        |FROM (SELECT lang, length(text)::DOUBLE AS l FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // same salted-md5 position construction as the CMS; membership is a
     // positions-set left join — all integer/bit math, exact cross-engine
