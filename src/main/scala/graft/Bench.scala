@@ -30,32 +30,38 @@ import graft.extract.{Extractor, Page}
 object Bench {
 
   /** One timed attempt per query, best-of over `attempts` SUCCESSFUL runs.
+    * Attempts run ROUND-ROBIN (all queries' attempt 1, then all attempt 2,
+    * …) rather than back-to-back: attempt 2 of every query then runs with
+    * warm JIT/scan caches AND in a time window separated from attempt 1
+    * by the full loop, so one noisy-neighbor burst can't sit on both
+    * attempts of the same query (VERDICT r4 #7 warm-up parity).
     * Returns (name -> seconds) with failed-on-every-attempt queries
     * reported as NEGATIVE worst-elapsed, plus the list of failed names.
     * Pulled out of main so the failure-marking contract is unit-testable. */
   def benchQueries(spark: SparkSession, sfDir: String,
                    queries: Map[String, (SparkSession, String) => DataFrame],
                    attempts: Int = 2): (Seq[(String, Double)], Seq[String]) = {
-    val failed = scala.collection.mutable.ArrayBuffer[String]()
-    val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      var best = Double.MaxValue
-      var worstFail = 0.0
-      var failures = 0
-      (1 to attempts).foreach { _ =>
+    val names = queries.keys.toSeq.sorted
+    val best = scala.collection.mutable.Map[String, Double]()
+    val worstFail = scala.collection.mutable.Map[String, Double]().withDefaultValue(0.0)
+    (1 to attempts).foreach { _ =>
+      names.foreach { name =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
+        val ok = try { queries(name)(spark, sfDir).count(); true }
         catch { case e: Throwable =>
-          failures += 1
           System.err.println(s"bench: $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
           false
         }
         val dt = (System.nanoTime() - t0) / 1e9
-        if (ok) best = math.min(best, dt) else worstFail = math.max(worstFail, dt)
+        if (ok) best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
+        else worstFail(name) = math.max(worstFail(name), dt)
       }
-      if (best == Double.MaxValue) { failed += name; name -> -worstFail }
-      else name -> best
     }
-    (results, failed.toSeq)
+    val failed = names.filterNot(best.contains)
+    val results = names.map { n =>
+      if (best.contains(n)) n -> best(n) else n -> -worstFail(n)
+    }
+    (results, failed)
   }
 
   def main(args: Array[String]): Unit = {
@@ -86,12 +92,29 @@ object Bench {
     var docsPerSec = 0.0
     var mbPerSec = 0.0
     var extractSec = 0.0
-    var extractAttempts = List.empty[Double]
-    def extractAttempt(corpus: => org.apache.spark.sql.Dataset[Page]): (Double, Long) = {
+    // (wall, executorCpu) per attempt. Executor CPU time per doc is the
+    // noise-immune signal the wall clock lacks: a noisy-neighbor host
+    // inflates wall while cpu_sec/doc stays flat (rounds 2–4 all saw the
+    // driver's wall-clock headline misread a ~3,500 docs/sec engine as
+    // ~100; flat CPU with inflated wall is machine-checkable evidence).
+    var extractAttempts = List.empty[(Double, Double)]
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val cpuListener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null) cpuNs.addAndGet(e.taskMetrics.executorCpuTime)
+    }
+    spark.sparkContext.addSparkListener(cpuListener)
+    def extractAttempt(corpus: => org.apache.spark.sql.Dataset[Page]): ((Double, Double), Long) = {
+      // listener events are posted asynchronously: drain the bus so the
+      // cpu snapshot brackets exactly this attempt's tasks
+      org.apache.spark.GraftListenerBusDrain.drain(spark.sparkContext)
+      val cpu0 = cpuNs.get
       val t0 = System.nanoTime()
       val n = corpus.map(Extractor.extract)
         .select("status").where($"status" === "ok").count()
-      ((System.nanoTime() - t0) / 1e9, n)
+      val wall = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.GraftListenerBusDrain.drain(spark.sparkContext)
+      ((wall, (cpuNs.get - cpu0) / 1e9), n)
     }
 
     val corpusOpt: Option[() => org.apache.spark.sql.Dataset[Page]] =
@@ -113,8 +136,8 @@ object Bench {
     // warmup (JIT) then extraction attempt 1 — BEFORE the query loop
     corpusOpt.foreach { corpus =>
       corpus().limit(600).map(Extractor.extract).count()
-      val (sec, n) = extractAttempt(corpus())
-      extractAttempts ::= sec; okDocs = n
+      val (wc, n) = extractAttempt(corpus())
+      extractAttempts ::= wc; okDocs = n
     }
 
     // ---- per-query timings (best-of-2, failures marked) -----------------
@@ -122,27 +145,39 @@ object Bench {
 
     // extraction attempt 2 — AFTER the query loop (separate time window);
     // adaptive: >3× disagreement means a noisy window, take up to 2 more
+    var cpuSecPerKdoc = 0.0
+    var wallVsCpuRatio = 0.0
     corpusOpt.foreach { corpus =>
       extractAttempts ::= extractAttempt(corpus())._1
       var extra = 0
-      while (extra < 2 && extractAttempts.max / extractAttempts.min > 3.0) {
+      def walls = extractAttempts.map(_._1)
+      while (extra < 2 && walls.max / walls.min > 3.0) {
         System.err.println(f"bench: extraction attempts disagree >3x " +
-          f"(${extractAttempts.min}%.2f..${extractAttempts.max}%.2f s) — retrying")
+          f"(${walls.min}%.2f..${walls.max}%.2f s) — retrying")
         extractAttempts ::= extractAttempt(corpus())._1
         extra += 1
       }
-      extractSec = extractAttempts.min
+      val best = extractAttempts.minBy(_._1)
+      extractSec = best._1
       docsPerSec = okDocs / extractSec
       mbPerSec = totalBytes / 1e6 / extractSec
+      // CPU evidence from the best attempt: flat cpu_sec/kdoc across
+      // rounds + wall ≫ cpu/cores = loaded host, not a slow engine
+      cpuSecPerKdoc = best._2 / (benchDocs / 1000.0)
+      val idealWall = best._2 / cpus.toDouble
+      wallVsCpuRatio = if (idealWall > 0) extractSec / idealWall else 0.0
     }
 
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val failedJson = failedQs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val attemptsJson = extractAttempts.reverse
+      .map { case (w, c) => f"""{"wall_sec":$w%.2f,"cpu_sec":$c%.2f}""" }
+      .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ > 0).sum + extractSec
 
     val json =
-      f"""{"metric":"extract_docs_per_sec","value":$docsPerSec%.1f,"unit":"docs/sec","total_sec":$total%.2f,"extract_sec":$extractSec%.2f,"extract_attempts":${extractAttempts.size},"extract_mb_per_sec":$mbPerSec%.1f,"bench_docs":$benchDocs,"cpus":$cpus,"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"extract_docs_per_sec","value":$docsPerSec%.1f,"unit":"docs/sec","total_sec":$total%.2f,"extract_sec":$extractSec%.2f,"extract_attempts":${extractAttempts.size},"extract_attempt_detail":$attemptsJson,"cpu_sec_per_kdoc":$cpuSecPerKdoc%.2f,"wall_vs_cpu_ratio":$wallVsCpuRatio%.2f,"extract_mb_per_sec":$mbPerSec%.1f,"bench_docs":$benchDocs,"cpus":$cpus,"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // bare-file copy so harnesses don't have to scrape the JSON line out of
     // sbt's [info]-prefixed stdout (env-overridable path)

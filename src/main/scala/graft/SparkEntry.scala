@@ -354,18 +354,96 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    "q46_sketch_merge" -> ((s, dir) => {
+      // sketch lifecycle: the associative merge law
+      // merge(build(A), build(B)) ≡ build(A ∪ B) for all three sketch
+      // families, proven cross-engine — Spark builds per-half sketches
+      // (doc_id parity split) and MERGES them (HLL: max-per-register,
+      // CMS: counter add, Bloom: position union) while the oracle
+      // computes each sketch over the FULL table in one pass; identical
+      // hashes mean the merge law held exactly
+      import graft.pipeline.Sketch
+      val d = docs(s, dir)
+      val toks = d.select(col("doc_id"), col("lang"),
+        explode(Dedup.tokens(col("text"))).as("tok"))
+      val ta = toks.where(pmod(col("doc_id"), lit(2)) === 0)
+      val tb = toks.where(pmod(col("doc_id"), lit(2)) === 1)
+      val hllRows = Sketch.hllEstimate(
+        Sketch.hllMergeRegisters(
+          Sketch.hllRegisters(ta, Seq("lang"), col("tok")),
+          Sketch.hllRegisters(tb, Seq("lang"), col("tok")), Seq("lang")),
+        Seq("lang"))
+        .select(lit("hll").as("kind"), col("lang").as("key"),
+          col("hll_estimate").cast("double").as("value"))
+      val cmsMerged = Sketch.cmsMerge(
+        Sketch.cmsBuild(ta, col("tok")), Sketch.cmsBuild(tb, col("tok")))
+      val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok").asc).limit(10)
+      val cmsRows = Sketch.cmsLookup(cmsMerged, top, col("tok"))
+        .select(lit("cms").as("kind"), col("v").as("key"),
+          col("cms_estimate").cast("double").as("value"))
+      val url = concat(lit("https://example.com/p/"), col("doc_id"))
+      val corpus = d.where(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("doc_id"), url.as("url"))
+      val bloomMerged = Sketch.bloomMerge(
+        Sketch.bloomBuild(corpus.where(pmod(col("doc_id"), lit(4)) === 0), col("url")),
+        Sketch.bloomBuild(corpus.where(pmod(col("doc_id"), lit(4)) === 2), col("url")))
+      val probes = d.where(col("doc_id") < 250).select(url.as("url"))
+      val bloomRows = Sketch.bloomProbe(bloomMerged, probes, col("url"))
+        .select(lit("bloom").as("kind"), col("v").as("key"),
+          when(col("bloom_hit"), 1.0).otherwise(0.0).as("value"))
+      hllRows.unionByName(cmsRows).unionByName(bloomRows)
+        .orderBy(col("kind"), col("key"))
+    }),
+
+    "q47_quantile_sketch" -> ((s, dir) => {
+      // mergeable quantile sketch next to q45's exact percentiles: log2
+      // histogram (bucket = bit-length, ≤64 buckets/group of state vs a
+      // full per-group sort), built per-half and MERGED (counter add) —
+      // the oracle builds the histogram over the full table, so the hash
+      // also pins the histogram merge law
+      import graft.pipeline.Sketch
+      val lens = docs(s, dir).select(col("lang"), col("doc_id"),
+        length(col("text")).cast("long").as("l"))
+      val merged = Sketch.histMerge(
+        Sketch.histBuild(lens.where(pmod(col("doc_id"), lit(2)) === 0),
+          Seq("lang"), col("l")),
+        Sketch.histBuild(lens.where(pmod(col("doc_id"), lit(2)) === 1),
+          Seq("lang"), col("l")),
+        Seq("lang"))
+      Sketch.histQuantiles(merged, Seq("lang"),
+        Seq(("s50", 0.5), ("s90", 0.9), ("s99", 0.99)))
+        .orderBy(col("lang"))
+    }),
+
+    "q48_bpe_merges" -> ((s, dir) => {
+      // the actual BPE merge loop (3 oracled rounds) over lowercase word
+      // pieces: pair-count shuffle → deterministic top pair → greedy
+      // leftmost merge, vocabulary-sized state per round
+      val pieces = docs(s, dir)
+        .select(explode(Dedup.tokens(col("text"))).as("piece"))
+        .where(col("piece").rlike("^[a-z]+$"))
+        .groupBy(col("piece")).agg(count(lit(1)).as("cnt"))
+      TextOps.bpeLearn(pieces, rounds = 3).orderBy(col("round"))
+    }),
+
     "q45_length_quantiles" -> ((s, dir) => {
       // corpus distribution profiling: EXACT interpolated percentiles of
       // document length per language (Spark's percentile aggregate vs
       // DuckDB's quantile_cont — both (n−1)·q linear interpolation on
       // doubles)
+      // the percentile array computes ONCE per group (Spark does not
+      // dedupe identical aggregate expressions — three inline copies
+      // would triple the sort-based percentile work)
       docs(s, dir)
         .select(col("lang"), length(col("text")).cast("double").as("l"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("docs"),
-          round(element_at(expr("percentile(l, array(0.5D, 0.9D, 0.99D))"), 1), 4).as("p50"),
-          round(element_at(expr("percentile(l, array(0.5D, 0.9D, 0.99D))"), 2), 4).as("p90"),
-          round(element_at(expr("percentile(l, array(0.5D, 0.9D, 0.99D))"), 3), 4).as("p99"))
+          expr("percentile(l, array(0.5D, 0.9D, 0.99D))").as("__ps"))
+        .select(col("lang"), col("docs"),
+          round(element_at(col("__ps"), 1), 4).as("p50"),
+          round(element_at(col("__ps"), 2), 4).as("p90"),
+          round(element_at(col("__ps"), 3), 4).as("p99"))
         .orderBy(col("lang"))
     }),
 
@@ -1286,6 +1364,133 @@ object SparkEntry {
         |  CASE WHEN nbytes = 0 THEN 0.0 ELSE
         |    round((length(nb) - length(replace(nb, '7', ''))) / length(nb)::DOUBLE, 4) END AS f7
         |FROM h ORDER BY media_id""".stripMargin,
+
+    // merge(build(A), build(B)) ≡ build(A ∪ B): the oracle computes each
+    // sketch over the FULL table; Spark merged per-half sketches — equal
+    // hashes prove the associative merge exact (max / add / union)
+    "q46_sketch_merge" -> {
+      def pos(i: Int, v: String, m: Int): String =
+        s"(('0x' || substring(md5($v || '#$i'), 1, 15))::UBIGINT::BIGINT % $m)"
+      val fUnion = (0 until 4).map(i =>
+        s"SELECT ${pos(i, "url", 16384)} AS pos FROM corp").mkString("\n  UNION ALL ")
+      val pUnion = (0 until 4).map(i =>
+        s"SELECT url, ${pos(i, "url", 16384)} AS pos FROM pr").mkString("\n  UNION ALL ")
+      val rbUnion = (0 until 4).map(i =>
+        s"SELECT $i AS r, ${pos(i, "tok", 1024)} AS bucket FROM toks").mkString("\n  UNION ALL ")
+      val trbUnion = (0 until 4).map(i =>
+        s"SELECT tok, $i AS r, ${pos(i, "tok", 1024)} AS bucket FROM top")
+        .mkString("\n  UNION ALL ")
+      s"""WITH toks AS (
+         |  SELECT lang, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+         |  FROM documents),
+         |h AS (SELECT lang, ('0x' || substring(md5(tok), 1, 15))::UBIGINT::BIGINT AS h
+         |      FROM toks),
+         |br AS (SELECT lang, h >> 51 AS bucket,
+         |         CASE WHEN (h & ((1::BIGINT << 51) - 1)) = 0 THEN 52
+         |              ELSE 52 - length(bin(h & ((1::BIGINT << 51) - 1))) END AS rho
+         |       FROM h),
+         |regs AS (SELECT lang, bucket, max(rho) AS r FROM br GROUP BY lang, bucket),
+         |agg AS (SELECT lang, sum(pow(2.0, -r)) AS sinv, count(*) AS used
+         |        FROM regs GROUP BY lang),
+         |est AS (SELECT lang,
+         |   0.7213 / (1 + 1.079 / 512) * 512 * 512 / (sinv + (512 - used)) AS rawE,
+         |   512 - used AS zeros FROM agg),
+         |hll AS (SELECT 'hll' AS kind, lang AS "key",
+         |   round(CASE WHEN rawE <= 2.5 * 512 AND zeros > 0
+         |         THEN 512 * ln(512 / zeros) ELSE rawE END, 2)::DOUBLE AS value
+         |   FROM est),
+         |rb AS (
+         |  $rbUnion),
+         |cms AS (SELECT r, bucket, count(*) AS cnt FROM rb GROUP BY r, bucket),
+         |top AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok
+         |        ORDER BY c DESC, tok ASC LIMIT 10),
+         |trb AS (
+         |  $trbUnion),
+         |cmsrows AS (SELECT 'cms' AS kind, tok AS "key",
+         |   min(coalesce(cms.cnt, 0))::DOUBLE AS value
+         |   FROM trb LEFT JOIN cms USING (r, bucket) GROUP BY tok),
+         |corp AS (SELECT 'https://example.com/p/' || doc_id AS url
+         |         FROM documents WHERE doc_id % 2 = 0),
+         |fpos AS (SELECT DISTINCT pos FROM (
+         |  $fUnion)),
+         |pr AS (SELECT 'https://example.com/p/' || doc_id AS url
+         |       FROM documents WHERE doc_id < 250),
+         |prb AS (
+         |  $pUnion),
+         |bloomrows AS (SELECT 'bloom' AS kind, url AS "key",
+         |   CASE WHEN sum(CASE WHEN fpos.pos IS NULL THEN 0 ELSE 1 END) = 4
+         |        THEN 1.0 ELSE 0.0 END AS value
+         |   FROM prb LEFT JOIN fpos USING (pos) GROUP BY url)
+         |SELECT kind, "key", value FROM hll
+         |UNION ALL SELECT kind, "key", value FROM cmsrows
+         |UNION ALL SELECT kind, "key", value FROM bloomrows
+         |ORDER BY kind, "key"""".stripMargin
+    },
+
+    // log2-histogram quantiles: integer-exact buckets via bin() length
+    // (both engines emit minimal-length binary strings, as q41's rho),
+    // (n−1)·q rank convention with in-bucket linear interpolation — all
+    // double math identical cross-engine
+    "q47_quantile_sketch" ->
+      """WITH l AS (SELECT lang, length(text)::BIGINT AS v FROM documents),
+        |hb AS (SELECT lang,
+        |         CASE WHEN v <= 0 THEN 0 ELSE length(bin(v)) END AS bucket,
+        |         count(*) AS cnt
+        |       FROM l GROUP BY lang, bucket),
+        |c AS (SELECT lang, bucket, cnt::DOUBLE AS cntd,
+        |        (sum(cnt) OVER (PARTITION BY lang ORDER BY bucket) - cnt)::DOUBLE AS cum0,
+        |        (sum(cnt) OVER (PARTITION BY lang))::DOUBLE AS n
+        |      FROM hb),
+        |e AS (SELECT lang, n, cum0, cntd,
+        |        CASE WHEN bucket <= 0 THEN 0.0 ELSE pow(2.0, bucket - 1) END AS lo,
+        |        CASE WHEN bucket <= 0 THEN 0.0 ELSE pow(2.0, bucket) - 1 END AS hi
+        |      FROM c)
+        |SELECT lang, max(n)::BIGINT AS docs,
+        |  max(CASE WHEN cum0 <= (n-1)*0.5 AND (n-1)*0.5 < cum0 + cntd
+        |      THEN round(lo + (hi - lo) * (((n-1)*0.5 - cum0) / cntd), 4) END) AS s50,
+        |  max(CASE WHEN cum0 <= (n-1)*0.9 AND (n-1)*0.9 < cum0 + cntd
+        |      THEN round(lo + (hi - lo) * (((n-1)*0.9 - cum0) / cntd), 4) END) AS s90,
+        |  max(CASE WHEN cum0 <= (n-1)*0.99 AND (n-1)*0.99 < cum0 + cntd
+        |      THEN round(lo + (hi - lo) * (((n-1)*0.99 - cum0) / cntd), 4) END) AS s99
+        |FROM e GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // three BPE rounds unrolled: adjacent-pair counts over delimiter-
+    // wrapped symbol sequences, deterministic top-pair tie-break
+    // (count desc, pair asc), greedy-leftmost merge via replace() —
+    // non-overlapping leftmost in BOTH engines
+    "q48_bpe_merges" -> {
+      val mkPairs = (seq: String, p: String, t: String) =>
+        s"""$p AS (SELECT cnt, unnest([{'l': ss[i], 'r': ss[i+1]} for i in range(1, len(ss))]) AS u
+           |  FROM (SELECT string_split(rtrim(ltrim(seq, chr(1)), chr(2)), chr(2) || chr(1)) AS ss, cnt
+           |        FROM $seq)),
+           |$t AS (SELECT u.l AS lft, u.r AS rgt, sum(cnt)::BIGINT AS pair_count
+           |  FROM $p GROUP BY u.l, u.r
+           |  ORDER BY pair_count DESC, lft ASC, rgt ASC LIMIT 1)""".stripMargin
+      val mkMerge = (prev: String, t: String, next: String) =>
+        s"""$next AS (SELECT seq, sum(cnt)::BIGINT AS cnt FROM (
+           |  SELECT replace(seq, chr(1) || t.lft || chr(2) || chr(1) || t.rgt || chr(2),
+           |                 chr(1) || t.lft || t.rgt || chr(2)) AS seq, cnt
+           |  FROM $prev CROSS JOIN $t t) GROUP BY seq)""".stripMargin
+      s"""WITH pieces AS (
+         |  SELECT piece, count(*)::BIGINT AS cnt FROM (
+         |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS piece
+         |    FROM documents) t
+         |  WHERE regexp_matches(piece, '^[a-z]+$$')
+         |  GROUP BY piece),
+         |seq1 AS (
+         |  SELECT regexp_replace(piece, '(.)', chr(1) || '\\1' || chr(2), 'g') AS seq,
+         |         cnt
+         |  FROM pieces),
+         |${mkPairs("seq1", "pr1", "t1")},
+         |${mkMerge("seq1", "t1", "seq2")},
+         |${mkPairs("seq2", "pr2", "t2")},
+         |${mkMerge("seq2", "t2", "seq3")},
+         |${mkPairs("seq3", "pr3", "t3")}
+         |SELECT 1 AS round, lft AS left_sym, rgt AS right_sym, pair_count FROM t1
+         |UNION ALL SELECT 2, lft, rgt, pair_count FROM t2
+         |UNION ALL SELECT 3, lft, rgt, pair_count FROM t3
+         |ORDER BY round""".stripMargin
+    },
 
     "q45_length_quantiles" ->
       """SELECT lang, count(*) AS docs,

@@ -60,9 +60,10 @@ object Sampling {
    *
    * Deterministic and cross-engine-reproducible: u = (h + 1) / 2^60 over
    * the md5-60bit id hash, key = pow(u, 1/w) in doubles — DuckDB computes
-   * the identical values. Non-positive and NaN weights are excluded
-   * (their draw probability is 0; under Spark's SQL ordering NaN would
-   * otherwise sort above every real key and hijack the sample).
+   * the identical values. Non-finite and non-positive weights are
+   * excluded: NaN would sort above every real key under Spark's SQL
+   * ordering, and +Infinity gives key = u^0 = 1.0 so such rows would tie
+   * at the top and deterministically hijack the sample.
    * Accepted float caveat: keys are ORDERED unrounded, so a 1-ulp
    * pow() divergence between libm implementations could in principle
    * swap a pair whose keys differ by < 1e-16 — at corpus key spacing
@@ -76,7 +77,8 @@ object Sampling {
     val key = pow(u, lit(1.0) / weightCol.cast("double"))
     val w = Window.partitionBy(strataCols.map(col): _*)
       .orderBy(col("__aes_key").desc, col(idCol).asc)
-    df.where(weightCol.cast("double") > 0 && !isnan(weightCol.cast("double")))
+    df.where(weightCol.cast("double") > 0 && !isnan(weightCol.cast("double")) &&
+        weightCol.cast("double") < lit(Double.PositiveInfinity))
       .withColumn("__aes_key", key)
       .withColumn("sample_rank", row_number().over(w))
       .where(col("sample_rank") <= n)

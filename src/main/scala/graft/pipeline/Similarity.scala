@@ -356,6 +356,13 @@ object Similarity {
     require(rows.nonEmpty, s"codebook at $path is empty")
     val m = rows.head._1
     val ksub = rows.head._2
+    // every row must agree on the declared shape — appended rows from a
+    // differently-shaped codebook would otherwise surface as an opaque
+    // ArrayIndexOutOfBoundsException below instead of this message
+    rows.find(r => r._1 != m || r._2 != ksub).foreach { r =>
+      throw new IllegalArgumentException(
+        s"codebook at $path mixes declared shapes: ${m}x$ksub vs ${r._1}x${r._2}")
+    }
     // validate against the DECLARED shape (max-present indices would let
     // uniform truncation pass) — fail HERE with a clear message, not
     // with an opaque NPE inside a later encode/search job

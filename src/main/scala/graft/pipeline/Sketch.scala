@@ -112,19 +112,44 @@ object Sketch {
    * at most m rows per group survive — then a tiny per-group rollup.
    */
   def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: Column,
-                  p: Int = 9): DataFrame = {
+                  p: Int = 9): DataFrame =
+    hllEstimate(hllRegisters(df, groupCols, valueCol, p), groupCols, p)
+
+  /** The MERGEABLE form of the HLL: the per-group register table
+    * (group…, bucket, r). This — not the estimate — is what a continuous
+    * pipeline persists: registers from independent ingests merge
+    * associatively (max per register) into the registers of the union,
+    * so cardinality tracks across days without re-scanning history. */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+                   p: Int = 9): DataFrame = {
     require(p >= 4 && p <= 16, s"p=$p out of range")
-    val m = 1 << p
     val width = 60 - p
     val h = Dedup.md5Hash60(valueCol)
     val bucket = shiftrightunsigned(h, width)
     val rest = h.bitwiseAND(lit((1L << width) - 1))
     val rho = when(rest === 0, lit(width + 1))
       .otherwise(lit(width + 1) - length(bin(rest)))
-    val alpha = 0.7213 / (1 + 1.079 / m)
     df.select((groupCols.map(col) :+ bucket.as("bucket") :+ rho.as("rho")): _*)
       .groupBy((groupCols.map(col) :+ col("bucket")): _*)
       .agg(max(col("rho")).as("r"))
+  }
+
+  /** Associative register merge: max per (group, bucket). The merge law
+    * merge(build(A), build(B)) ≡ build(A ∪ B) holds exactly because max
+    * is idempotent/commutative/associative — pinned cross-engine by q46
+    * and by SketchLifecycleSpec. */
+  def hllMergeRegisters(a: DataFrame, b: DataFrame,
+                        groupCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy((groupCols.map(col) :+ col("bucket")): _*)
+      .agg(max(col("r")).as("r"))
+
+  /** Registers → estimate (α·m²/Σ2^(−r) + linear-counting correction). */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String],
+                  p: Int = 9): DataFrame = {
+    val m = 1 << p
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    registers
       .groupBy(groupCols.map(col): _*)
       .agg(sum(pow(lit(2.0), -col("r"))).as("sinv"), count(lit(1)).as("used"))
       .withColumn("rawE",
@@ -135,5 +160,153 @@ object Sketch {
           lit(m.toDouble) * log(lit(m.toDouble) / col("zeros")))
           .otherwise(col("rawE")), 2))
       .select((groupCols.map(col) :+ col("hll_estimate")): _*)
+  }
+
+  // ---- sketch lifecycle: persist + merge --------------------------------
+  //
+  // The whole point of a sketch at 100 TB is ASSOCIATIVE MERGE: build one
+  // per ingest/day, persist it, fold it into the running sketch — never
+  // re-scan history. Counter tables merge by ADD (CMS), register tables
+  // by MAX (HLL), position sets by UNION (Bloom), histograms by ADD.
+  // Persisted sketches carry their parameters on EVERY row (the declared-
+  // shape discipline of the PQ codebooks / MinHash index): two sketches
+  // built with different (d, w) or (m, k) or p silently merging would
+  // corrupt estimates, so load/merge fails loudly on a mismatch instead.
+
+  private def withParams(df: DataFrame, params: Seq[(String, Int)]): DataFrame =
+    params.foldLeft(df) { case (d, (n, v)) => d.withColumn(n, lit(v)) }
+
+  private def readParams(df: DataFrame, path: String,
+                         names: Seq[String]): Seq[Int] = {
+    val rows = df.select(names.map(col): _*).distinct().collect()
+    require(rows.length == 1,
+      s"sketch at $path mixes parameters ${names.mkString("/")}: " +
+        rows.map(_.toSeq.mkString("(", ",", ")")).mkString(" vs "))
+    names.indices.map(rows.head.getInt)
+  }
+
+  /** Persist HLL registers (+ p on every row). Layout is a plain parquet
+    * table — a daily job appends nothing here; it writes its own sketch
+    * and merges via hllMergeRegisters, keeping each artifact immutable. */
+  def saveHll(registers: DataFrame, groupCols: Seq[String], p: Int,
+              path: String): Unit =
+    withParams(registers.select(
+      (groupCols.map(col) :+ col("bucket") :+ col("r")): _*), Seq("p" -> p))
+      .write.mode("overwrite").parquet(path)
+
+  /** Load persisted registers; returns (registers, p) and fails loudly on
+    * a parameter mix. */
+  def loadHll(spark: org.apache.spark.sql.SparkSession, groupCols: Seq[String],
+              path: String): (DataFrame, Int) = {
+    val df = spark.read.parquet(path)
+    val Seq(p) = readParams(df, path, Seq("p"))
+    (df.select((groupCols.map(col) :+ col("bucket") :+ col("r")): _*), p)
+  }
+
+  /** Associative counter merge: ADD per (row, bucket). Both sides must be
+    * same-shape (enforced at load time for persisted sketches). */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("row"), col("bucket"), col("cnt"))
+      .unionByName(b.select(col("row"), col("bucket"), col("cnt")))
+      .groupBy(col("row"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  def saveCms(cms: DataFrame, d: Int, w: Int, path: String): Unit =
+    withParams(cms.select(col("row"), col("bucket"), col("cnt")),
+      Seq("d" -> d, "w" -> w))
+      .write.mode("overwrite").parquet(path)
+
+  def loadCms(spark: org.apache.spark.sql.SparkSession,
+              path: String): (DataFrame, Int, Int) = {
+    val df = spark.read.parquet(path)
+    val Seq(d, w) = readParams(df, path, Seq("d", "w"))
+    (df.select(col("row"), col("bucket"), col("cnt")), d, w)
+  }
+
+  /** Associative position-set merge: UNION (distinct). No false negatives
+    * survive a merge by construction — a key inserted into either side
+    * has all k positions in the union. */
+  def bloomMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("pos")).unionByName(b.select(col("pos"))).distinct()
+
+  def saveBloom(filter: DataFrame, m: Int, k: Int, path: String): Unit =
+    withParams(filter.select(col("pos")), Seq("m" -> m, "k" -> k))
+      .write.mode("overwrite").parquet(path)
+
+  def loadBloom(spark: org.apache.spark.sql.SparkSession,
+                path: String): (DataFrame, Int, Int) = {
+    val df = spark.read.parquet(path)
+    val Seq(m, k) = readParams(df, path, Seq("m", "k"))
+    (df.select(col("pos")), m, k)
+  }
+
+  // ---- deterministic mergeable quantile sketch --------------------------
+  //
+  // Exact per-group percentiles (q45) are a full per-group SORT at scale.
+  // The production shape next to them is a fixed-boundary log2 histogram:
+  // bucket = bit-length of the value (integer-exact — length(bin(v)) in
+  // both engines, which emit minimal-length binary strings), counts merge
+  // by ADD, and a quantile reads off the cumulative counts with linear
+  // interpolation inside the bucket's [2^(b−1), 2^b − 1] span. Bounded
+  // state (≤ 64 buckets per group), one partial-aggregating shuffle to
+  // build, pure integer+double math so DuckDB reproduces every estimate
+  // bit-for-bit (q47). Relative error is bounded by bucket width (~2× at
+  // the bucket edges) — the exact/sketch pairing q41/q43 established.
+
+  /** Log2 histogram of a non-negative integral column:
+    * (group…, bucket, cnt) with bucket = bit_length(v), 0 for v ≤ 0. */
+  def histBuild(df: DataFrame, groupCols: Seq[String],
+                valueCol: Column): DataFrame = {
+    val v = valueCol.cast("long")
+    val bucket = when(v <= 0, lit(0)).otherwise(length(bin(v)))
+    df.select((groupCols.map(col) :+ bucket.as("bucket")): _*)
+      .groupBy((groupCols.map(col) :+ col("bucket")): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Associative histogram merge: ADD per (group, bucket). */
+  def histMerge(a: DataFrame, b: DataFrame,
+                groupCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy((groupCols.map(col) :+ col("bucket")): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  def saveHist(hist: DataFrame, groupCols: Seq[String], path: String): Unit =
+    hist.select((groupCols.map(col) :+ col("bucket") :+ col("cnt")): _*)
+      .write.mode("overwrite").parquet(path)
+
+  def loadHist(spark: org.apache.spark.sql.SparkSession,
+               groupCols: Seq[String], path: String): DataFrame =
+    spark.read.parquet(path)
+      .select((groupCols.map(col) :+ col("bucket") :+ col("cnt")): _*)
+
+  /** Quantile estimates from a (possibly merged) histogram. For each
+    * (name, q): t = (n−1)·q; the bucket with cum0 ≤ t < cum0+cnt yields
+    * lo + (hi−lo)·(t−cum0)/cnt — the same (n−1)·q rank convention as the
+    * exact percentile (q45), deterministic double math cross-engine.
+    * Output: (group…, docs, <name>…) with estimates rounded to 4. */
+  def histQuantiles(hist: DataFrame, groupCols: Seq[String],
+                    qs: Seq[(String, Double)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("bucket"))
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    val cnt = col("cnt").cast("double")
+    val cum0 = (sum(col("cnt")).over(w) - col("cnt")).cast("double")
+    val n = sum(col("cnt")).over(wAll).cast("double")
+    val lo = when(col("bucket") <= 0, lit(0.0))
+      .otherwise(pow(lit(2.0), col("bucket") - 1))
+    val hi = when(col("bucket") <= 0, lit(0.0))
+      .otherwise(pow(lit(2.0), col("bucket")) - 1)
+    val staged = hist.select(
+      (groupCols.map(col) :+ cnt.as("__cnt") :+ cum0.as("__cum0") :+
+        n.as("__n") :+ lo.as("__lo") :+ hi.as("__hi")): _*)
+    val qAggs = qs.map { case (name, q) =>
+      val t = (col("__n") - 1) * q
+      max(when(col("__cum0") <= t && t < col("__cum0") + col("__cnt"),
+        round(col("__lo") + (col("__hi") - col("__lo")) *
+          ((t - col("__cum0")) / col("__cnt")), 4))).as(name)
+    }
+    staged.groupBy(groupCols.map(col): _*)
+      .agg(max(col("__n")).cast("long").as("docs"), qAggs: _*)
   }
 }

@@ -47,6 +47,75 @@ object TextOps {
     regexp_count(text, lit(BpeTokenRe))
 
   /**
+   * Relational BPE merge learning — the pair-count/merge loop that turns
+   * pre-tokenizer pieces (q38) into an actual merge table. `pieces` is
+   * (piece: string, cnt: long): the deduplicated piece-count table (the
+   * standard BPE-on-word-counts formulation — the corpus collapses to
+   * distinct pieces BEFORE any iteration, so each round shuffles the
+   * VOCABULARY, not the corpus; at 100 TB that is the difference between
+   * a 10⁶-row loop and a 10¹²-row one). Each round:
+   *   1. split every sequence into symbols and count adjacent pairs
+   *      weighted by piece count (one bounded shuffle);
+   *   2. pick the top pair — count desc, then (left, right) asc as the
+   *      deterministic tie-break (a 1-row driver collect);
+   *   3. merge that pair in every sequence via literal string replace
+   *      (non-overlapping leftmost — exactly BPE's greedy pairing), then
+   *      re-aggregate: distinct sequences can collide post-merge (piece
+   *      "ab" tokenized [ab] vs [a][b] after merging (a,b)).
+   * Sequences are delimiter-wrapped (\u0001sym\u0002…): a replace of
+   * \u0001l\u0002\u0001r\u0002 → \u0001lr\u0002 cannot match across
+   * symbol boundaries, and DuckDB's replace() has the same
+   * non-overlapping-leftmost semantics, so the loop is oracle-able for a
+   * fixed round count (q48). Pieces containing the delimiter codepoints
+   * are dropped. Same bounded-iteration discipline as
+   * Dedup.duplicateClusters: localCheckpoint each round caps lineage;
+   * driver state is one (pair, count) row per round.
+   * Returns (round, left_sym, right_sym, pair_count), round 1-based;
+   * stops early when no adjacent pair remains.
+   */
+  def bpeLearn(pieces: DataFrame, rounds: Int): DataFrame = {
+    val spark = pieces.sparkSession
+    import spark.implicits._
+    val S = "\u0001"
+    val E = "\u0002"
+    var seqs = pieces
+      .where(!col("piece").contains(S) && !col("piece").contains(E))
+      .select(regexp_replace(col("piece"), "(.)", S + "$1" + E).as("seq"),
+        col("cnt"))
+      .groupBy(col("seq")).agg(sum(col("cnt")).as("cnt"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val syms = split(
+        regexp_replace(col("seq"), "^" + S + "|" + E + "$", ""), E + S)
+      val top = seqs
+        .select(syms.as("ss"), col("cnt"))
+        .withColumn("la", slice(col("ss"), lit(1), size(col("ss")) - 1))
+        .withColumn("ra", slice(col("ss"), lit(2), size(col("ss")) - 1))
+        .select(explode(arrays_zip(col("la"), col("ra"))).as("p"), col("cnt"))
+        .groupBy(col("p.la").as("left_sym"), col("p.ra").as("right_sym"))
+        .agg(sum(col("cnt")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("left_sym").asc, col("right_sym").asc)
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val l = top(0).getString(0)
+        val rt = top(0).getString(1)
+        merges += ((r, l, rt, top(0).getLong(2)))
+        seqs = seqs
+          .select(replace(col("seq"), lit(S + l + E + S + rt + E),
+            lit(S + l + rt + E)).as("seq"), col("cnt"))
+          .groupBy(col("seq")).agg(sum(col("cnt")).as("cnt"))
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("round", "left_sym", "right_sym", "pair_count")
+  }
+
+  /**
    * Heuristic language ID via stopword hit ratios (n-gram-free variant —
    * the synthetic corpus is space-tokenized). Scores a small stopword set
    * per language and takes the argmax; "und" when nothing matches.

@@ -240,8 +240,10 @@ object Warc {
     var i = 0
     try {
       while (i + 1 < n && (bytes(i) & 0xFF) == 0x1F && (bytes(i + 1) & 0xFF) == 0x8B) {
-        offs += i.toLong
+        // parse the header BEFORE recording the offset: a member whose
+        // header is corrupt/truncated must not become a split boundary
         val dataStart = gzipHeaderEnd(bytes, i)
+        offs += i.toLong
         val inf = new java.util.zip.Inflater(true) // nowrap: raw deflate
         try {
           inf.setInput(bytes, dataStart, n - dataStart)
@@ -260,14 +262,27 @@ object Warc {
 
   /** Index after the RFC 1952 member header starting at `at`:
     * magic(2) CM(1) FLG(1) MTIME(4) XFL(1) OS(1), then optional
-    * FEXTRA / FNAME / FCOMMENT / FHCRC per the FLG bits. */
+    * FEXTRA / FNAME / FCOMMENT / FHCRC per the FLG bits. Scans are
+    * bounded by the array: a header whose NUL-terminated field runs off
+    * the end is a truncated member — fail with the same loud
+    * IllegalArgumentException class the inflate "stuck" path uses, not
+    * an AIOOBE swallowed after a junk offset was already appended. */
   private def gzipHeaderEnd(b: Array[Byte], at: Int): Int = {
     val flg = b(at + 3) & 0xFF
     var i = at + 10
-    if ((flg & 4) != 0) { val xlen = (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8); i += 2 + xlen }
-    if ((flg & 8) != 0) { while (b(i) != 0) i += 1; i += 1 }  // FNAME, NUL-terminated
-    if ((flg & 16) != 0) { while (b(i) != 0) i += 1; i += 1 } // FCOMMENT
-    if ((flg & 2) != 0) i += 2                                 // FHCRC
+    def scanNulTerminated(field: String): Unit = {
+      while (i < b.length && b(i) != 0) i += 1
+      require(i < b.length, s"truncated gzip header: unterminated $field at offset $at")
+      i += 1
+    }
+    if ((flg & 4) != 0) {
+      require(i + 1 < b.length, s"truncated gzip header: FEXTRA length at offset $at")
+      val xlen = (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8); i += 2 + xlen
+    }
+    if ((flg & 8) != 0) scanNulTerminated("FNAME")
+    if ((flg & 16) != 0) scanNulTerminated("FCOMMENT")
+    if ((flg & 2) != 0) i += 2 // FHCRC
+    require(i <= b.length, s"truncated gzip header at offset $at")
     i
   }
 
