@@ -59,9 +59,9 @@ object TextOps {
    *   2. pick the top pair — count desc, then (left, right) asc as the
    *      deterministic tie-break (a 1-row driver collect);
    *   3. merge that pair in every sequence via literal string replace
-   *      (non-overlapping leftmost — exactly BPE's greedy pairing), then
-   *      re-aggregate: distinct sequences can collide post-merge (piece
-   *      "ab" tokenized [ab] vs [a][b] after merging (a,b)).
+   *      (non-overlapping leftmost — exactly BPE's greedy pairing). The
+   *      post-merge groupBy is defensive only: a symbol sequence always
+   *      concatenates back to its piece, so distinct rows stay distinct.
    * Sequences are delimiter-wrapped (\u0001sym\u0002…): a replace of
    * \u0001l\u0002\u0001r\u0002 → \u0001lr\u0002 cannot match across
    * symbol boundaries, and DuckDB's replace() has the same

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.TextOps
+
+/** Planted-corpus pins for the relational BPE merge loop (q48):
+  * greedy-leftmost pairing, count-weighted pair statistics, the
+  * deterministic tie-break, and early stop when no pair remains. */
+class BpeSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  private def learn(pieces: Seq[(String, Long)], rounds: Int): Seq[(Int, String, String, Long)] =
+    TextOps.bpeLearn(pieces.toDF("piece", "cnt"), rounds)
+      .orderBy("round")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+
+  test("abab: merges (a,b) then (ab,ab), counts weighted by piece count") {
+    // "abab"×2: round 1 sees (a,b)×2 and (b,a)×1 per occurrence
+    assert(learn(Seq(("abab", 2L)), 3) ==
+      Seq((1, "a", "b", 4L), (2, "ab", "ab", 2L)))
+  }
+
+  test("aaa: greedy-leftmost — (a,a) pairs once into [aa][a], not [a][aa]") {
+    // round 1: (a,a) count 2 (overlapping adjacencies both counted in the
+    // STATISTICS); the merge itself is non-overlapping leftmost, leaving
+    // [aa][a] → round 2 merges (aa, a)
+    assert(learn(Seq(("aaa", 1L)), 3) ==
+      Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)))
+  }
+
+  test("tie-break: equal counts resolve by (left, right) ascending") {
+    assert(learn(Seq(("cd", 1L), ("ab", 1L)), 1) == Seq((1, "a", "b", 1L)))
+  }
+
+  test("early stop: once every piece is a single symbol no further " +
+    "rounds are emitted") {
+    val out = learn(Seq(("ab", 3L)), 5)
+    assert(out == Seq((1, "a", "b", 3L)))
+  }
+
+  test("count weighting picks the frequent pair over the diverse one") {
+    // (x,y) appears in one piece with count 5; (p,q) in two pieces with
+    // counts 2+2=4 — frequency wins
+    val out = learn(Seq(("xy", 5L), ("pq", 2L), ("pqr", 2L)), 1)
+    assert(out == Seq((1, "x", "y", 5L)))
+  }
+
+  test("pieces containing the delimiter codepoints are dropped, not " +
+    "corrupted") {
+    val out = learn(Seq(("a\u0001b", 9L), ("cd", 1L)), 1)
+    assert(out == Seq((1, "c", "d", 1L)))
+  }
+}

@@ -1,0 +1,173 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.pipeline.Sketch
+
+/** Sketch lifecycle: persist + associative merge. The reason sketches
+  * exist at 100 TB is merging per-ingest artifacts into a running sketch
+  * without re-scanning history — so the merge law
+  * merge(build(A), build(B)) ≡ build(A ∪ B) is pinned EXACTLY (row-level
+  * state equality, not just estimate equality) for all four families,
+  * save/load round-trips are bit-exact, and parameter-mixed loads fail
+  * loudly instead of silently corrupting estimates. */
+class SketchLifecycleSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  private def corpus(ids: Range): DataFrame =
+    ids.map(i => (i.toLong, s"value-$i word${i % 7} tok${i % 13}", s"g${i % 3}"))
+      .toDF("id", "text", "grp")
+
+  private def canon(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  // ---- HLL --------------------------------------------------------------
+
+  test("HLL: merge(build(A), build(B)) has register-identical state to " +
+    "build(A ∪ B), and the estimates agree") {
+    val all = corpus(0 until 300)
+    val a = all.where(col("id") % 2 === 0)
+    val b = all.where(col("id") % 2 =!= 0)
+    val full = Sketch.hllRegisters(all, Seq("grp"), col("text"))
+    val merged = Sketch.hllMergeRegisters(
+      Sketch.hllRegisters(a, Seq("grp"), col("text")),
+      Sketch.hllRegisters(b, Seq("grp"), col("text")), Seq("grp"))
+    assert(canon(merged) == canon(full))
+    assert(canon(Sketch.hllEstimate(merged, Seq("grp"))) ==
+      canon(Sketch.hllEstimate(full, Seq("grp"))))
+  }
+
+  test("HLL: save → load round-trips registers and p; merging a loaded " +
+    "day-2 sketch into a loaded day-1 sketch ≡ building over both days") {
+    val d1 = corpus(0 until 120)
+    val d2 = corpus(120 until 260)
+    val p1 = tmp("hll1"); val p2 = tmp("hll2")
+    Sketch.saveHll(Sketch.hllRegisters(d1, Seq("grp"), col("text")),
+      Seq("grp"), p = 9, p1)
+    Sketch.saveHll(Sketch.hllRegisters(d2, Seq("grp"), col("text")),
+      Seq("grp"), p = 9, p2)
+    val (r1, pp1) = Sketch.loadHll(spark, Seq("grp"), p1)
+    val (r2, pp2) = Sketch.loadHll(spark, Seq("grp"), p2)
+    assert(pp1 == 9 && pp2 == 9)
+    val merged = Sketch.hllMergeRegisters(r1, r2, Seq("grp"))
+    val full = Sketch.hllRegisters(d1.unionByName(d2), Seq("grp"), col("text"))
+    assert(canon(merged) == canon(full))
+  }
+
+  test("HLL: loading a path whose rows mix p values fails loudly") {
+    val path = tmp("hllmix")
+    val regs = Sketch.hllRegisters(corpus(0 until 50), Seq("grp"), col("text"))
+    regs.withColumn("p", when(col("bucket") % 2 === 0, 9).otherwise(10))
+      .write.mode("overwrite").parquet(path)
+    val e = intercept[IllegalArgumentException] {
+      Sketch.loadHll(spark, Seq("grp"), path)
+    }
+    assert(e.getMessage.contains("mixes parameters"))
+  }
+
+  // ---- CMS --------------------------------------------------------------
+
+  test("CMS: counter-add merge ≡ rebuild over the union (exact counter " +
+    "table equality), and lookups agree") {
+    val all = corpus(0 until 400).select(explode(split(col("text"), " ")).as("v"))
+    val a = corpus(0 until 200).select(explode(split(col("text"), " ")).as("v"))
+    val b = corpus(200 until 400).select(explode(split(col("text"), " ")).as("v"))
+    val merged = Sketch.cmsMerge(Sketch.cmsBuild(a, col("v")),
+      Sketch.cmsBuild(b, col("v")))
+    val full = Sketch.cmsBuild(all, col("v"))
+    assert(canon(merged) == canon(full))
+    val probes = Seq("word0", "tok5", "absent").toDF("v")
+    assert(canon(Sketch.cmsLookup(merged, probes, col("v"))) ==
+      canon(Sketch.cmsLookup(full, probes, col("v"))))
+  }
+
+  test("CMS: save → load round-trips counters and (d, w); mixed (d, w) " +
+    "fails loudly") {
+    val vals = corpus(0 until 100).select(explode(split(col("text"), " ")).as("v"))
+    val cms = Sketch.cmsBuild(vals, col("v"))
+    val path = tmp("cms")
+    Sketch.saveCms(cms, d = 4, w = 1024, path)
+    val (loaded, d, w) = Sketch.loadCms(spark, path)
+    assert(d == 4 && w == 1024)
+    assert(canon(loaded) == canon(cms))
+
+    val mixed = tmp("cmsmix")
+    cms.withColumn("d", lit(4)).withColumn("w", when(col("bucket") < 100, 512).otherwise(1024))
+      .write.mode("overwrite").parquet(mixed)
+    val e = intercept[IllegalArgumentException] {
+      Sketch.loadCms(spark, mixed)
+    }
+    assert(e.getMessage.contains("mixes parameters"))
+  }
+
+  // ---- Bloom ------------------------------------------------------------
+
+  test("Bloom: position-union merge ≡ rebuild; no false negatives across " +
+    "a merge; save/load round-trips (m, k)") {
+    val a = (0 until 150).map(i => s"url-$i").toDF("v")
+    val b = (150 until 300).map(i => s"url-$i").toDF("v")
+    val all = (0 until 300).map(i => s"url-$i").toDF("v")
+    val merged = Sketch.bloomMerge(Sketch.bloomBuild(a, col("v")),
+      Sketch.bloomBuild(b, col("v")))
+    val full = Sketch.bloomBuild(all, col("v"))
+    assert(canon(merged) == canon(full))
+    // every inserted key (either side) must hit the merged filter
+    val hits = Sketch.bloomProbe(merged, all, col("v"))
+    assert(hits.where(!col("bloom_hit")).count() == 0)
+
+    val path = tmp("bloom")
+    Sketch.saveBloom(merged, m = 16384, k = 4, path)
+    val (loaded, m, k) = Sketch.loadBloom(spark, path)
+    assert(m == 16384 && k == 4)
+    assert(canon(loaded) == canon(merged))
+  }
+
+  // ---- log2-histogram quantile sketch -----------------------------------
+
+  test("histogram: add-merge ≡ rebuild over the union (exact bucket " +
+    "counts), including through a save/load round-trip") {
+    val all = (0 until 500).map(i => ("g", i.toLong * 3 + 1)).toDF("grp", "v")
+    val a = all.where(col("v") % 2 === 0)
+    val b = all.where(col("v") % 2 =!= 0)
+    val merged = Sketch.histMerge(
+      Sketch.histBuild(a, Seq("grp"), col("v")),
+      Sketch.histBuild(b, Seq("grp"), col("v")), Seq("grp"))
+    val full = Sketch.histBuild(all, Seq("grp"), col("v"))
+    assert(canon(merged) == canon(full))
+
+    val path = tmp("hist")
+    Sketch.saveHist(merged, Seq("grp"), path)
+    assert(canon(Sketch.loadHist(spark, Seq("grp"), path)) == canon(full))
+  }
+
+  test("histogram quantiles: planted single-bucket distribution reads off " +
+    "the exact in-bucket interpolation; estimates bounded by bucket span") {
+    // 11 values all in bucket 4 (bit-length 4: values 8..15): n=11,
+    // lo=8, hi=15, t(q) = 10·q, estimate = 8 + 7·(10q/11)
+    val vals = (0 until 11).map(_ => ("g", 10L)).toDF("grp", "v")
+    val h = Sketch.histBuild(vals, Seq("grp"), col("v"))
+    val out = Sketch.histQuantiles(h, Seq("grp"),
+      Seq(("q0", 0.0), ("q50", 0.5), ("q100", 1.0))).collect()(0)
+    assert(out.getAs[Long]("docs") == 11L)
+    assert(out.getAs[Double]("q0") == 8.0)                       // t=0
+    assert(out.getAs[Double]("q50") == math.rint((8.0 + 7.0 * (5.0 / 11.0)) * 1e4) / 1e4)
+    // t = n−1 = 10 → 8 + 7·(10/11)
+    assert(out.getAs[Double]("q100") == math.rint((8.0 + 7.0 * (10.0 / 11.0)) * 1e4) / 1e4)
+
+    // two buckets: 5 values of 3 (bucket 2: lo 2 hi 3) + 5 of 20
+    // (bucket 5: lo 16 hi 31): p50 → t=4.5 lands in bucket 2 at
+    // (4.5−0)/5 of the span; p90 → t=8.1 in bucket 5 at (8.1−5)/5
+    val two = ((0 until 5).map(_ => ("g", 3L)) ++ (0 until 5).map(_ => ("g", 20L)))
+      .toDF("grp", "v")
+    val o2 = Sketch.histQuantiles(Sketch.histBuild(two, Seq("grp"), col("v")),
+      Seq("grp"), Seq(("p50", 0.5), ("p90", 0.9))).collect()(0)
+    assert(o2.getAs[Double]("p50") == math.rint((2.0 + 1.0 * (4.5 / 5.0)) * 1e4) / 1e4)
+    assert(o2.getAs[Double]("p90") == math.rint((16.0 + 15.0 * (3.1 / 5.0)) * 1e4) / 1e4)
+  }
+}
