@@ -639,18 +639,20 @@ object SparkEntry {
         .repartition(8, col("doc_id"))
         .as[(Long, String)]
         .foreachPartition { (it: Iterator[(Long, String)]) =>
-          val recs = it.map { case (id, text) =>
-            (s"http://synth.example/doc/$id",
-              java.time.Instant.ofEpochMilli(1767225600000L + id * 60000L).toString,
-              synthHtml(id, text).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          }.toSeq
-          if (recs.nonEmpty) {
+          // records STREAM to the gzip member writer one at a time — no
+          // full-partition buffer (the production ingest memory profile)
+          if (it.hasNext) {
+            val recs = it.map { case (id, text) =>
+              (s"http://synth.example/doc/$id",
+                java.time.Instant.ofEpochMilli(1767225600000L + id * 60000L).toString,
+                synthHtml(id, text).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            }
             val pid = org.apache.spark.TaskContext.getPartitionId()
             val part = new org.apache.hadoop.fs.Path(tmp, f"part-$pid%05d.warc.gz")
             val pfs = part.getFileSystem(
               graft.sources.Warc.confFromEntries(bcConf.value))
             val os = pfs.create(part, true)
-            try os.write(graft.sources.Warc.writeWarc(recs, gzipPerRecord = true))
+            try graft.sources.Warc.writeWarcTo(os, recs, gzipPerRecord = true)
             finally os.close()
           }
         }

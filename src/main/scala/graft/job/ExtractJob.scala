@@ -25,22 +25,32 @@ import graft.extract.{Extracted, Extractor, Page}
  * to `<out>/_lineage`.
  *
  * Usage: ExtractJob <pagesDir|warcGlob> <outDir> [--resume] [--warc]
- *          [--warc-splits] [--partitions N]
+ *          [--warc-splits] [--partitions N] [--dedup-index <path>]
  *
  * --warc-splits: read WARC input via member-aligned sub-file splits
  * (Warc.readWithSplits) instead of one task per file — for the slots ≫
  * files regime (a handful of 1 GB warc.gz files on a wide cluster).
+ *
+ * --dedup-index: run the ingest-dedup loop against a persisted
+ * MinHash-LSH corpus index — first run builds it; later runs dedup their
+ * batch against it (near-dup pairs → <out>/_dupes) and append the batch
+ * as the next ingest (Dedup.appendToMinHashIndex; compact offline with
+ * Dedup.compactMinHashIndex when re-ingests accumulate).
  */
 object ExtractJob {
 
   def main(args: Array[String]): Unit = {
+    val valueFlags = Set("--partitions", "--dedup-index")
     val pos = args.filterNot(_.startsWith("--")).filterNot(a =>
-      args.indexOf(a) > 0 && args(args.indexOf(a) - 1) == "--partitions")
+      args.indexOf(a) > 0 && valueFlags.contains(args(args.indexOf(a) - 1)))
     val Array(pagesDir, outDir) = pos.take(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val partitions = args.sliding(2).collectFirst {
       case Array("--partitions", v) => v.toInt
     }.getOrElse(cpus.toInt * 2)
+    val dedupIndex = args.sliding(2).collectFirst {
+      case Array("--dedup-index", v) => v
+    }
 
     val spark = SparkSession.builder()
       .appName("graft-extract")
@@ -56,7 +66,8 @@ object ExtractJob {
     val resume = args.contains("--resume")
     val n = run(spark, pagesDir, outDir, partitions, resume,
       warcInput = args.contains("--warc") || args.contains("--warc-splits"),
-      warcSplits = args.contains("--warc-splits"))
+      warcSplits = args.contains("--warc-splits"),
+      dedupIndexPath = dedupIndex)
     println(s"""{"extracted_rows":$n,"out":"$outDir"}""")
     spark.stop()
   }
@@ -64,7 +75,8 @@ object ExtractJob {
   def run(spark: SparkSession, pagesDir: String, outDir: String,
           partitions: Int, resume: Boolean,
           warcInput: Boolean = false,
-          warcSplits: Boolean = false): Long = {
+          warcSplits: Boolean = false,
+          dedupIndexPath: Option[String] = None): Long = {
     import spark.implicits._
 
     // --warc: ingest straight from a crawl drop (WARC files) instead of
@@ -187,6 +199,37 @@ object ExtractJob {
     if (lineageRows.nonEmpty) {
       lineageRows.toDF("partition_id", "rows", "bytes_in")
         .coalesce(1).write.mode(SaveMode.Append).parquet(s"$outDir/_lineage")
+    }
+
+    // --dedup-index: the production ingest-dedup loop. The just-written
+    // batch is deduped against the persisted MinHash-LSH corpus index
+    // (near-dup pairs land in <out>/_dupes), then appended to the index
+    // as the next ingest. The batch is re-read from the written output
+    // (2-column pruned scan) rather than re-extracting; "the batch" =
+    // ok rows whose url the index has not seen — on a resumed run that
+    // is exactly this run's delta.
+    dedupIndexPath.foreach { idxPath =>
+      import graft.pipeline.Dedup
+      val extractedTbl = spark.read.parquet(s"$outDir/extracted")
+        .where(col("status") === "ok")
+        .select(col("url"), col("extracted_text"))
+      val indexExists =
+        try { spark.read.parquet(s"$idxPath/meta"); true }
+        catch { case _: Throwable => false }
+      if (!indexExists) {
+        Dedup.saveMinHashIndex(
+          Dedup.buildMinHashIndex(extractedTbl, "url", "extracted_text"),
+          idxPath)
+      } else {
+        val index = Dedup.loadMinHashIndex(spark, idxPath)
+        val batch = extractedTbl.join(
+          index.shingles.select(col("id").as("url")).distinct(),
+          Seq("url"), "left_anti")
+        Dedup.minhashLshJoinIndexed(index, batch, "url", "extracted_text")
+          .write.mode(SaveMode.Append).parquet(s"$outDir/_dupes")
+        Dedup.appendToMinHashIndex(spark, idxPath, batch,
+          "url", "extracted_text")
+      }
     }
 
     // rows extracted THIS run, from the observed metrics captured in the

@@ -277,25 +277,92 @@ object Dedup {
 
   /** Persist: banded signatures partitioned by band (an ingest's
     * candidate join prunes per band), shingles plain, parameters in a
-    * one-row meta table. An appended corpus delta can be written with
-    * mode("append") to the same layout. */
+    * one-row meta table. Every row is stamped with an ingest sequence
+    * number (0 for the initial save); appendToMinHashIndex adds later
+    * ingests, and compactMinHashIndex resolves a re-ingested id to its
+    * LATEST version. */
   def saveMinHashIndex(index: MinHashIndex, path: String): Unit = {
     val spark = index.banded.sparkSession
     import spark.implicits._
-    Seq((index.k, index.bands, index.shingleAlgo)).toDF("k", "bands", "algo")
+    Seq((index.k, index.bands, index.shingleAlgo, 1))
+      .toDF("k", "bands", "algo", "ingests")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-    index.banded.write.mode("overwrite").partitionBy("band")
+    index.banded.withColumn("ingest", lit(0))
+      .write.mode("overwrite").partitionBy("band")
       .parquet(s"$path/banded")
-    index.shingles.write.mode("overwrite").parquet(s"$path/shingles")
+    index.shingles.withColumn("ingest", lit(0))
+      .write.mode("overwrite").parquet(s"$path/shingles")
+  }
+
+  private def readIndexMeta(spark: org.apache.spark.sql.SparkSession,
+                            path: String): (Int, Int, String, Int) = {
+    val df = spark.read.parquet(s"$path/meta")
+    val meta = df.select(col("k"), col("bands"), col("algo"),
+      // pre-maintenance indexes (no ingests column) count as one ingest
+      (if (df.columns.contains("ingests")) col("ingests") else lit(1))
+        .as("ingests")).head
+    (meta.getInt(0), meta.getInt(1), meta.getString(2), meta.getInt(3))
   }
 
   def loadMinHashIndex(spark: org.apache.spark.sql.SparkSession,
                        path: String): MinHashIndex = {
-    val meta = spark.read.parquet(s"$path/meta").head
-    MinHashIndex(meta.getInt(0), meta.getInt(1), meta.getString(2),
+    val (k, bands, algo, _) = readIndexMeta(spark, path)
+    MinHashIndex(k, bands, algo,
       spark.read.parquet(s"$path/banded")
         .select(col("id"), col("band").cast("int").as("band"), col("band_hash")),
-      spark.read.parquet(s"$path/shingles"))
+      spark.read.parquet(s"$path/shingles").select(col("id"), col("sh")))
+  }
+
+  /**
+   * Append one ingest's documents to a saved index — the daily step of
+   * the production ingest-dedup loop. The batch is shingled and banded
+   * with the INDEX's own parameters (carried in meta — a caller cannot
+   * mismatch them), stamped with the next ingest sequence number, and
+   * appended to the partitioned layout (a band's new files land inside
+   * its existing partition directory — the ingest never rewrites corpus
+   * history). A re-ingested id now exists at two sequence numbers; reads
+   * through loadMinHashIndex see both until compactMinHashIndex resolves
+   * the id to its latest version. Returns the ingest number assigned.
+   */
+  def appendToMinHashIndex(spark: org.apache.spark.sql.SparkSession,
+                           path: String, batch: DataFrame,
+                           idCol: String, textCol: String): Int = {
+    import spark.implicits._
+    val (k, bands, algo, ingests) = readIndexMeta(spark, path)
+    val sh = prepShingles(batch, idCol, textCol, algo)
+    bandedSignature(sh, k, bands).withColumn("ingest", lit(ingests))
+      .write.mode("append").partitionBy("band").parquet(s"$path/banded")
+    sh.withColumn("ingest", lit(ingests))
+      .write.mode("append").parquet(s"$path/shingles")
+    Seq((k, bands, algo, ingests + 1)).toDF("k", "bands", "algo", "ingests")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    ingests
+  }
+
+  /**
+   * Compaction: resolve every id to its LATEST ingest and write a fresh
+   * single-ingest index at `dstPath` (src is left untouched — parquet
+   * cannot be rewritten in place while being read). Latest-wins is one
+   * max-per-id aggregation + an equi-join per table — no pairwise work.
+   * Invariant (pinned by MinHashIndexSpec): ingest(A) then ingest(B) then
+   * compact ≡ one-shot index over A's non-re-ingested ids ∪ B.
+   */
+  def compactMinHashIndex(spark: org.apache.spark.sql.SparkSession,
+                          srcPath: String, dstPath: String): Unit = {
+    require(srcPath != dstPath, "compaction must write to a fresh path")
+    val (k, bands, algo, _) = readIndexMeta(spark, srcPath)
+    def ingestOf(df: DataFrame): DataFrame =
+      if (df.columns.contains("ingest")) df
+      else df.withColumn("ingest", lit(0))
+    val shingles = ingestOf(spark.read.parquet(s"$srcPath/shingles"))
+    val banded = ingestOf(spark.read.parquet(s"$srcPath/banded"))
+    val latest = shingles.groupBy(col("id"))
+      .agg(max(col("ingest")).as("ingest"))
+    saveMinHashIndex(MinHashIndex(k, bands, algo,
+      banded.join(latest, Seq("id", "ingest"))
+        .select(col("id"), col("band").cast("int").as("band"), col("band_hash")),
+      shingles.join(latest, Seq("id", "ingest"))
+        .select(col("id"), col("sh"))), dstPath)
   }
 
   /** One ingest against a (built or loaded) corpus index: only the BATCH

@@ -43,11 +43,22 @@ object Warc {
   def writeWarc(records: Seq[(String, String, Array[Byte])],
                 gzipPerRecord: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(1 << 16)
+    writeWarcTo(out, records.iterator, gzipPerRecord)
+    out.toByteArray
+  }
+
+  /** Stream records to `os` one gzip member at a time — per-record
+    * buffers only, never the partition (a 1 M-row task would otherwise
+    * hold ~1.5 GB; VERDICT r4 #3). Byte-identical to writeWarc, which
+    * delegates here. */
+  def writeWarcTo(os: java.io.OutputStream,
+                  records: Iterator[(String, String, Array[Byte])],
+                  gzipPerRecord: Boolean = false): Unit = {
     def member(record: Array[Byte]): Unit =
       if (gzipPerRecord) {
-        val gz = new java.util.zip.GZIPOutputStream(out)
+        val gz = new java.util.zip.GZIPOutputStream(os)
         gz.write(record); gz.finish()
-      } else out.write(record)
+      } else os.write(record)
 
     val info = ("WARC/1.0\r\n" +
       "WARC-Type: warcinfo\r\n" +
@@ -75,7 +86,6 @@ object Warc {
       rec.write(hdr); rec.write(payload); rec.write("\r\n\r\n".getBytes(ISO_8859_1))
       member(rec.toByteArray)
     }
-    out.toByteArray
   }
 
   // ---- reader ----------------------------------------------------------

@@ -110,6 +110,44 @@ class ExtractJobSpec extends AnyFunSuite {
     assert(nNested == 8L, s"nested layout should yield file a's 8 urls, got $nNested")
   }
 
+  test("--dedup-index: first run builds the corpus index; the next run " +
+    "dedups its batch against it and appends the ingest") {
+    import spark.implicits._
+    import graft.pipeline.Dedup
+    val tmp = java.nio.file.Files.createTempDirectory("extractjobdedup").toString
+    val idx = s"$tmp/idx"
+
+    writePages(s"$tmp/pages1", 0L until 10L)
+    ExtractJob.run(spark, s"$tmp/pages1", s"$tmp/out1",
+      partitions = 4, resume = false, dedupIndexPath = Some(idx))
+    val built = Dedup.loadMinHashIndex(spark, idx)
+    assert(built.shingles.select("id").distinct().count() == 10L)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$tmp/out1/_dupes")))
+
+    // second ingest: 5 new pages plus one whose CONTENT duplicates doc 2
+    def dupPage(u: String, contentOf: Long): Page = {
+      val p = page(contentOf)
+      Page(u, p.warc_ts, p.html, "", "")
+    }
+    PageTableIO.write(spark.createDataset(
+      (10L until 15L).map(page) :+ dupPage("test://dup/2", 2L)).toDF(),
+      s"$tmp/pages2", numBuckets = 4)
+    ExtractJob.run(spark, s"$tmp/pages2", s"$tmp/out2",
+      partitions = 4, resume = false, dedupIndexPath = Some(idx))
+
+    // the near-dup was caught against the INDEX (corpus id on the a-side)
+    val dupes = spark.read.parquet(s"$tmp/out2/_dupes")
+    val pairs = dupes.select("id_a", "id_b").collect().map(_.toSeq).toSet
+    assert(pairs.contains(Seq("test://doc/2", "test://dup/2")),
+      s"expected the planted near-dup pair, got $pairs")
+    // and the batch joined the index as ingest 1 (16 distinct ids now)
+    assert(Dedup.loadMinHashIndex(spark, idx)
+      .shingles.select("id").distinct().count() == 16L)
+    val meta = spark.read.parquet(s"$idx/meta").head
+    assert(meta.getAs[Int]("ingests") == 2)
+  }
+
   test("resume: appends only the missing urls (exactly-once per url)") {
     val tmp = java.nio.file.Files.createTempDirectory("extractjob").toString
     writePages(s"$tmp/pages", 0L until 10L)
