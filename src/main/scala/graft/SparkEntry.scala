@@ -427,6 +427,26 @@ object SparkEntry {
       TextOps.bpeLearn(pieces, rounds = 3).orderBy(col("round"))
     }),
 
+    "q49_bpe_apply" -> ((s, dir) => {
+      // the APPLY side of q48: learn 3 merges, segment the DISTINCT
+      // piece vocabulary once under them, and join token counts back to
+      // documents by piece — per-doc BPE token counts under a learned
+      // vocab (the tokenizer-budget number a trained tokenizer yields,
+      // vs q38's pre-tokenizer ceiling)
+      val toks = docs(s, dir)
+        .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("piece"))
+        .where(col("piece").rlike("^[a-z]+$"))
+      val pieces = toks.groupBy(col("piece")).agg(count(lit(1)).as("cnt"))
+      val merges = TextOps.bpeLearn(pieces, rounds = 3)
+        .orderBy(col("round")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val seg = TextOps.bpeSegmentCounts(pieces.select(col("piece")), merges)
+      toks.join(seg, Seq("piece"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("bpe_tokens")).as("bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q45_length_quantiles" -> ((s, dir) => {
       // corpus distribution profiling: EXACT interpolated percentiles of
       // document length per language (Spark's percentile aggregate vs
@@ -1492,6 +1512,47 @@ object SparkEntry {
          |UNION ALL SELECT 2, lft, rgt, pair_count FROM t2
          |UNION ALL SELECT 3, lft, rgt, pair_count FROM t3
          |ORDER BY round""".stripMargin
+    },
+
+    // q48's learn chain + one more merge application = the segmented
+    // vocabulary; per-doc counts are a piece-keyed join-back (the
+    // vocabulary is segmented once, not per occurrence)
+    "q49_bpe_apply" -> {
+      val mkPairs = (seq: String, p: String, t: String) =>
+        s"""$p AS (SELECT cnt, unnest([{'l': ss[i], 'r': ss[i+1]} for i in range(1, len(ss))]) AS u
+           |  FROM (SELECT string_split(rtrim(ltrim(seq, chr(1)), chr(2)), chr(2) || chr(1)) AS ss, cnt
+           |        FROM $seq)),
+           |$t AS (SELECT u.l AS lft, u.r AS rgt, sum(cnt)::BIGINT AS pair_count
+           |  FROM $p GROUP BY u.l, u.r
+           |  ORDER BY pair_count DESC, lft ASC, rgt ASC LIMIT 1)""".stripMargin
+      val mkMerge = (prev: String, t: String, next: String) =>
+        s"""$next AS (SELECT seq, sum(cnt)::BIGINT AS cnt FROM (
+           |  SELECT replace(seq, chr(1) || t.lft || chr(2) || chr(1) || t.rgt || chr(2),
+           |                 chr(1) || t.lft || t.rgt || chr(2)) AS seq, cnt
+           |  FROM $prev CROSS JOIN $t t) GROUP BY seq)""".stripMargin
+      s"""WITH doctoks AS (
+         |  SELECT doc_id, piece FROM (
+         |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS piece
+         |    FROM documents) t
+         |  WHERE regexp_matches(piece, '^[a-z]+$$')),
+         |pieces AS (SELECT piece, count(*)::BIGINT AS cnt FROM doctoks GROUP BY piece),
+         |seq1 AS (
+         |  SELECT regexp_replace(piece, '(.)', chr(1) || '\\1' || chr(2), 'g') AS seq,
+         |         cnt
+         |  FROM pieces),
+         |${mkPairs("seq1", "pr1", "t1")},
+         |${mkMerge("seq1", "t1", "seq2")},
+         |${mkPairs("seq2", "pr2", "t2")},
+         |${mkMerge("seq2", "t2", "seq3")},
+         |${mkPairs("seq3", "pr3", "t3")},
+         |${mkMerge("seq3", "t3", "seq4")},
+         |vocab AS (
+         |  SELECT replace(replace(seq, chr(1), ''), chr(2), '') AS piece,
+         |    len(string_split(rtrim(ltrim(seq, chr(1)), chr(2)), chr(2) || chr(1)))::BIGINT AS bpe_tokens
+         |  FROM seq4)
+         |SELECT doc_id, sum(bpe_tokens)::BIGINT AS bpe_tokens
+         |FROM doctoks JOIN vocab USING (piece)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
     "q45_length_quantiles" ->

@@ -36,11 +36,15 @@ import graft.extract.{Extracted, Extractor, Page}
  * batch against it (near-dup pairs → <out>/_dupes) and append the batch
  * as the next ingest (Dedup.appendToMinHashIndex; compact offline with
  * Dedup.compactMinHashIndex when re-ingests accumulate).
+ *
+ * --profile-sketches: continuous corpus profiling — upsert this run's
+ * crawl days into running per-day sketch tables (HLL distinct-token
+ * registers + log2 length histogram; Sketch.upsertHll/upsertHist).
  */
 object ExtractJob {
 
   def main(args: Array[String]): Unit = {
-    val valueFlags = Set("--partitions", "--dedup-index")
+    val valueFlags = Set("--partitions", "--dedup-index", "--profile-sketches")
     val pos = args.filterNot(_.startsWith("--")).filterNot(a =>
       args.indexOf(a) > 0 && valueFlags.contains(args(args.indexOf(a) - 1)))
     val Array(pagesDir, outDir) = pos.take(2)
@@ -50,6 +54,9 @@ object ExtractJob {
     }.getOrElse(cpus.toInt * 2)
     val dedupIndex = args.sliding(2).collectFirst {
       case Array("--dedup-index", v) => v
+    }
+    val profileSketches = args.sliding(2).collectFirst {
+      case Array("--profile-sketches", v) => v
     }
 
     val spark = SparkSession.builder()
@@ -67,7 +74,8 @@ object ExtractJob {
     val n = run(spark, pagesDir, outDir, partitions, resume,
       warcInput = args.contains("--warc") || args.contains("--warc-splits"),
       warcSplits = args.contains("--warc-splits"),
-      dedupIndexPath = dedupIndex)
+      dedupIndexPath = dedupIndex,
+      profileSketchPath = profileSketches)
     println(s"""{"extracted_rows":$n,"out":"$outDir"}""")
     spark.stop()
   }
@@ -76,7 +84,8 @@ object ExtractJob {
           partitions: Int, resume: Boolean,
           warcInput: Boolean = false,
           warcSplits: Boolean = false,
-          dedupIndexPath: Option[String] = None): Long = {
+          dedupIndexPath: Option[String] = None,
+          profileSketchPath: Option[String] = None): Long = {
     import spark.implicits._
 
     // --warc: ingest straight from a crawl drop (WARC files) instead of
@@ -229,6 +238,40 @@ object ExtractJob {
           .write.mode(SaveMode.Append).parquet(s"$outDir/_dupes")
         Dedup.appendToMinHashIndex(spark, idxPath, batch,
           "url", "extracted_text")
+      }
+    }
+
+    // --profile-sketches: continuous corpus profiling. The days this run
+    // touched are recomputed from their (partition-pruned) full day
+    // slices and UPSERTED into the running sketch tables — group replace,
+    // not counter add, so a resumed/re-run ingest is idempotent; distinct
+    // days still combine via the associative merges at read time.
+    // Artifacts: <path>/hll_tokens (distinct-token registers per day),
+    // <path>/len_hist (log2 length histogram per day).
+    profileSketchPath.foreach { skPath =>
+      import graft.pipeline.{Dedup, Sketch}
+      // the days touched by THIS run (re-derives from the input relation:
+      // a cheap column-pruned re-scan for parquet; bounded driver state —
+      // an ingest covers a handful of crawl days)
+      val touchedDays = input
+        .select(to_date(col("warc_ts")).cast("string").as("warc_day"))
+        .distinct().collect().map(_.getString(0)).filter(_ != null)
+      if (touchedDays.nonEmpty) {
+        val rows = spark.read.parquet(s"$outDir/extracted")
+          .where(col("status") === "ok" &&
+            col("warc_day").cast("string").isin(touchedDays.toSeq: _*))
+          .select(col("warc_day").cast("string").as("warc_day"),
+            col("extracted_text"))
+          .localCheckpoint(true) // two sketch builds, one extraction scan
+        val toks = rows.select(col("warc_day"),
+          explode(Dedup.tokens(col("extracted_text"))).as("tok"))
+        Sketch.upsertHll(spark, Seq("warc_day"),
+          Sketch.hllRegisters(toks, Seq("warc_day"), col("tok")),
+          p = 9, s"$skPath/hll_tokens")
+        Sketch.upsertHist(spark, Seq("warc_day"),
+          Sketch.histBuild(rows, Seq("warc_day"),
+            length(col("extracted_text"))),
+          s"$skPath/len_hist")
       }
     }
 

@@ -203,6 +203,51 @@ object Sketch {
     (df.select((groupCols.map(col) :+ col("bucket") :+ col("r")): _*), p)
   }
 
+  /**
+   * Upsert whole GROUPS into the persisted HLL register table at `path`
+   * (create it if absent): incoming groups REPLACE their old rows, other
+   * groups are kept. This is the continuous-profiling discipline
+   * ExtractJob --profile-sketches runs per ingest: a crawl day is the
+   * natural ingest unit, each run recomputes the sketches of the days it
+   * touched from those days' full partitions and swaps them in — so the
+   * operation is IDEMPOTENT across resumes/retries (counter-ADD merge
+   * double-counts a re-run; group replace cannot), while different days
+   * still combine associatively at read time via hllMergeRegisters. The
+   * merged frame is localCheckpoint-materialized before the overwrite so
+   * the save never reads the files it is replacing.
+   */
+  def upsertHll(spark: org.apache.spark.sql.SparkSession,
+                groupCols: Seq[String], registers: DataFrame, p: Int,
+                path: String): Unit = {
+    val exists =
+      try { spark.read.parquet(path).schema; true }
+      catch { case _: Throwable => false }
+    val merged = if (!exists) registers else {
+      val (old, oldP) = loadHll(spark, groupCols, path)
+      require(oldP == p, s"sketch at $path has p=$oldP, ingest has p=$p")
+      old.join(registers.select(groupCols.map(col): _*).distinct(),
+        groupCols, "left_anti").unionByName(registers)
+    }
+    saveHll(merged.localCheckpoint(true), groupCols, p, path)
+  }
+
+  /** Group upsert for persisted histograms — same replace-groups
+    * discipline (and the same idempotence rationale) as upsertHll. */
+  def upsertHist(spark: org.apache.spark.sql.SparkSession,
+                 groupCols: Seq[String], hist: DataFrame,
+                 path: String): Unit = {
+    val exists =
+      try { spark.read.parquet(path).schema; true }
+      catch { case _: Throwable => false }
+    val merged = if (!exists) hist else
+      loadHist(spark, groupCols, path)
+        .join(hist.select(groupCols.map(col): _*).distinct(),
+          groupCols, "left_anti")
+        .unionByName(hist.select(
+          (groupCols.map(col) :+ col("bucket") :+ col("cnt")): _*))
+    saveHist(merged.localCheckpoint(true), groupCols, path)
+  }
+
   /** Associative counter merge: ADD per (row, bucket). Both sides must be
     * same-shape (enforced at load time for persisted sketches). */
   def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =

@@ -116,6 +116,31 @@ object TextOps {
   }
 
   /**
+   * The APPLY side of bpeLearn: token count per piece under an ORDERED
+   * merge list. Segmentation replays the same greedy-leftmost replace
+   * cascade the learner used (one literal replace per merge, in learned
+   * order) — so learn → apply round-trips consistently, and the cascade
+   * is a fixed expression chain (codegen'd, no loop state). Returns
+   * (piece, bpe_tokens); run it over the DISTINCT piece table and join
+   * token counts back to documents by piece (q49) — the vocabulary-sized
+   * segmentation table is computed once, not per document occurrence.
+   */
+  def bpeSegmentCounts(pieces: DataFrame,
+                       merges: Seq[(String, String)]): DataFrame = {
+    val S = "\u0001"
+    val E = "\u0002"
+    val wrapped = regexp_replace(col("piece"), "(.)", S + "$1" + E)
+    val applied = merges.foldLeft(wrapped) { case (c, (l, r)) =>
+      replace(c, lit(S + l + E + S + r + E), lit(S + l + r + E))
+    }
+    pieces
+      .where(!col("piece").contains(S) && !col("piece").contains(E))
+      .select(col("piece"),
+        size(split(regexp_replace(applied, "^" + S + "|" + E + "$", ""),
+          E + S)).as("bpe_tokens"))
+  }
+
+  /**
    * Heuristic language ID via stopword hit ratios (n-gram-free variant —
    * the synthetic corpus is space-tokenized). Scores a small stopword set
    * per language and takes the argmax; "und" when nothing matches.
