@@ -1489,10 +1489,15 @@ object SparkEntry {
            |  FROM $p GROUP BY u.l, u.r
            |  ORDER BY pair_count DESC, lft ASC, rgt ASC LIMIT 1)""".stripMargin
       val mkMerge = (prev: String, t: String, next: String) =>
+        // LEFT JOIN, not CROSS JOIN: when a round finds no pair (early
+        // stop) the empty top-pair CTE must pass sequences through
+        // unchanged, not annihilate the chain (bpeLearn stops early the
+        // same way, so the engines stay consistent on ANY corpus)
         s"""$next AS (SELECT seq, sum(cnt)::BIGINT AS cnt FROM (
-           |  SELECT replace(seq, chr(1) || t.lft || chr(2) || chr(1) || t.rgt || chr(2),
-           |                 chr(1) || t.lft || t.rgt || chr(2)) AS seq, cnt
-           |  FROM $prev CROSS JOIN $t t) GROUP BY seq)""".stripMargin
+           |  SELECT CASE WHEN t.lft IS NULL THEN seq
+           |         ELSE replace(seq, chr(1) || t.lft || chr(2) || chr(1) || t.rgt || chr(2),
+           |                      chr(1) || t.lft || t.rgt || chr(2)) END AS seq, cnt
+           |  FROM $prev LEFT JOIN $t t ON true) GROUP BY seq)""".stripMargin
       s"""WITH pieces AS (
          |  SELECT piece, count(*)::BIGINT AS cnt FROM (
          |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS piece
@@ -1526,10 +1531,15 @@ object SparkEntry {
            |  FROM $p GROUP BY u.l, u.r
            |  ORDER BY pair_count DESC, lft ASC, rgt ASC LIMIT 1)""".stripMargin
       val mkMerge = (prev: String, t: String, next: String) =>
+        // LEFT JOIN, not CROSS JOIN: when a round finds no pair (early
+        // stop) the empty top-pair CTE must pass sequences through
+        // unchanged, not annihilate the chain (bpeLearn stops early the
+        // same way, so the engines stay consistent on ANY corpus)
         s"""$next AS (SELECT seq, sum(cnt)::BIGINT AS cnt FROM (
-           |  SELECT replace(seq, chr(1) || t.lft || chr(2) || chr(1) || t.rgt || chr(2),
-           |                 chr(1) || t.lft || t.rgt || chr(2)) AS seq, cnt
-           |  FROM $prev CROSS JOIN $t t) GROUP BY seq)""".stripMargin
+           |  SELECT CASE WHEN t.lft IS NULL THEN seq
+           |         ELSE replace(seq, chr(1) || t.lft || chr(2) || chr(1) || t.rgt || chr(2),
+           |                      chr(1) || t.lft || t.rgt || chr(2)) END AS seq, cnt
+           |  FROM $prev LEFT JOIN $t t ON true) GROUP BY seq)""".stripMargin
       s"""WITH doctoks AS (
          |  SELECT doc_id, piece FROM (
          |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS piece

@@ -26,6 +26,7 @@ import graft.extract.{Extracted, Extractor, Page}
  *
  * Usage: ExtractJob <pagesDir|warcGlob> <outDir> [--resume] [--warc]
  *          [--warc-splits] [--partitions N] [--dedup-index <path>]
+ *          [--profile-sketches <path>]
  *
  * --warc-splits: read WARC input via member-aligned sub-file splits
  * (Warc.readWithSplits) instead of one task per file — for the slots ≫
@@ -45,6 +46,11 @@ object ExtractJob {
 
   def main(args: Array[String]): Unit = {
     val valueFlags = Set("--partitions", "--dedup-index", "--profile-sketches")
+    valueFlags.foreach { f => // a trailing valueless flag is a typo, not a no-op
+      val i = args.indexOf(f)
+      require(i < 0 || (i + 1 < args.length && !args(i + 1).startsWith("--")),
+        s"$f requires a value")
+    }
     val pos = args.filterNot(_.startsWith("--")).filterNot(a =>
       args.indexOf(a) > 0 && valueFlags.contains(args(args.indexOf(a) - 1)))
     val Array(pagesDir, outDir) = pos.take(2)
@@ -181,7 +187,13 @@ object ExtractJob {
         coalesce(sum(col("metrics.candidates_scored")), lit(0L)).as("candidates_scored"),
         coalesce(sum(col("metrics.nodes_pruned")), lit(0L)).as("nodes_pruned"),
         coalesce(sum(col("metrics.bytes_in")), lit(0L)).as("bytes_in"),
-        coalesce(sum(col("metrics.bytes_out")), lit(0L)).as("bytes_out"))
+        coalesce(sum(col("metrics.bytes_out")), lit(0L)).as("bytes_out"),
+        // day span of THIS run's rows, captured in the same write pass —
+        // --profile-sketches derives its touched days from these instead
+        // of re-scanning the input (a --warc input would re-parse the
+        // whole drop just to list days)
+        min(to_date(col("warc_ts"))).as("min_warc_day"),
+        max(to_date(col("warc_ts"))).as("max_warc_day"))
       .withColumn("warc_day", to_date(col("warc_ts")))
 
     out.write
@@ -195,7 +207,13 @@ object ExtractJob {
     }
     if (observed.nonEmpty) {
       val json = observed.toSeq.sortBy(_._1)
-        .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+        .map { case (k, v) =>
+          val jv = v match { // non-numeric observed values must be quoted
+            case n: java.lang.Number => n.toString
+            case other => "\"" + String.valueOf(other) + "\""
+          }
+          s""""$k":$jv"""
+        }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$outDir/_metrics.json").toAbsolutePath, json)
     }
@@ -222,22 +240,40 @@ object ExtractJob {
       val extractedTbl = spark.read.parquet(s"$outDir/extracted")
         .where(col("status") === "ok")
         .select(col("url"), col("extracted_text"))
-      val indexExists =
-        try { spark.read.parquet(s"$idxPath/meta"); true }
-        catch { case _: Throwable => false }
+      // path-ABSENT via the FileSystem, not read-and-catch: a corrupt or
+      // transiently unreadable meta on an EXISTING index must fail the
+      // job loudly, never classify as "no index yet" and let the build
+      // branch overwrite the accumulated corpus history with one batch
+      val metaPath = new org.apache.hadoop.fs.Path(s"$idxPath/meta")
+      val indexExists = metaPath
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(metaPath)
       if (!indexExists) {
-        Dedup.saveMinHashIndex(
-          Dedup.buildMinHashIndex(extractedTbl, "url", "extracted_text"),
-          idxPath)
+        // first ingest: the corpus index IS this batch — near-dups
+        // WITHIN it (mirror pages in the same crawl) still go to _dupes
+        val index = Dedup.buildMinHashIndex(extractedTbl,
+          "url", "extracted_text")
+        Dedup.minhashLshPrepped(index.shingles)
+          .write.mode(SaveMode.Append).parquet(s"$outDir/_dupes")
+        Dedup.saveMinHashIndex(index, idxPath)
       } else {
         val index = Dedup.loadMinHashIndex(spark, idxPath)
         val batch = extractedTbl.join(
           index.shingles.select(col("id").as("url")).distinct(),
           Seq("url"), "left_anti")
-        Dedup.minhashLshJoinIndexed(index, batch, "url", "extracted_text")
+        // ONE shingling pass feeds all three consumers (index join,
+        // within-batch self-join, index append)
+        val shB = Dedup.shingleTable(batch, "url", "extracted_text",
+          index.shingleAlgo)
+        // batch vs accumulated corpus …
+        Dedup.minhashLshJoinIndexedPrepped(index, shB)
+          // … AND batch vs itself: two mirror pages arriving in the SAME
+          // ingest are in neither side of the index join — without the
+          // self-join they would both enter the index and the pair would
+          // never surface in any later run
+          .unionByName(Dedup.minhashLshPrepped(shB))
           .write.mode(SaveMode.Append).parquet(s"$outDir/_dupes")
-        Dedup.appendToMinHashIndex(spark, idxPath, batch,
-          "url", "extracted_text")
+        Dedup.appendShingledToMinHashIndex(spark, idxPath, shB)
       }
     }
 
@@ -250,12 +286,18 @@ object ExtractJob {
     // <path>/len_hist (log2 length histogram per day).
     profileSketchPath.foreach { skPath =>
       import graft.pipeline.{Dedup, Sketch}
-      // the days touched by THIS run (re-derives from the input relation:
-      // a cheap column-pruned re-scan for parquet; bounded driver state —
-      // an ingest covers a handful of crawl days)
-      val touchedDays = input
-        .select(to_date(col("warc_ts")).cast("string").as("warc_day"))
-        .distinct().collect().map(_.getString(0)).filter(_ != null)
+      // the day RANGE this run touched comes from the observed metrics
+      // captured in the write pass — no input re-scan (a --warc input
+      // would re-parse the whole drop just to list days). Upserting an
+      // untouched day inside the span recomputes identical rows (group
+      // replace is idempotent), so the contiguous range is safe; the
+      // span is bounded by the ingest's crawl window.
+      val touchedDays = (observed.get("min_warc_day"), observed.get("max_warc_day")) match {
+        case (Some(lo: java.sql.Date), Some(hi: java.sql.Date)) =>
+          Iterator.iterate(lo.toLocalDate)(_.plusDays(1))
+            .takeWhile(!_.isAfter(hi.toLocalDate)).map(_.toString).toArray
+        case _ => Array.empty[String]
+      }
       if (touchedDays.nonEmpty) {
         val rows = spark.read.parquet(s"$outDir/extracted")
           .where(col("status") === "ok" &&

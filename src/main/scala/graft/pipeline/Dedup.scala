@@ -166,13 +166,17 @@ object Dedup {
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  k: Int = 32, bands: Int = 8,
                  threshold: Double = 0.8,
-                 shingleAlgo: String = AlgoXx64): DataFrame = {
+                 shingleAlgo: String = AlgoXx64): DataFrame =
     // materialized once: the signature path and both verification re-joins
     // consume the shingle arrays, and shingling is the expensive step
-    val withSh = df.select(
-      col(idCol).as("id"),
-      shingleHashes(col(textCol), algo = shingleAlgo).as("sh"))
-      .localCheckpoint(true)
+    minhashLshPrepped(shingleTable(df, idCol, textCol, shingleAlgo),
+      k, bands, threshold)
+
+  /** Self-join near-dup pairs from an already-shingled (id, sh) frame —
+    * the entry point for callers that shingle once and feed several
+    * consumers (see shingleTable). */
+  def minhashLshPrepped(withSh: DataFrame, k: Int = 32, bands: Int = 8,
+                        threshold: Double = 0.8): DataFrame = {
     val banded = bandedSignature(withSh, k, bands)
 
     val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
@@ -262,11 +266,21 @@ object Dedup {
                                 banded: DataFrame,   // (id, band, band_hash)
                                 shingles: DataFrame) // (id, sh)
 
-  private def prepShingles(df: DataFrame, idCol: String, textCol: String,
-                           shingleAlgo: String): DataFrame =
+  /** The (id, sh) shingle table, checkpoint-materialized — the one
+    * shingling pass of an ingest. Public so a caller driving several
+    * consumers (index join, batch self-join, index append — the
+    * ExtractJob --dedup-index loop) shingles ONCE and hands the same
+    * frame to each, instead of every entry point re-running ShingleHash
+    * over the batch text. */
+  def shingleTable(df: DataFrame, idCol: String, textCol: String,
+                   shingleAlgo: String = AlgoXx64): DataFrame =
     df.select(col(idCol).as("id"),
       shingleHashes(col(textCol), algo = shingleAlgo).as("sh"))
       .localCheckpoint(true)
+
+  private def prepShingles(df: DataFrame, idCol: String, textCol: String,
+                           shingleAlgo: String): DataFrame =
+    shingleTable(df, idCol, textCol, shingleAlgo)
 
   def buildMinHashIndex(corpus: DataFrame, idCol: String, textCol: String,
                         k: Int = 32, bands: Int = 8,
@@ -327,9 +341,18 @@ object Dedup {
   def appendToMinHashIndex(spark: org.apache.spark.sql.SparkSession,
                            path: String, batch: DataFrame,
                            idCol: String, textCol: String): Int = {
+    val (_, _, algo, _) = readIndexMeta(spark, path)
+    appendShingledToMinHashIndex(spark, path,
+      prepShingles(batch, idCol, textCol, algo))
+  }
+
+  /** As appendToMinHashIndex, from an already-shingled (id, sh) frame
+    * (which MUST have been produced with the index's own shingle algo —
+    * pair with shingleTable(batch, …, index.shingleAlgo)). */
+  def appendShingledToMinHashIndex(spark: org.apache.spark.sql.SparkSession,
+                                   path: String, sh: DataFrame): Int = {
     import spark.implicits._
     val (k, bands, algo, ingests) = readIndexMeta(spark, path)
-    val sh = prepShingles(batch, idCol, textCol, algo)
     bandedSignature(sh, k, bands).withColumn("ingest", lit(ingests))
       .write.mode("append").partitionBy("band").parquet(s"$path/banded")
     sh.withColumn("ingest", lit(ingests))
@@ -351,11 +374,19 @@ object Dedup {
                           srcPath: String, dstPath: String): Unit = {
     require(srcPath != dstPath, "compaction must write to a fresh path")
     val (k, bands, algo, _) = readIndexMeta(spark, srcPath)
+    // an r4 (ingest-less) index that later received stamped appends holds
+    // MIXED file schemas: read with mergeSchema so the ingest column is
+    // always present, and coalesce the old files' nulls to ingest 0 — a
+    // bare columns-contains check would either null-key the latest join
+    // (dropping every original id) or collapse all versions to 0,
+    // depending on which file Spark sampled for the schema
     def ingestOf(df: DataFrame): DataFrame =
-      if (df.columns.contains("ingest")) df
-      else df.withColumn("ingest", lit(0))
-    val shingles = ingestOf(spark.read.parquet(s"$srcPath/shingles"))
-    val banded = ingestOf(spark.read.parquet(s"$srcPath/banded"))
+      if (!df.columns.contains("ingest")) df.withColumn("ingest", lit(0))
+      else df.withColumn("ingest", coalesce(col("ingest"), lit(0)))
+    val shingles = ingestOf(
+      spark.read.option("mergeSchema", "true").parquet(s"$srcPath/shingles"))
+    val banded = ingestOf(
+      spark.read.option("mergeSchema", "true").parquet(s"$srcPath/banded"))
     val latest = shingles.groupBy(col("id"))
       .agg(max(col("ingest")).as("ingest"))
     saveMinHashIndex(MinHashIndex(k, bands, algo,
@@ -372,8 +403,14 @@ object Dedup {
     * id_b = batch id, jaccard). */
   def minhashLshJoinIndexed(index: MinHashIndex, batch: DataFrame,
                             idCol: String, textCol: String,
-                            threshold: Double = 0.8): DataFrame = {
-    val shB = prepShingles(batch, idCol, textCol, index.shingleAlgo)
+                            threshold: Double = 0.8): DataFrame =
+    minhashLshJoinIndexedPrepped(index,
+      prepShingles(batch, idCol, textCol, index.shingleAlgo), threshold)
+
+  /** As minhashLshJoinIndexed, from an already-shingled batch frame
+    * (produced with the index's shingle algo — see shingleTable). */
+  def minhashLshJoinIndexedPrepped(index: MinHashIndex, shB: DataFrame,
+                                   threshold: Double = 0.8): DataFrame = {
     val a = index.banded
       .select(col("band"), col("band_hash"), col("id").as("id_a"))
     val b = bandedSignature(shB, index.k, index.bands)

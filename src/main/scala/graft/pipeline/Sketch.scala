@@ -173,6 +173,17 @@ object Sketch {
   // built with different (d, w) or (m, k) or p silently merging would
   // corrupt estimates, so load/merge fails loudly on a mismatch instead.
 
+  /** Path-ABSENT probe via the FileSystem, not a blanket read-and-catch:
+    * a corrupt footer / permission error / FS hiccup on an existing
+    * sketch must propagate from the subsequent read, never silently
+    * classify as "absent" and let an upsert overwrite the accumulated
+    * state with one run's data. */
+  private[pipeline] def pathExists(spark: org.apache.spark.sql.SparkSession,
+                                   path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   private def withParams(df: DataFrame, params: Seq[(String, Int)]): DataFrame =
     params.foldLeft(df) { case (d, (n, v)) => d.withColumn(n, lit(v)) }
 
@@ -219,10 +230,7 @@ object Sketch {
   def upsertHll(spark: org.apache.spark.sql.SparkSession,
                 groupCols: Seq[String], registers: DataFrame, p: Int,
                 path: String): Unit = {
-    val exists =
-      try { spark.read.parquet(path).schema; true }
-      catch { case _: Throwable => false }
-    val merged = if (!exists) registers else {
+    val merged = if (!pathExists(spark, path)) registers else {
       val (old, oldP) = loadHll(spark, groupCols, path)
       require(oldP == p, s"sketch at $path has p=$oldP, ingest has p=$p")
       old.join(registers.select(groupCols.map(col): _*).distinct(),
@@ -236,10 +244,7 @@ object Sketch {
   def upsertHist(spark: org.apache.spark.sql.SparkSession,
                  groupCols: Seq[String], hist: DataFrame,
                  path: String): Unit = {
-    val exists =
-      try { spark.read.parquet(path).schema; true }
-      catch { case _: Throwable => false }
-    val merged = if (!exists) hist else
+    val merged = if (!pathExists(spark, path)) hist else
       loadHist(spark, groupCols, path)
         .join(hist.select(groupCols.map(col): _*).distinct(),
           groupCols, "left_anti")

@@ -122,28 +122,34 @@ class ExtractJobSpec extends AnyFunSuite {
       partitions = 4, resume = false, dedupIndexPath = Some(idx))
     val built = Dedup.loadMinHashIndex(spark, idx)
     assert(built.shingles.select("id").distinct().count() == 10L)
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$tmp/out1/_dupes")))
+    // the first ingest self-dedups too: distinct pages → empty pair set
+    assert(spark.read.parquet(s"$tmp/out1/_dupes").count() == 0L)
 
-    // second ingest: 5 new pages plus one whose CONTENT duplicates doc 2
+    // second ingest: 4 new pages, one whose CONTENT duplicates corpus
+    // doc 2, and a same-batch mirror of new doc 11
     def dupPage(u: String, contentOf: Long): Page = {
       val p = page(contentOf)
       Page(u, p.warc_ts, p.html, "", "")
     }
     PageTableIO.write(spark.createDataset(
-      (10L until 15L).map(page) :+ dupPage("test://dup/2", 2L)).toDF(),
+      (10L until 15L).map(page) ++ Seq(
+        dupPage("test://dup/2", 2L), dupPage("test://mirror/11", 11L))).toDF(),
       s"$tmp/pages2", numBuckets = 4)
     ExtractJob.run(spark, s"$tmp/pages2", s"$tmp/out2",
       partitions = 4, resume = false, dedupIndexPath = Some(idx))
 
-    // the near-dup was caught against the INDEX (corpus id on the a-side)
     val dupes = spark.read.parquet(s"$tmp/out2/_dupes")
     val pairs = dupes.select("id_a", "id_b").collect().map(_.toSeq).toSet
+    // batch-vs-INDEX near-dup (corpus id on the a-side)
     assert(pairs.contains(Seq("test://doc/2", "test://dup/2")),
-      s"expected the planted near-dup pair, got $pairs")
-    // and the batch joined the index as ingest 1 (16 distinct ids now)
+      s"expected the planted corpus near-dup pair, got $pairs")
+    // WITHIN-batch near-dup: both urls new in this ingest — only the
+    // batch self-join can see this pair
+    assert(pairs.contains(Seq("test://doc/11", "test://mirror/11")),
+      s"expected the planted same-batch mirror pair, got $pairs")
+    // and the batch joined the index as ingest 1 (17 distinct ids now)
     assert(Dedup.loadMinHashIndex(spark, idx)
-      .shingles.select("id").distinct().count() == 16L)
+      .shingles.select("id").distinct().count() == 17L)
     val meta = spark.read.parquet(s"$idx/meta").head
     assert(meta.getAs[Int]("ingests") == 2)
   }

@@ -57,6 +57,17 @@ class MinHashIndexSpec extends AnyFunSuite {
     assert(Dedup.loadMinHashIndex(spark, old).shingles.count() == 10)
     assert(Dedup.appendToMinHashIndex(spark, old,
       df(Seq(doc(99))), "url", "text") == 1)
+
+    // compaction over the MIXED layout (ingest-less original files +
+    // stamped appended files): every id must survive — the original
+    // files' missing ingest column reads as null and must coalesce to 0,
+    // not null-key the latest-wins join (which would silently drop the
+    // whole original corpus)
+    val mixedOut = tmp("mholdc")
+    Dedup.compactMinHashIndex(spark, old, mixedOut)
+    val compacted = Dedup.loadMinHashIndex(spark, mixedOut)
+    assert(compacted.shingles.select("id").distinct().count() == 11,
+      "all 10 original ids + the appended id must survive a mixed-schema compaction")
   }
 
   test("two ingests + compaction ≡ one-shot index over the final corpus " +
