@@ -236,45 +236,11 @@ object ExtractJob {
     // ok rows whose url the index has not seen — on a resumed run that
     // is exactly this run's delta.
     dedupIndexPath.foreach { idxPath =>
-      import graft.pipeline.Dedup
-      val extractedTbl = spark.read.parquet(s"$outDir/extracted")
-        .where(col("status") === "ok")
-        .select(col("url"), col("extracted_text"))
-      // path-ABSENT via the FileSystem, not read-and-catch: a corrupt or
-      // transiently unreadable meta on an EXISTING index must fail the
-      // job loudly, never classify as "no index yet" and let the build
-      // branch overwrite the accumulated corpus history with one batch
-      val metaPath = new org.apache.hadoop.fs.Path(s"$idxPath/meta")
-      val indexExists = metaPath
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(metaPath)
-      if (!indexExists) {
-        // first ingest: the corpus index IS this batch — near-dups
-        // WITHIN it (mirror pages in the same crawl) still go to _dupes
-        val index = Dedup.buildMinHashIndex(extractedTbl,
-          "url", "extracted_text")
-        Dedup.minhashLshPrepped(index.shingles)
-          .write.mode(SaveMode.Append).parquet(s"$outDir/_dupes")
-        Dedup.saveMinHashIndex(index, idxPath)
-      } else {
-        val index = Dedup.loadMinHashIndex(spark, idxPath)
-        val batch = extractedTbl.join(
-          index.shingles.select(col("id").as("url")).distinct(),
-          Seq("url"), "left_anti")
-        // ONE shingling pass feeds all three consumers (index join,
-        // within-batch self-join, index append)
-        val shB = Dedup.shingleTable(batch, "url", "extracted_text",
-          index.shingleAlgo)
-        // batch vs accumulated corpus …
-        Dedup.minhashLshJoinIndexedPrepped(index, shB)
-          // … AND batch vs itself: two mirror pages arriving in the SAME
-          // ingest are in neither side of the index join — without the
-          // self-join they would both enter the index and the pair would
-          // never surface in any later run
-          .unionByName(Dedup.minhashLshPrepped(shB))
-          .write.mode(SaveMode.Append).parquet(s"$outDir/_dupes")
-        Dedup.appendShingledToMinHashIndex(spark, idxPath, shB)
-      }
+      dedupIngest(spark,
+        spark.read.parquet(s"$outDir/extracted")
+          .where(col("status") === "ok")
+          .select(col("url"), col("extracted_text")),
+        idxPath, s"$outDir/_dupes")
     }
 
     // --profile-sketches: continuous corpus profiling. The days this run
@@ -325,6 +291,60 @@ object ExtractJob {
       case Some(d: java.lang.Number) => d.longValue()
       case _ => throw new IllegalStateException(
         "observed metrics missing docs count") // unreachable: write succeeded
+    }
+  }
+
+  /**
+   * One step of the ingest-dedup loop, shared by the batch job
+   * (--dedup-index) and the streaming face (ExtractStream
+   * .dedupIngestQuery): dedup `extractedTbl` (url, extracted_text)
+   * against the persisted MinHash-LSH index at `idxPath`, append near-dup
+   * pairs to `dupesPath`, and join the new urls to the index as the next
+   * ingest. IDEMPOTENT per url: already-indexed urls anti-join out, so a
+   * replayed batch (streaming restart, job re-run) is a no-op — that is
+   * what makes the streaming foreachBatch exactly-once per url.
+   */
+  def dedupIngest(spark: SparkSession, extractedTbl: DataFrame,
+                  idxPath: String, dupesPath: String): Unit = {
+    import graft.pipeline.Dedup
+    // path-ABSENT via the FileSystem, not read-and-catch: a corrupt or
+    // transiently unreadable meta on an EXISTING index must fail the
+    // job loudly, never classify as "no index yet" and let the build
+    // branch overwrite the accumulated corpus history with one batch
+    val metaPath = new org.apache.hadoop.fs.Path(s"$idxPath/meta")
+    val indexExists = metaPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(metaPath)
+    if (!indexExists) {
+      // first ingest: the corpus index IS this batch — near-dups
+      // WITHIN it (mirror pages in the same crawl) still go to _dupes
+      val index = Dedup.buildMinHashIndex(extractedTbl,
+        "url", "extracted_text")
+      Dedup.minhashLshPrepped(index.shingles)
+        .write.mode(SaveMode.Append).parquet(dupesPath)
+      Dedup.saveMinHashIndex(index, idxPath)
+    } else {
+      val index = Dedup.loadMinHashIndex(spark, idxPath)
+      val batch = extractedTbl.join(
+        index.shingles.select(col("id").as("url")).distinct(),
+        Seq("url"), "left_anti")
+      // ONE shingling pass feeds all three consumers (index join,
+      // within-batch self-join, index append)
+      val shB = Dedup.shingleTable(batch, "url", "extracted_text",
+        index.shingleAlgo)
+      // a fully-replayed batch is empty after the anti-join: skip the
+      // writes so it does not burn an ingest number on zero rows
+      if (!shB.isEmpty) {
+        // batch vs accumulated corpus …
+        Dedup.minhashLshJoinIndexedPrepped(index, shB)
+          // … AND batch vs itself: two mirror pages arriving in the SAME
+          // ingest are in neither side of the index join — without the
+          // self-join they would both enter the index and the pair would
+          // never surface in any later run
+          .unionByName(Dedup.minhashLshPrepped(shB))
+          .write.mode(SaveMode.Append).parquet(dupesPath)
+        Dedup.appendShingledToMinHashIndex(spark, idxPath, shB)
+      }
     }
   }
 

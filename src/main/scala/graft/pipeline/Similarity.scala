@@ -78,6 +78,12 @@ object Similarity {
     * centroid table (normalized dot = cosine since centroids are unit) */
   private def simsCol(v: Column, cents: Array[Array[Double]]): Column =
     array(cents.map(ct => graft.plans.VectorKernels.dotConst(v, ct.toSeq)): _*)
+  /** Test-visible alias of the list-assignment expression (the spec pins
+    * append ≡ assign-the-union under frozen centroids). */
+  private[graft] def assignColForTest(v: Column,
+                                      cents: Array[Array[Double]]): Column =
+    assignCol(v, cents)
+
   private def assignCol(v: Column, cents: Array[Array[Double]]): Column = {
     val sims = simsCol(v, cents)
     // first index of the max similarity (deterministic tie-break)
@@ -141,6 +147,26 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     index.lists.write.mode("overwrite")
       .partitionBy("cl").parquet(s"$path/lists")
+  }
+
+  /**
+   * Append one ingest's vectors to a saved IVF index — the vector-side
+   * analogue of Dedup.appendToMinHashIndex: new rows are assigned to
+   * their nearest EXISTING list (the quantizer is frozen — standard IVF
+   * ingest; retraining the centroids is an offline rebuild, not an
+   * append) and land inside the per-list partition directories, so a
+   * later probe still partition-prunes. Pinned by SimilarityIndexSpec:
+   * append(save(build(A)), B) ≡ index with A's centroids over A ∪ B.
+   */
+  def appendToIvfIndex(spark: SparkSession, path: String,
+                       batch: DataFrame, idCol: String,
+                       vecCol: String): Unit = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cidx")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    batch.select(col(idCol).as("id"),
+        assignCol(col(vecCol), centroids).as("cl"))
+      .write.mode("append").partitionBy("cl").parquet(s"$path/lists")
   }
 
   /** Restore a saved index; no corpus access, no training. A second (and

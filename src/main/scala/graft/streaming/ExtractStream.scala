@@ -49,6 +49,46 @@ object ExtractStream {
       .start()
   }
 
+  /**
+   * Continuous ingest-dedup: each micro-batch of newly-extracted pages
+   * runs the SAME ingest-dedup step as the batch job's --dedup-index
+   * (ExtractJob.dedupIngest) — dedup against the persisted MinHash-LSH
+   * corpus index, near-dup pairs appended to `dupesPath`, batch joined
+   * to the index as the next ingest. foreachBatch is the standard shape
+   * for per-batch side effects against an external store; exactly-once
+   * per url holds because the checkpointed source replays a failed batch
+   * and dedupIngest's seen-url anti-join makes the replay a no-op (it
+   * does not even burn an ingest number). Pair with extractQuery for the
+   * extracted-output sink; this query owns only the dedup/index leg.
+   */
+  def dedupIngestQuery(spark: SparkSession, pagesDir: String,
+                       indexPath: String, dupesPath: String,
+                       checkpointDir: String,
+                       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import spark.implicits._
+    val pages = spark.readStream
+      .schema(PageSchema)
+      .option("maxFilesPerTrigger", 64)
+      .parquet(pagesDir)
+      .select(col("url"), col("warc_ts"), col("html"),
+        coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("lang"), lit("")).as("lang"))
+      .as[Page]
+
+    pages.map(Extractor.extract)
+      .toDF()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.job.ExtractJob.dedupIngest(spark,
+          batch.where(col("status") === "ok")
+            .select(col("url"), col("extracted_text")),
+          indexPath, dupesPath)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
   /** Watermarked tumbling-window extraction metrics (1h windows, 2h
     * allowed lateness). */
   def metricsQuery(spark: SparkSession, pagesDir: String, outDir: String,

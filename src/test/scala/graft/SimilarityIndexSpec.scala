@@ -23,6 +23,42 @@ class SimilarityIndexSpec extends AnyFunSuite {
   private def canon(df: DataFrame): Seq[Seq[Any]] =
     df.orderBy("qid", "rank").collect().map(_.toSeq).toSeq
 
+  test("IVF index append: new vectors join their nearest existing list " +
+    "(frozen quantizer) — append(save(build(A)), B) ≡ A's centroids " +
+    "over A ∪ B, and searches agree") {
+    import org.apache.spark.sql.functions.col
+    val a = vecs(60)
+    val b = vecs(90).where(col("vec_id") >= 60) // disjoint new batch
+    val dir = java.nio.file.Files.createTempDirectory("ivfappend").toString
+    val built = Similarity.buildIvfIndex(a, "vec_id", "embedding",
+      nlist = 8, iters = 2)
+    Similarity.saveIvfIndex(built, dir)
+    Similarity.appendToIvfIndex(spark, dir, b, "vec_id", "embedding")
+
+    val loaded = Similarity.loadIvfIndex(spark, dir)
+    // same frozen quantizer
+    assert(loaded.centroids.map(_.toSeq).toSeq == built.centroids.map(_.toSeq).toSeq)
+    // lists ≡ assigning the UNION under A's centroids
+    val all = vecs(90)
+    val want = all.select(col("vec_id").as("id"),
+      graft.pipeline.Similarity.assignColForTest(col("embedding"), built.centroids).as("cl"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val got = loaded.lists.collect()
+      .map(r => (r.getLong(r.fieldIndex("id")), r.getInt(r.fieldIndex("cl")))).toSet
+    assert(got == want)
+    // and a search over the appended index ≡ a search over a fresh
+    // same-centroid index on the union
+    val queries = all.where(col("vec_id") < 5)
+    val viaAppended = canon(Similarity.ivfSearch(loaded, all, queries,
+      "vec_id", "embedding", "vec_id", k = 5, nprobe = 3))
+    val fresh = graft.pipeline.Similarity.IvfIndex(built.centroids,
+      all.select(col("vec_id").as("id"),
+        graft.pipeline.Similarity.assignColForTest(col("embedding"), built.centroids).as("cl")))
+    val viaFresh = canon(Similarity.ivfSearch(fresh, all, queries,
+      "vec_id", "embedding", "vec_id", k = 5, nprobe = 3))
+    assert(viaAppended == viaFresh)
+  }
+
   test("IVF index: save → load → search ≡ one-shot ivfKmeansKnn " +
     "(trained quantizer, iters > 0)") {
     val corpus = vecs(80)

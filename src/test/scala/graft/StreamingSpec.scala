@@ -71,6 +71,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$base/out").count() == 5)
   }
 
+  test("streaming ingest-dedup: micro-batches run the index loop — " +
+    "build, then catch a mirror page, replay is a no-op ingest") {
+    import spark.implicits._
+    import graft.extract.Page
+    import graft.pipeline.Dedup
+    val base = java.nio.file.Files.createTempDirectory("streamdedup").toString
+    val pagesDir = s"$base/pages"
+    val idx = s"$base/idx"
+
+    def page(i: Long, text: String): Page =
+      Page(s"stream://doc/$i", new java.sql.Timestamp(1767225600000L + i * 60000L),
+        s"""<html><head><title>D$i</title></head><body><div class="article"><p>$text</p></div></body></html>"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8), "", "")
+    def text(i: Long): String =
+      s"document $i body " + (0 until 30).map(j => s"w${(i * 3 + j) % 7}").mkString(" ")
+
+    // drop 1: five distinct pages → index built, no pairs
+    spark.createDataset((0L until 5L).map(i => page(i, text(i)))).toDF()
+      .write.parquet(pagesDir)
+    ExtractStream.dedupIngestQuery(spark, pagesDir, idx, s"$base/dupes",
+      s"$base/ckpt").awaitTermination(120000)
+    assert(Dedup.loadMinHashIndex(spark, idx)
+      .shingles.select("id").distinct().count() == 5L)
+    assert(spark.read.parquet(s"$base/dupes").count() == 0L)
+
+    // drop 2: one new page + a mirror of corpus doc 2 → the pair surfaces
+    spark.createDataset(Seq(page(10L, text(10L)),
+      Page("stream://mirror/2", new java.sql.Timestamp(1767225600000L),
+        page(2L, text(2L)).html, "", ""))).toDF()
+      .write.mode("append").parquet(pagesDir)
+    ExtractStream.dedupIngestQuery(spark, pagesDir, idx, s"$base/dupes",
+      s"$base/ckpt").awaitTermination(120000)
+    val pairs = spark.read.parquet(s"$base/dupes")
+      .select("id_a", "id_b").collect().map(_.toSeq).toSet
+    assert(pairs.contains(Seq("stream://doc/2", "stream://mirror/2")),
+      s"expected the mirror pair, got $pairs")
+    val metaAfter = spark.read.parquet(s"$idx/meta").head.getAs[Int]("ingests")
+    val dupesAfter = spark.read.parquet(s"$base/dupes").count()
+    assert(Dedup.loadMinHashIndex(spark, idx)
+      .shingles.select("id").distinct().count() == 7L)
+
+    // replay: a FRESH checkpoint re-delivers every file; the seen-url
+    // anti-join makes the replay a no-op — same ids, same dupes, and no
+    // ingest number burned
+    ExtractStream.dedupIngestQuery(spark, pagesDir, idx, s"$base/dupes",
+      s"$base/ckpt2").awaitTermination(120000)
+    assert(Dedup.loadMinHashIndex(spark, idx)
+      .shingles.select("id").distinct().count() == 7L)
+    assert(spark.read.parquet(s"$base/dupes").count() == dupesAfter)
+    assert(spark.read.parquet(s"$idx/meta").head.getAs[Int]("ingests") == metaAfter)
+  }
+
   test("streaming exact dedup keeps one row per content fingerprint " +
     "(watermark-bounded state)") {
     import spark.implicits._
