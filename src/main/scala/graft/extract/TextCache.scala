@@ -48,30 +48,42 @@ final class TextCache {
   // (JFR showed the repeated segment scans were the scoring hot spot).
   // Bounded: docs above the threshold fall back to direct scans so peak
   // memory stays small on giant pages.
-  private[graft] var arrayThreshold: Int = 1 << 21 // 2M chars ≈ 16MB of longs
+  private[graft] var arrayThreshold: Int = 1 << 21 // 2M chars
   private var snap: String = null
-  // packed per char index i: totalCps<<42 | nonWsCps<<21 | wsRunStarts,
-  // each counting [0,i). 21 bits each covers the threshold. One long array
-  // instead of parallel ints keeps the memory traffic low — at 32 threads
-  // the prefix arrays themselves are a bandwidth term (BENCH.md §2).
-  private var pPacked: Array[Long] = null
-  // commas<<21 | quotes counting [0,i) — turns the per-scorable segment
-  // scans in innerTextMetrics/commaCount into O(1) lookups (JFR round 6:
-  // those scans were the residual O(n·depth) term on nested documents).
-  private var pPunct: Array[Long] = null
+  // CHECKPOINTED prefix sums, one entry per 8 chars (round 5): the former
+  // per-char arrays wrote (and first zeroed) 16 bytes per char per phase
+  // cache — the dominant build cost (JFR r5: ensureArrays was 14% of
+  // self-time) and a DRAM-bandwidth term at 32 threads (BENCH.md §2).
+  // A checkpoint stores the counts over [0, k*8); a query scans ≤7 chars
+  // forward from its checkpoint. Values are IDENTICAL to the per-char
+  // formulation (pinned by the golden/scoring suites); only the storage
+  // density changed (2 bytes per char instead of 16).
+  // cpPacked entry: prevWs<<63 | totalCps<<42 | nonWsCps<<21 | wsRunStarts
+  // (each 21 bits — covers the threshold; prevWs seeds the run-start
+  // scan). cpPunct entry: commas<<21 | quotes.
+  // Surrogate-pair convention (same as the per-char arrays had): a pair
+  // counts at its START; a checkpoint landing on a pair MIDDLE stores the
+  // counts INCLUDING the pair, and forward scans skip middle positions.
+  private var cpPacked: Array[Long] = null
+  private var cpPunct: Array[Long] = null
 
   private def ensureArrays(): Boolean = {
-    if (snap != null && snap.length == buf.length) return pPacked != null
+    if (snap != null && snap.length == buf.length) return cpPacked != null
     snap = buf.toString // (re)take — a new root may have been indexed
     val len = snap.length
     if (len > arrayThreshold) return false
-    val packed = new Array[Long](len + 1)
-    val punct = new Array[Long](len + 1)
+    val packed = new Array[Long]((len >> 3) + 1)
+    val punct = new Array[Long]((len >> 3) + 1)
     var i = 0
     var prevWs = false
     var vt = 0L; var vp = 0L; var vr = 0L
     var vc = 0L; var vq = 0L
     while (i < len) {
+      if ((i & 7) == 0) {
+        val pw = if (prevWs) 1L << 63 else 0L
+        packed(i >> 3) = pw | (vt << 42) | (vp << 21) | vr
+        punct(i >> 3) = (vc << 21) | vq
+      }
       // inlined codePointAt: the sequential charAt walk avoids repeated
       // bounds/surrogate re-checks (this loop was the top self-time leaf);
       // surrogate detection by range compare, not method call (JFR round 8)
@@ -87,24 +99,85 @@ final class TextCache {
       if (!ws) vp += 1
       if (ws && !prevWs) vr += 1
       if (cp == ',') vc += 1 else if (cp == '"') vq += 1
-      val v = (vt << 42) | (vp << 21) | vr
-      val u = (vc << 21) | vq
-      packed(i + 1) = v
-      punct(i + 1) = u
-      if (w == 2) { packed(i + 2) = v; punct(i + 2) = u }
+      if (w == 2 && ((i + 1) & 7) == 0) {
+        // the pair STRADDLES a checkpoint boundary: the middle position's
+        // checkpoint stores counts INCLUDING the pair (scans from it skip
+        // the middle), prevWs = this pair's ws-ness (pairs are never ws)
+        val pw = if (ws) 1L << 63 else 0L
+        packed((i + 1) >> 3) = pw | (vt << 42) | (vp << 21) | vr
+        punct((i + 1) >> 3) = (vc << 21) | vq
+      }
       prevWs = ws
       i += w
     }
-    pPacked = packed
-    pPunct = punct
+    if ((len & 7) == 0) {
+      // queries at i == len read checkpoint len>>3, which the loop never
+      // reaches when len is a multiple of 8 (idempotent with the straddle
+      // write when a pair ends exactly at len)
+      val pw = if (prevWs) 1L << 63 else 0L
+      packed(len >> 3) = pw | (vt << 42) | (vp << 21) | vr
+      punct(len >> 3) = (vc << 21) | vq
+    }
+    cpPacked = packed
+    cpPunct = punct
     true
   }
 
-  @inline private def totalAt(i: Int): Int = (pPacked(i) >>> 42).toInt
-  @inline private def nonWsAt(i: Int): Int = ((pPacked(i) >>> 21) & 0x1FFFFF).toInt
-  @inline private def runsAt(i: Int): Int = (pPacked(i) & 0x1FFFFF).toInt
-  @inline private def commasAt(i: Int): Int = ((pPunct(i) >>> 21) & 0x1FFFFF).toInt
-  @inline private def quotesAt(i: Int): Int = (pPunct(i) & 0x1FFFFF).toInt
+  /** packed (totalCps<<42 | nonWs<<21 | runs) over [0,i): checkpoint +
+    * a ≤7-char forward scan. Pair-middle positions contribute nothing
+    * (their pair was counted at its start — or inside the checkpoint when
+    * the pair straddles it). */
+  private def packedAt(i: Int): Long = {
+    val k = i >> 3
+    val raw = cpPacked(k)
+    var prevWs = raw < 0 // bit 63
+    var vt = (raw >>> 42) & 0x1FFFFF
+    var vp = (raw >>> 21) & 0x1FFFFF
+    var vr = raw & 0x1FFFFF
+    var j = k << 3
+    while (j < i) {
+      val c1 = snap.charAt(j)
+      if (c1 >= 0xDC00 && c1 < 0xE000 && j > 0 &&
+          { val p = snap.charAt(j - 1); p >= 0xD800 && p < 0xDC00 }) {
+        j += 1 // pair middle: already counted
+      } else {
+        var cp: Int = c1
+        var w = 1
+        if (c1 >= 0xD800 && c1 < 0xDC00 && j + 1 < snap.length) {
+          val c2 = snap.charAt(j + 1)
+          if (c2 >= 0xDC00 && c2 < 0xE000) { cp = Character.toCodePoint(c1, c2); w = 2 }
+        }
+        val ws = PyText.isPySpace(cp)
+        vt += 1
+        if (!ws) vp += 1
+        if (ws && !prevWs) vr += 1
+        prevWs = ws
+        j += w
+      }
+    }
+    (vt << 42) | (vp << 21) | vr
+  }
+
+  /** (commas<<21 | quotes) over [0,i) — same checkpoint + scan shape.
+    * No surrogate handling needed: no surrogate half equals ',' or '"'. */
+  private def punctAt(i: Int): Long = {
+    val k = i >> 3
+    var vc = (cpPunct(k) >>> 21) & 0x1FFFFF
+    var vq = cpPunct(k) & 0x1FFFFF
+    var j = k << 3
+    while (j < i) {
+      val c1 = snap.charAt(j)
+      if (c1 == ',') vc += 1 else if (c1 == '"') vq += 1
+      j += 1
+    }
+    (vc << 21) | vq
+  }
+
+  @inline private def totalAt(i: Int): Int = ((packedAt(i) >>> 42) & 0x1FFFFF).toInt
+  @inline private def nonWsAt(i: Int): Int = ((packedAt(i) >>> 21) & 0x1FFFFF).toInt
+  @inline private def runsAt(i: Int): Int = (packedAt(i) & 0x1FFFFF).toInt
+  @inline private def commasAt(i: Int): Int = ((punctAt(i) >>> 21) & 0x1FFFFF).toInt
+  @inline private def quotesAt(i: Int): Int = (punctAt(i) & 0x1FFFFF).toInt
 
   /** Stripped bounds of [a0,b0) in the snapshot (short boundary scans).
     * Surrogate pairs are never whitespace, so the walk can stop at any
@@ -166,8 +239,10 @@ final class TextCache {
     var commas = 0
     var quotes = 0
     if (fast) {
-      commas = commasAt(to) - commasAt(from)
-      quotes = quotesAt(to) - quotesAt(from)
+      val ua = punctAt(from)
+      val ub = punctAt(to)
+      commas = (((ub >>> 21) & 0x1FFFFF) - ((ua >>> 21) & 0x1FFFFF)).toInt
+      quotes = ((ub & 0x1FFFFF) - (ua & 0x1FFFFF)).toInt
     } else {
       var i = from
       while (i < to) {
@@ -223,7 +298,10 @@ final class TextCache {
         val ab = strippedBounds(from, to)
         val a = (ab >>> 32).toInt
         val b = (ab & 0xFFFFFFFFL).toInt
-        (nonWsAt(b) - nonWsAt(a)) + (runsAt(b) - runsAt(a))
+        val pa = packedAt(a)
+        val pb = packedAt(b)
+        ((((pb >>> 21) & 0x1FFFFF) - ((pa >>> 21) & 0x1FFFFF)) +
+          ((pb & 0x1FFFFF) - (pa & 0x1FFFFF))).toInt
       } else {
         val ab = strippedBounds(from, to)
         val a = (ab >>> 32).toInt
