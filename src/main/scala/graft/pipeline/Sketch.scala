@@ -173,15 +173,17 @@ object Sketch {
   // built with different (d, w) or (m, k) or p silently merging would
   // corrupt estimates, so load/merge fails loudly on a mismatch instead.
 
-  /** Path-ABSENT probe via the FileSystem, not a blanket read-and-catch:
+  /** Sketch-ABSENT probe via the FileSystem, not a blanket read-and-catch:
     * a corrupt footer / permission error / FS hiccup on an existing
     * sketch must propagate from the subsequent read, never silently
     * classify as "absent" and let an upsert overwrite the accumulated
-    * state with one run's data. */
+    * state with one run's data. An existing but EMPTY directory counts
+    * as absent (nothing was ever written there). */
   private[pipeline] def pathExists(spark: org.apache.spark.sql.SparkSession,
                                    path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
   }
 
   private def withParams(df: DataFrame, params: Seq[(String, Int)]): DataFrame =

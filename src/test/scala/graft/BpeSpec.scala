@@ -54,4 +54,34 @@ class BpeSpec extends AnyFunSuite {
     val out = learn(Seq(("a\u0001b", 9L), ("cd", 1L)), 1)
     assert(out == Seq((1, "c", "d", 1L)))
   }
+
+  private def segment(pieces: Seq[String], merges: Seq[(String, String)]): Map[String, Int] =
+    TextOps.bpeSegmentCounts(pieces.toDF("piece"), merges)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+
+  test("bpeSegmentCounts replays merges in order with greedy-leftmost " +
+    "semantics (the apply side of the learner)") {
+    // no merges: every char is a token
+    assert(segment(Seq("hello"), Nil) == Map("hello" -> 5))
+    // one merge: (a,a) over "aaa" → [aa][a] (greedy leftmost)
+    assert(segment(Seq("aaa"), Seq(("a", "a"))) == Map("aaa" -> 2))
+    // ORDER matters: (a,a) then (aa,a) fully merges "aaa"; the reverse
+    // order can't ((aa,a) finds no "aa" symbol yet)
+    assert(segment(Seq("aaa"), Seq(("a", "a"), ("aa", "a"))) == Map("aaa" -> 1))
+    assert(segment(Seq("aaa"), Seq(("aa", "a"), ("a", "a"))) == Map("aaa" -> 2))
+    // multi-piece vocabulary segments independently
+    assert(segment(Seq("abab", "ab", "ba"), Seq(("a", "b"), ("ab", "ab"))) ==
+      Map("abab" -> 1, "ab" -> 1, "ba" -> 2))
+  }
+
+  test("learn → apply round-trip: pieces made of learned merges compress " +
+    "to the expected token counts") {
+    val pieces = Seq(("the", 10L), ("then", 4L), ("he", 2L))
+    val merges = learn(pieces, 2).map(m => (m._2, m._3))
+    // round 1: (h,e) appears in all three pieces: 10+4+2 = 16 — top;
+    // round 2: (t,he) in "the"+"then": 14
+    assert(merges == Seq(("h", "e"), ("t", "he")))
+    assert(segment(pieces.map(_._1), merges) ==
+      Map("the" -> 1, "then" -> 2, "he" -> 1))
+  }
 }

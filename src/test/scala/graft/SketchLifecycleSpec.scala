@@ -128,6 +128,52 @@ class SketchLifecycleSpec extends AnyFunSuite {
     assert(canon(loaded) == canon(merged))
   }
 
+  // ---- group upsert (continuous profiling) ------------------------------
+
+  test("upsertHll: incoming groups replace their rows, others survive; " +
+    "re-upserting the same group is idempotent; p mismatch fails loudly") {
+    val path = tmp("hllup")
+    val d1 = corpus(0 until 80).withColumn("day", lit("d1"))
+    val d2 = corpus(80 until 150).withColumn("day", lit("d2"))
+    Sketch.upsertHll(spark, Seq("day"),
+      Sketch.hllRegisters(d1, Seq("day"), col("text")), p = 9, path)
+    Sketch.upsertHll(spark, Seq("day"),
+      Sketch.hllRegisters(d2, Seq("day"), col("text")), p = 9, path)
+    val (regs, p) = Sketch.loadHll(spark, Seq("day"), path)
+    assert(p == 9)
+    val both = regs.collect().map(_.toSeq).toSet
+    // d1's rows are exactly a fresh build's (untouched by d2's upsert)
+    assert(both.filter(_.head == "d1") ==
+      canon(Sketch.hllRegisters(d1, Seq("day"), col("text"))))
+    // re-upserting d2 changes nothing (group replace, not counter add)
+    Sketch.upsertHll(spark, Seq("day"),
+      Sketch.hllRegisters(d2, Seq("day"), col("text")), p = 9, path)
+    assert(Sketch.loadHll(spark, Seq("day"), path)._1
+      .collect().map(_.toSeq).toSet == both)
+    // a different p must not merge in silently
+    val e = intercept[IllegalArgumentException] {
+      Sketch.upsertHll(spark, Seq("day"),
+        Sketch.hllRegisters(d2, Seq("day"), col("text"), p = 10), p = 10, path)
+    }
+    assert(e.getMessage.contains("p="))
+  }
+
+  test("upsertHist: replace-groups law — upserting a recomputed day twice " +
+    "equals once; untouched days keep exact counts") {
+    val path = tmp("histup")
+    val d1 = (0 until 40).map(i => ("d1", i.toLong + 1)).toDF("day", "v")
+    val d2 = (0 until 60).map(i => ("d2", i.toLong * 5 + 1)).toDF("day", "v")
+    Sketch.upsertHist(spark, Seq("day"),
+      Sketch.histBuild(d1, Seq("day"), col("v")), path)
+    Sketch.upsertHist(spark, Seq("day"),
+      Sketch.histBuild(d2, Seq("day"), col("v")), path)
+    Sketch.upsertHist(spark, Seq("day"),
+      Sketch.histBuild(d2, Seq("day"), col("v")), path) // re-run: idempotent
+    val loaded = Sketch.loadHist(spark, Seq("day"), path)
+    val want = Sketch.histBuild(d1.unionByName(d2), Seq("day"), col("v"))
+    assert(canon(loaded) == canon(want))
+  }
+
   // ---- log2-histogram quantile sketch -----------------------------------
 
   test("histogram: add-merge ≡ rebuild over the union (exact bucket " +
