@@ -170,6 +170,48 @@ class ScoringSpec extends AnyFunSuite {
     }
   }
 
+  test("TextCache checkpointed prefix sums ≡ scan fallback on adversarial " +
+    "random text (astral pairs and ws runs straddling 8-char boundaries, " +
+    "len % 8 == 0 edges)") {
+    import graft.extract.TextCache
+    val rnd = new scala.util.Random(4242)
+    // alphabet biased toward the hard cases: surrogate pairs (astral),
+    // python-space chars beyond ASCII, ws runs, commas/quotes
+    val pieces = Array("a", "b", ",", "\"", " ", "  ", "\t", " ",
+      " ", "𝕏", "😀", "語", ", ,", "𝕏x")
+    (0 until 40).foreach { trial =>
+      val sb = new StringBuilder
+      val target = rnd.nextInt(120)
+      while (sb.length < target) sb ++= pieces(rnd.nextInt(pieces.length))
+      // force the len-multiple-of-8 edge on some trials
+      if (trial % 4 == 0 && (sb.length & 7) != 0)
+        sb ++= "z" * (8 - (sb.length & 7))
+      val text = sb.toString
+      // split across elements so segments start/end at odd offsets
+      val cut = if (text.isEmpty) 0 else rnd.nextInt(text.length)
+      // never split a surrogate pair across nodes (a document can't)
+      val safeCut =
+        if (cut > 0 && Character.isHighSurrogate(text.charAt(cut - 1))) cut - 1
+        else cut
+      val dom = Parser.parseDocument(
+        s"<html><body><div><p>${text.substring(0, safeCut)}</p>" +
+          s"<span>${text.substring(safeCut)}</span></div></body></html>")
+      val fast = new TextCache
+      val slow = new TextCache
+      slow.arrayThreshold = 0
+      dom.iterAll.foreach { n =>
+        assert(fast.innerTextMetrics(n) == slow.innerTextMetrics(n),
+          s"trial $trial <${n.tag}> metrics over ${text.take(40)}…")
+        assert(fast.normStrippedLen(n) == slow.normStrippedLen(n),
+          s"trial $trial <${n.tag}> normStrippedLen")
+        assert(fast.rawPyLen(n) == slow.rawPyLen(n),
+          s"trial $trial <${n.tag}> rawPyLen")
+        assert(fast.commaCount(n) == slow.commaCount(n),
+          s"trial $trial <${n.tag}> commaCount")
+      }
+    }
+  }
+
   test("link density within [0,1] on ars.001 (test_readable.py:283-290)") {
     val dom = Parser.parseDocument(Fixtures.article("ars.001.html"))
     dom.iterAll.filter(n => Set("p", "td", "pre").contains(n.tag)).foreach { n =>
