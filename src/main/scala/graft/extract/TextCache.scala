@@ -71,7 +71,10 @@ final class TextCache {
     if (snap != null && snap.length == buf.length) return cpPacked != null
     snap = buf.toString // (re)take — a new root may have been indexed
     val len = snap.length
-    if (len > arrayThreshold) return false
+    // STRICTLY below the threshold: at len == 2^21 exactly a count can
+    // reach 2^21, which overflows the 21-bit checkpoint fields (and would
+    // collide with the prevWs flag in bit 63)
+    if (len >= arrayThreshold) return false
     val packed = new Array[Long]((len >> 3) + 1)
     val punct = new Array[Long]((len >> 3) + 1)
     var i = 0

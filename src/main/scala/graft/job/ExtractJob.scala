@@ -300,9 +300,14 @@ object ExtractJob {
    * .dedupIngestQuery): dedup `extractedTbl` (url, extracted_text)
    * against the persisted MinHash-LSH index at `idxPath`, append near-dup
    * pairs to `dupesPath`, and join the new urls to the index as the next
-   * ingest. IDEMPOTENT per url: already-indexed urls anti-join out, so a
-   * replayed batch (streaming restart, job re-run) is a no-op — that is
-   * what makes the streaming foreachBatch exactly-once per url.
+   * ingest. Index growth is EXACTLY-ONCE per url: already-indexed urls
+   * anti-join out, so a fully-committed batch replays as a no-op (it
+   * does not even burn an ingest number). Crash-replay fine print: a
+   * retry after a PARTIAL append re-appends exact-duplicate banded rows
+   * (benign — candidate pairs dropDuplicate, compaction removes them;
+   * see appendShingledToMinHashIndex), and the `dupesPath` report is
+   * AT-LEAST-ONCE across such replays — consumers should distinct() on
+   * (id_a, id_b).
    */
   def dedupIngest(spark: SparkSession, extractedTbl: DataFrame,
                   idxPath: String, dupesPath: String): Unit = {

@@ -348,18 +348,35 @@ object Dedup {
 
   /** As appendToMinHashIndex, from an already-shingled (id, sh) frame
     * (which MUST have been produced with the index's own shingle algo —
-    * pair with shingleTable(batch, …, index.shingleAlgo)). */
+    * pair with shingleTable(batch, …, index.shingleAlgo)).
+    *
+    * Crash-replay semantics (a retried append after a partial write):
+    * the banded append runs FIRST and the ingest-loop's "seen" anti-join
+    * keys on SHINGLES — so a crash between the two writes makes the
+    * replay re-append the banded rows (exact duplicates; candidate
+    * generation dropDuplicates the pair output, and compaction dedupes
+    * them away) rather than ever leaving ids that silently never become
+    * candidates. The ingest number derives from the DATA (max stamped
+    * ingest + 1), not from meta, so a crash before the meta bump cannot
+    * make two different batches share a number. */
   def appendShingledToMinHashIndex(spark: org.apache.spark.sql.SparkSession,
                                    path: String, sh: DataFrame): Int = {
     import spark.implicits._
-    val (k, bands, algo, ingests) = readIndexMeta(spark, path)
-    bandedSignature(sh, k, bands).withColumn("ingest", lit(ingests))
+    val (k, bands, algo, metaIngests) = readIndexMeta(spark, path)
+    val shinglesDf = spark.read.parquet(s"$path/shingles")
+    val next =
+      if (!shinglesDf.columns.contains("ingest")) metaIngests // r4 layout
+      else {
+        val m = shinglesDf.agg(max(coalesce(col("ingest"), lit(0)))).head
+        if (m.isNullAt(0)) metaIngests else m.getInt(0) + 1 // null: empty index
+      }
+    bandedSignature(sh, k, bands).withColumn("ingest", lit(next))
       .write.mode("append").partitionBy("band").parquet(s"$path/banded")
-    sh.withColumn("ingest", lit(ingests))
+    sh.withColumn("ingest", lit(next))
       .write.mode("append").parquet(s"$path/shingles")
-    Seq((k, bands, algo, ingests + 1)).toDF("k", "bands", "algo", "ingests")
+    Seq((k, bands, algo, next + 1)).toDF("k", "bands", "algo", "ingests")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-    ingests
+    next
   }
 
   /**
@@ -389,11 +406,16 @@ object Dedup {
       spark.read.option("mergeSchema", "true").parquet(s"$srcPath/banded"))
     val latest = shingles.groupBy(col("id"))
       .agg(max(col("ingest")).as("ingest"))
+    // dropDuplicates: a crash-replayed append leaves exact-duplicate
+    // banded rows (see appendShingledToMinHashIndex) — compaction is
+    // where they disappear
     saveMinHashIndex(MinHashIndex(k, bands, algo,
       banded.join(latest, Seq("id", "ingest"))
-        .select(col("id"), col("band").cast("int").as("band"), col("band_hash")),
+        .select(col("id"), col("band").cast("int").as("band"), col("band_hash"))
+        .dropDuplicates("id", "band", "band_hash"),
       shingles.join(latest, Seq("id", "ingest"))
-        .select(col("id"), col("sh"))), dstPath)
+        .select(col("id"), col("sh"))
+        .dropDuplicates("id")), dstPath)
   }
 
   /** One ingest against a (built or loaded) corpus index: only the BATCH

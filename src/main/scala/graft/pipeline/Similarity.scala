@@ -78,13 +78,9 @@ object Similarity {
     * centroid table (normalized dot = cosine since centroids are unit) */
   private def simsCol(v: Column, cents: Array[Array[Double]]): Column =
     array(cents.map(ct => graft.plans.VectorKernels.dotConst(v, ct.toSeq)): _*)
-  /** Test-visible alias of the list-assignment expression (the spec pins
-    * append ≡ assign-the-union under frozen centroids). */
-  private[graft] def assignColForTest(v: Column,
-                                      cents: Array[Array[Double]]): Column =
-    assignCol(v, cents)
-
-  private def assignCol(v: Column, cents: Array[Array[Double]]): Column = {
+  /** List-assignment expression; private[graft] so the index spec can pin
+    * append ≡ assign-the-union under frozen centroids. */
+  private[graft] def assignCol(v: Column, cents: Array[Array[Double]]): Column = {
     val sims = simsCol(v, cents)
     // first index of the max similarity (deterministic tie-break)
     (array_position(sims, array_max(sims)) - 1).cast("int")
@@ -161,20 +157,29 @@ object Similarity {
   def appendToIvfIndex(spark: SparkSession, path: String,
                        batch: DataFrame, idCol: String,
                        vecCol: String): Unit = {
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .orderBy(col("cidx")).collect()
-      .map(_.getSeq[Double](1).toArray)
+    val centroids = loadCentroids(spark, path)
+    // seen-id anti-join, same discipline as the MinHash ingest loop: a
+    // replayed (crashed-and-retried) append or a re-ingested id appends
+    // NOTHING — without it the same (id, cl) rows would duplicate in the
+    // lists forever, and ivfSearch would return duplicate candidates.
+    // Updating an id's vector is a rebuild/compaction, not an append.
+    val seen = spark.read.parquet(s"$path/lists").select(col("id")).distinct()
     batch.select(col(idCol).as("id"),
         assignCol(col(vecCol), centroids).as("cl"))
+      .join(seen, Seq("id"), "left_anti")
       .write.mode("append").partitionBy("cl").parquet(s"$path/lists")
   }
+
+  private def loadCentroids(spark: SparkSession,
+                            path: String): Array[Array[Double]] =
+    spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cidx")).collect()
+      .map(_.getSeq[Double](1).toArray)
 
   /** Restore a saved index; no corpus access, no training. A second (and
     * every later) query batch starts here. */
   def loadIvfIndex(spark: SparkSession, path: String): IvfIndex = {
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .orderBy(col("cidx")).collect()
-      .map(_.getSeq[Double](1).toArray)
+    val centroids = loadCentroids(spark, path)
     val lists = spark.read.parquet(s"$path/lists")
       .select(col("id"), col("cl").cast("int").as("cl"))
     IvfIndex(centroids, lists)

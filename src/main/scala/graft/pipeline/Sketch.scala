@@ -177,13 +177,14 @@ object Sketch {
     * a corrupt footer / permission error / FS hiccup on an existing
     * sketch must propagate from the subsequent read, never silently
     * classify as "absent" and let an upsert overwrite the accumulated
-    * state with one run's data. An existing but EMPTY directory counts
-    * as absent (nothing was ever written there). */
+    * state with one run's data. An existing EMPTY directory deliberately
+    * counts as present for the same reason: a crashed overwrite can
+    * leave one behind, and the operator must see the loud read failure,
+    * not a quiet restart from this run's data. */
   private[pipeline] def pathExists(spark: org.apache.spark.sql.SparkSession,
                                    path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).nonEmpty
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   private def withParams(df: DataFrame, params: Seq[(String, Int)]): DataFrame =

@@ -50,39 +50,36 @@ object ExtractStream {
   }
 
   /**
-   * Continuous ingest-dedup: each micro-batch of newly-extracted pages
-   * runs the SAME ingest-dedup step as the batch job's --dedup-index
-   * (ExtractJob.dedupIngest) — dedup against the persisted MinHash-LSH
-   * corpus index, near-dup pairs appended to `dupesPath`, batch joined
-   * to the index as the next ingest. foreachBatch is the standard shape
-   * for per-batch side effects against an external store; exactly-once
-   * per url holds because the checkpointed source replays a failed batch
-   * and dedupIngest's seen-url anti-join makes the replay a no-op (it
-   * does not even burn an ingest number). Pair with extractQuery for the
-   * extracted-output sink; this query owns only the dedup/index leg.
+   * Continuous ingest-dedup: each micro-batch runs the SAME ingest-dedup
+   * step as the batch job's --dedup-index (ExtractJob.dedupIngest) —
+   * dedup against the persisted MinHash-LSH corpus index, near-dup pairs
+   * appended to `dupesPath`, batch joined to the index as the next
+   * ingest. The source is extractQuery's EXTRACTED output directory, not
+   * raw pages — extraction (the expensive stage) runs once in
+   * extractQuery and this query only streams its (url, extracted_text)
+   * columns, so chaining the two queries never parses a page twice.
+   * foreachBatch is the standard shape for per-batch side effects
+   * against an external store. Index growth is exactly-once per url: a
+   * replayed batch anti-joins out against the index's seen urls (no
+   * ingest number burned); the `dupesPath` report is at-least-once
+   * across crash replays — distinct() on read (ExtractJob.dedupIngest
+   * scaladoc has the full crash-window analysis).
    */
-  def dedupIngestQuery(spark: SparkSession, pagesDir: String,
+  def dedupIngestQuery(spark: SparkSession, extractedDir: String,
                        indexPath: String, dupesPath: String,
                        checkpointDir: String,
                        trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    import spark.implicits._
-    val pages = spark.readStream
-      .schema(PageSchema)
+    val extractedSchema =
+      org.apache.spark.sql.Encoders.product[graft.extract.Extracted].schema
+    spark.readStream
+      .schema(extractedSchema)
       .option("maxFilesPerTrigger", 64)
-      .parquet(pagesDir)
-      .select(col("url"), col("warc_ts"), col("html"),
-        coalesce(col("text"), lit("")).as("text"),
-        coalesce(col("lang"), lit("")).as("lang"))
-      .as[Page]
-
-    pages.map(Extractor.extract)
-      .toDF()
+      .parquet(extractedDir)
+      .where(col("status") === "ok")
+      .select(col("url"), col("extracted_text"))
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.job.ExtractJob.dedupIngest(spark,
-          batch.where(col("status") === "ok")
-            .select(col("url"), col("extracted_text")),
-          indexPath, dupesPath)
+        graft.job.ExtractJob.dedupIngest(spark, batch, indexPath, dupesPath)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

@@ -41,7 +41,7 @@ class SimilarityIndexSpec extends AnyFunSuite {
     // lists ≡ assigning the UNION under A's centroids
     val all = vecs(90)
     val want = all.select(col("vec_id").as("id"),
-      graft.pipeline.Similarity.assignColForTest(col("embedding"), built.centroids).as("cl"))
+      graft.pipeline.Similarity.assignCol(col("embedding"), built.centroids).as("cl"))
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     val got = loaded.lists.collect()
       .map(r => (r.getLong(r.fieldIndex("id")), r.getInt(r.fieldIndex("cl")))).toSet
@@ -53,10 +53,18 @@ class SimilarityIndexSpec extends AnyFunSuite {
       "vec_id", "embedding", "vec_id", k = 5, nprobe = 3))
     val fresh = graft.pipeline.Similarity.IvfIndex(built.centroids,
       all.select(col("vec_id").as("id"),
-        graft.pipeline.Similarity.assignColForTest(col("embedding"), built.centroids).as("cl")))
+        graft.pipeline.Similarity.assignCol(col("embedding"), built.centroids).as("cl")))
     val viaFresh = canon(Similarity.ivfSearch(fresh, all, queries,
       "vec_id", "embedding", "vec_id", k = 5, nprobe = 3))
     assert(viaAppended == viaFresh)
+
+    // replaying the SAME append (crash-and-retry) adds nothing: the
+    // seen-id anti-join makes it a no-op, lists stay identical
+    val before = loaded.lists.collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    Similarity.appendToIvfIndex(spark, dir, b, "vec_id", "embedding")
+    val after = Similarity.loadIvfIndex(spark, dir)
+      .lists.collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(after == before)
   }
 
   test("IVF index: save → load → search ≡ one-shot ivfKmeansKnn " +

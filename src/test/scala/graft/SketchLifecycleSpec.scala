@@ -24,8 +24,11 @@ class SketchLifecycleSpec extends AnyFunSuite {
   private def canon(df: DataFrame): Set[Seq[Any]] =
     df.collect().map(_.toSeq).toSet
 
+  // a NOT-YET-EXISTING subpath: the save/upsert targets must start absent
+  // (an existing empty dir deliberately reads as a crashed overwrite and
+  // fails loudly — see Sketch.pathExists)
   private def tmp(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
 
   // ---- HLL --------------------------------------------------------------
 

@@ -87,11 +87,20 @@ class StreamingSpec extends AnyFunSuite {
     def text(i: Long): String =
       s"document $i body " + (0 until 30).map(j => s"w${(i * 3 + j) % 7}").mkString(" ")
 
+    // the dedup query CHAINS off extractQuery's output (extraction runs
+    // once; the dedup leg streams only (url, extracted_text))
+    val outDir = s"$base/extracted"
+    def extractThenDedup(): Unit = {
+      ExtractStream.extractQuery(spark, pagesDir, outDir, s"$base/ckptE")
+        .awaitTermination(120000)
+      ExtractStream.dedupIngestQuery(spark, outDir, idx, s"$base/dupes",
+        s"$base/ckpt").awaitTermination(120000)
+    }
+
     // drop 1: five distinct pages → index built, no pairs
     spark.createDataset((0L until 5L).map(i => page(i, text(i)))).toDF()
       .write.parquet(pagesDir)
-    ExtractStream.dedupIngestQuery(spark, pagesDir, idx, s"$base/dupes",
-      s"$base/ckpt").awaitTermination(120000)
+    extractThenDedup()
     assert(Dedup.loadMinHashIndex(spark, idx)
       .shingles.select("id").distinct().count() == 5L)
     assert(spark.read.parquet(s"$base/dupes").count() == 0L)
@@ -101,8 +110,7 @@ class StreamingSpec extends AnyFunSuite {
       Page("stream://mirror/2", new java.sql.Timestamp(1767225600000L),
         page(2L, text(2L)).html, "", ""))).toDF()
       .write.mode("append").parquet(pagesDir)
-    ExtractStream.dedupIngestQuery(spark, pagesDir, idx, s"$base/dupes",
-      s"$base/ckpt").awaitTermination(120000)
+    extractThenDedup()
     val pairs = spark.read.parquet(s"$base/dupes")
       .select("id_a", "id_b").collect().map(_.toSeq).toSet
     assert(pairs.contains(Seq("stream://doc/2", "stream://mirror/2")),
@@ -115,7 +123,7 @@ class StreamingSpec extends AnyFunSuite {
     // replay: a FRESH checkpoint re-delivers every file; the seen-url
     // anti-join makes the replay a no-op — same ids, same dupes, and no
     // ingest number burned
-    ExtractStream.dedupIngestQuery(spark, pagesDir, idx, s"$base/dupes",
+    ExtractStream.dedupIngestQuery(spark, outDir, idx, s"$base/dupes",
       s"$base/ckpt2").awaitTermination(120000)
     assert(Dedup.loadMinHashIndex(spark, idx)
       .shingles.select("id").distinct().count() == 7L)
