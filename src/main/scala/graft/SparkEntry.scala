@@ -757,6 +757,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q50_decontamination" -> ((s, dir) => {
+      // benchmark decontamination: every 10th doc plays the EVAL set;
+      // per eval doc, the fraction of its 8-gram spans found anywhere in
+      // the TRAIN corpus (no pairwise join — train collapses to its
+      // distinct span set). md5 spans so DuckDB reproduces the hashes.
+      val d = docs(s, dir)
+      Dedup.spanContamination(
+        d.where(pmod(col("doc_id"), lit(10)) =!= 0),
+        d.where(pmod(col("doc_id"), lit(10)) === 0),
+        "doc_id", "text", n = 8, algo = Dedup.AlgoMd5)
+        .select(col("id").as("doc_id"), col("n_spans"), col("hit_spans"),
+          col("contamination"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q37_bm25" -> ((s, dir) => {
       // corpus search primitive (targeted retrieval / leakage checks):
       // Okapi BM25 of every document against a fixed term bag
@@ -1284,6 +1299,29 @@ object SparkEntry {
         |  round(sum(CASE WHEN hdf >= 2 THEN 1 ELSE 0 END) / count(*)::DOUBLE, 4) AS dup_frac
         |FROM post JOIN dfh USING (h)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same md5 span construction as q36; train side is a DISTINCT span
+    // set (containment, not multiplicity)
+    "q50_decontamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 8
+        |    THEN [('0x' || substring(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::UBIGINT::BIGINT
+        |          for i in range(1, len(t) - 6)]
+        |    ELSE [('0x' || substring(md5(array_to_string(t, ' ')), 1, 15))::UBIGINT::BIGINT]
+        |    END) AS s
+        |  FROM toks),
+        |post AS (SELECT doc_id, unnest(s) AS h FROM sh),
+        |trainh AS (SELECT DISTINCT h FROM post WHERE doc_id % 10 <> 0),
+        |ev AS (SELECT doc_id, h FROM post WHERE doc_id % 10 = 0)
+        |SELECT ev.doc_id, count(*) AS n_spans,
+        |  sum(CASE WHEN trainh.h IS NULL THEN 0 ELSE 1 END)::BIGINT AS hit_spans,
+        |  round(sum(CASE WHEN trainh.h IS NULL THEN 0 ELSE 1 END)
+        |        / count(*)::DOUBLE, 4) AS contamination
+        |FROM ev LEFT JOIN trainh USING (h)
+        |GROUP BY ev.doc_id ORDER BY ev.doc_id""".stripMargin,
 
     "q37_bm25" -> {
       val terms = Seq("window", "merge", "spark", "stream")

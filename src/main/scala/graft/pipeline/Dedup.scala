@@ -611,6 +611,52 @@ object Dedup {
         round(col("dup_spans").cast("double") / col("n_spans").cast("double"), 4))
   }
 
+  /**
+   * Cross-corpus DECONTAMINATION: for each eval/benchmark document, the
+   * fraction of its n-gram word spans that occur ANYWHERE in the
+   * training corpus — the overlap check a training pipeline runs against
+   * held-out sets before training (the published recipe: n-gram overlap
+   * at 8–13-gram granularity). Same no-pairwise-join shape as
+   * spanDupStats: the train side collapses to its DISTINCT span-hash
+   * set (multiplicity is irrelevant to containment), the eval side
+   * joins against it — cost is |eval spans| + |distinct train spans|,
+   * never |eval| × |train|. Output per eval id: (id, n_spans,
+   * hit_spans, contamination). For per-train-doc attribution use
+   * spanContaminationPairs.
+   */
+  def spanContamination(train: DataFrame, eval: DataFrame,
+                        idCol: String, textCol: String,
+                        n: Int = 8, algo: String = AlgoXx64): DataFrame = {
+    val trainSpans = train
+      .select(explode(shingleHashes(col(textCol), n, algo)).as("h"))
+      .distinct()
+    eval.select(col(idCol).as("id"),
+        explode(shingleHashes(col(textCol), n, algo)).as("h"))
+      .join(trainSpans.withColumn("__hit", lit(1)), Seq("h"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("__hit"), lit(0))).as("hit_spans"))
+      .withColumn("contamination",
+        round(col("hit_spans").cast("double") / col("n_spans").cast("double"), 4))
+  }
+
+  /** Attribution variant: (eval_id, train_id, shared_spans) for eval docs
+    * whose span sets intersect a train doc's — ids only through the span
+    * join (the candidate-shuffle discipline); payloads re-join by id. */
+  def spanContaminationPairs(train: DataFrame, eval: DataFrame,
+                             idCol: String, textCol: String,
+                             n: Int = 8, algo: String = AlgoXx64,
+                             minShared: Int = 1): DataFrame = {
+    val t = train.select(col(idCol).as("train_id"),
+      explode(shingleHashes(col(textCol), n, algo)).as("h"))
+    val e = eval.select(col(idCol).as("eval_id"),
+      explode(shingleHashes(col(textCol), n, algo)).as("h"))
+    e.join(t, Seq("h"))
+      .groupBy(col("eval_id"), col("train_id"))
+      .agg(count(lit(1)).as("shared_spans"))
+      .where(col("shared_spans") >= minShared)
+  }
+
   // ---- duplicate clusters (connected components) -----------------------
 
   /**

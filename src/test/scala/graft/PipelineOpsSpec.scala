@@ -698,4 +698,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.map(_.features.toSeq).toSeq == out2.map(_.features.toSeq).toSeq)
     assert(Multimodal.frameSampleOffsets(1000L, 4) == Seq(0L, 250L, 500L, 750L))
   }
+
+  test("spanContamination: a verbatim eval copy of a train doc reads 1.0, " +
+    "a disjoint doc 0.0; attribution pairs name the source train doc") {
+    import spark.implicits._
+    def words(a: Int, b: Int, p: String) = (a until b).map(i => s"$p$i").mkString(" ")
+    val train = Seq(
+      (1L, words(0, 30, "w")),
+      (2L, words(100, 130, "w"))).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, words(0, 30, "w")),    // verbatim copy of train doc 1
+      (11L, words(500, 530, "x")), // disjoint
+      (12L, words(20, 40, "w")))   // partial overlap with doc 1's tail
+      .toDF("doc_id", "text")
+    val out = Dedup.spanContamination(train, eval, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(10L)._3 == 1.0)
+    assert(out(11L)._3 == 0.0)
+    assert(out(12L)._3 > 0.0 && out(12L)._3 < 1.0)
+    // doc 12 has 20 words → 13 spans; spans fully inside w20..w29 exist
+    // only for windows within train doc 1's range: w20..w27, w21..w28,
+    // w22..w29 → 3 hits
+    assert(out(12L) == ((13L, 3L, math.rint(3.0 / 13.0 * 1e4) / 1e4)))
+
+    val pairs = Dedup.spanContaminationPairs(train, eval, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.contains((10L, 1L, 23L))) // 30 words → 23 spans, all shared
+    assert(pairs.contains((12L, 1L, 3L)))
+    assert(!pairs.exists(_._1 == 11L))
+  }
 }
