@@ -757,6 +757,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q51_repetition_stats" -> ((s, dir) => {
+      // Gopher-style repetition filter signals per document: duplicate
+      // word/3-gram fractions + most-frequent-2-gram coverage — the
+      // degenerate-text gate next to q13's quality score
+      TextOps.repetitionStats(docs(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("dup_word_frac"),
+          col("dup_3gram_frac"), col("top_2gram_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q50_decontamination" -> ((s, dir) => {
       // benchmark decontamination: every 10th doc plays the EVAL set;
       // per eval doc, the fraction of its 8-gram spans found anywhere in
@@ -1299,6 +1309,32 @@ object SparkEntry {
         |  round(sum(CASE WHEN hdf >= 2 THEN 1 ELSE 0 END) / count(*)::DOUBLE, 4) AS dup_frac
         |FROM post JOIN dfh USING (h)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // list-comprehension 2-grams + distinct 3-gram strings (the Spark
+    // side's distinct-hash count ≡ distinct grams, 64-bit collision odds)
+    "q51_repetition_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |fl AS (SELECT doc_id, len(t) AS n, len(list_distinct(t)) AS d FROM toks),
+        |tg AS (SELECT doc_id,
+        |         unnest([{'g': t[i] || ' ' || t[i+1]} for i in range(1, len(t))]) AS u
+        |       FROM toks),
+        |tgc AS (SELECT doc_id, u.g, count(*) AS c FROM tg GROUP BY doc_id, u.g),
+        |tga AS (SELECT doc_id, sum(c) AS n2, max(c) AS top FROM tgc GROUP BY doc_id),
+        |d3 AS (SELECT doc_id, len(t) AS n,
+        |         CASE WHEN len(t) >= 3
+        |           THEN len(list_distinct([array_to_string(t[i:i+2], ' ')
+        |                                   for i in range(1, len(t) - 1)]))
+        |           ELSE 1 END AS d3
+        |       FROM toks)
+        |SELECT fl.doc_id,
+        |  round(1.0 - fl.d / fl.n::DOUBLE, 4) AS dup_word_frac,
+        |  round(CASE WHEN fl.n >= 3 THEN 1.0 - d3.d3 / (fl.n - 2)::DOUBLE
+        |        ELSE 0.0 END, 4) AS dup_3gram_frac,
+        |  round(tga.top / tga.n2::DOUBLE, 4) AS top_2gram_frac
+        |FROM fl JOIN tga USING (doc_id) JOIN d3 USING (doc_id)
+        |ORDER BY fl.doc_id""".stripMargin,
 
     // same md5 span construction as q36; train side is a DISTINCT span
     // set (containment, not multiplicity)

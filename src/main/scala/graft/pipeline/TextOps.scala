@@ -141,6 +141,43 @@ object TextOps {
   }
 
   /**
+   * Within-document REPETITION statistics — the Gopher-style repetition
+   * filter signals (duplicate-word fraction, duplicate-3-gram fraction,
+   * most-frequent-2-gram coverage) a quality pipeline thresholds on to
+   * drop degenerate/looping text; the complement of qualityScore's
+   * length/punctuation band. Fully relational (posexplode + one per-doc
+   * window + bounded groupBys — no interpreted array lambdas): the
+   * distinct-3-gram count reuses the ShingleHash kernel (distinct hashes
+   * ≡ distinct grams at 64-bit collision odds — same acceptance class as
+   * the dedup oracles). Documents with a single token have no 2-grams
+   * and drop out (both engines agree; q51 pins it cross-engine).
+   */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(Dedup.tokens(col(textCol)))).toDF("id", "pos", "tok")
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val grams = toks.withColumn("nxt", lead(col("tok"), 1).over(w))
+    val words = grams.groupBy(col("id")).agg(
+      count(lit(1)).as("n_words"),
+      countDistinct(col("tok")).as("d_words"))
+    val twoG = grams.where(col("nxt").isNotNull)
+      .groupBy(col("id"), col("tok"), col("nxt")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id")).agg(sum(col("c")).as("n_2g"), max(col("c")).as("top_2g"))
+    val threeG = df.select(col(idCol).as("id"),
+      size(Dedup.shingleHashes(col(textCol), 3)).as("d_3g"))
+    words.join(twoG, Seq("id")).join(threeG, Seq("id"))
+      .select(col("id"),
+        round(lit(1.0) - col("d_words").cast("double") / col("n_words"), 4)
+          .as("dup_word_frac"),
+        round(when(col("n_words") >= 3,
+          lit(1.0) - col("d_3g").cast("double") / (col("n_words") - 2))
+          .otherwise(0.0), 4).as("dup_3gram_frac"),
+        round(col("top_2g").cast("double") / col("n_2g"), 4)
+          .as("top_2gram_frac"))
+  }
+
+  /**
    * Heuristic language ID via stopword hit ratios (n-gram-free variant —
    * the synthetic corpus is space-tokenized). Scores a small stopword set
    * per language and takes the argmax; "und" when nothing matches.

@@ -699,6 +699,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(Multimodal.frameSampleOffsets(1000L, 4) == Seq(0L, 250L, 500L, 750L))
   }
 
+  test("repetitionStats: planted degenerate text reads the exact Gopher-" +
+    "style fractions; single-token docs drop out") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a a a b"),          // words 4/2 dup .5; 3g {aaa,aab} dup 0; 2g top (a,a)=2 of 3
+      (2L, "x y z w"),          // no repetition
+      (3L, "loop loop loop loop loop"), // fully degenerate
+      (4L, "single")            // one token: no 2-grams → dropped
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionStats(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((0.5, 0.0, math.rint(2.0 / 3.0 * 1e4) / 1e4)))
+    assert(out(2L) == ((0.0, 0.0, math.rint(1.0 / 3.0 * 1e4) / 1e4)))
+    // 5×"loop": words 5/1 = .8 dup; 3-grams 3 total 1 distinct → 1−1/3;
+    // 2-grams all identical → top 4/4
+    assert(out(3L) == ((0.8, math.rint((1.0 - 1.0 / 3.0) * 1e4) / 1e4, 1.0)))
+    assert(!out.contains(4L))
+  }
+
   test("spanContamination: a verbatim eval copy of a train doc reads 1.0, " +
     "a disjoint doc 0.0; attribution pairs name the source train doc") {
     import spark.implicits._
