@@ -74,6 +74,64 @@ class BpeSpec extends AnyFunSuite {
       Map("abab" -> 1, "ab" -> 1, "ba" -> 2))
   }
 
+  test("property: bpeLearn ≡ a naive in-memory BPE on random vocabularies " +
+    "(pair statistics, tie-breaks, greedy merging, early stop)") {
+    // reference implementation: lists of symbols, straight from the BPE
+    // definition — no delimiters, no string replaces
+    def naive(pieces: Seq[(String, Long)], rounds: Int): Seq[(Int, String, String, Long)] = {
+      var vocab: Seq[(Vector[String], Long)] =
+        pieces.groupBy(_._1).toSeq.map { case (p, rs) =>
+          (p.map(_.toString).toVector, rs.map(_._2).sum)
+        }
+      val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+      var r = 1
+      var done = false
+      while (r <= rounds && !done) {
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        vocab.foreach { case (syms, cnt) =>
+          syms.sliding(2).foreach {
+            case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + cnt
+            case _ =>
+          }
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val ((l, rt), c) = counts.toSeq
+            .minBy { case ((a, b), n) => (-n, a, b) }
+          out += ((r, l, rt, c))
+          vocab = vocab.map { case (syms, cnt) =>
+            val merged = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == rt) {
+                merged += (l + rt); i += 2 // greedy leftmost
+              } else { merged += syms(i); i += 1 }
+            }
+            (merged.result(), cnt)
+          }
+          r += 1
+        }
+      }
+      out.toSeq
+    }
+
+    // trials kept small: each learn round is a full Spark job chain and
+    // the whole suite must stay fast; the planted tests above cover the
+    // deterministic edges, this sweep covers random interaction
+    val rnd = new scala.util.Random(77)
+    (0 until 4).foreach { trial =>
+      val alphabet = "abcd"
+      val pieces = (0 until 12 + rnd.nextInt(10)).map { _ =>
+        val len = 1 + rnd.nextInt(6)
+        (Seq.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString,
+          (1 + rnd.nextInt(9)).toLong)
+      }.groupBy(_._1).toSeq.map { case (p, rs) => (p, rs.map(_._2).sum) }
+      val rounds = 2 + rnd.nextInt(2)
+      assert(learn(pieces, rounds) == naive(pieces, rounds),
+        s"trial $trial pieces=$pieces rounds=$rounds")
+    }
+  }
+
   test("learn → apply round-trip: pieces made of learned merges compress " +
     "to the expected token counts") {
     val pieces = Seq(("the", 10L), ("then", 4L), ("he", 2L))
