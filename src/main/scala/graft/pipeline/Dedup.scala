@@ -23,8 +23,16 @@ object Dedup {
 
   // ---- shingling ------------------------------------------------------
 
+  /** Java∩RE2 whitespace class (NO U+000B): Java's `\s` includes the
+    * vertical tab, RE2's — which every DuckDB oracle tokenizes with —
+    * does not. Every oracled tokenizer path splits on this EXPLICIT
+    * class so both engines split identically on ANY input (the same
+    * dodge TextOps.BpeTokenRe documents; previously a document
+    * containing U+000B would tokenize differently per engine). */
+  val WsClass = " \\t\\n\\f\\r"
+
   /** Lowercase whitespace tokens. */
-  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+  def tokens(text: Column): Column = split(lower(trim(text)), s"[$WsClass]+")
 
   /** Word n-gram shingles (n=3): sliding windows via sequence+transform. */
   def shingles(text: Column, n: Int = 3): Column = {

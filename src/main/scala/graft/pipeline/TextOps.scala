@@ -16,16 +16,16 @@ object TextOps {
   /** Collapse whitespace runs to single spaces + trim (column-level analogue
     * of utils.py:36-51 normalize_whitespace). */
   def normalizeWs(text: Column): Column =
-    trim(regexp_replace(text, "\\s+", " "))
+    trim(regexp_replace(text, s"[${Dedup.WsClass}]+", " "))
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column =
-    size(split(trim(text), "\\s+"))
+    size(split(trim(text), s"[${Dedup.WsClass}]+"))
 
   /** BPE-ish subword count: words + punctuation marks counted separately —
     * a cheap stand-in for tokenizer budgeting at corpus scale. */
   def subwordCount(text: Column): Column =
-    size(split(trim(text), "\\s+")) +
+    size(split(trim(text), s"[${Dedup.WsClass}]+")) +
       length(regexp_replace(text, "[^.,;:!?]", "")).cast("int")
 
   /** GPT-2-style pre-tokenizer pattern, constrained to the Java∩RE2
@@ -189,7 +189,7 @@ object TextOps {
     // Latin stopword lists, so it must be decided here. Fractions over
     // non-space characters; thresholds: any meaningful kana → ja,
     // otherwise a quarter of the text in one script wins.
-    val nospace = regexp_replace(norm, "\\s", "")
+    val nospace = regexp_replace(norm, s"[${Dedup.WsClass}]", "")
     val total = length(nospace).cast("double")
     def scriptCount(re: String): Column =
       total - length(regexp_replace(nospace, re, "")).cast("double")
@@ -200,7 +200,7 @@ object TextOps {
 
     val padded = concat(lit(" "), lower(norm), lit(" "))
     def hits(words: Seq[String]): Column =
-      words.map(w => size(split(padded, s"\\s$w\\s")) - 1)
+      words.map(w => size(split(padded, s"[${Dedup.WsClass}]$w[${Dedup.WsClass}]")) - 1)
         .reduce(_ + _)
     val en = hits(Seq("the", "and", "of", "a", "to", "is"))
     val de = hits(Seq("der", "die", "und", "das", "ist", "ein"))
@@ -230,8 +230,8 @@ object TextOps {
     val words = tokenCount(norm).cast("double")
     val meanWordLen = when(words > 0, len / words).otherwise(lit(0.0))
     val punct = length(regexp_replace(norm, "[^.!?]", "")).cast("double")
-    val symbols = length(regexp_replace(norm, "[\\p{L}\\p{N}\\s.,;:!?'\"()-]", "")).cast("double")
-    val stopHits = (size(split(concat(lit(" "), lower(norm), lit(" ")), "\\s(the|and|of|a|to|is)\\s")) - 1).cast("double")
+    val symbols = length(regexp_replace(norm, s"[\\p{L}\\p{N}${Dedup.WsClass}.,;:!?'\"()-]", "")).cast("double")
+    val stopHits = (size(split(concat(lit(" "), lower(norm), lit(" ")), s"[${Dedup.WsClass}](the|and|of|a|to|is)[${Dedup.WsClass}]")) - 1).cast("double")
     val lengthBand = when(len >= 200 && len <= 20000, 1.0)
       .when(len >= 50, 0.5).otherwise(0.0)
     val wordShape = when(meanWordLen >= 3 && meanWordLen <= 12, 1.0).otherwise(0.3)

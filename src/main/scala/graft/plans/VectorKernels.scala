@@ -126,7 +126,9 @@ object VectorKernels {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
-  private val WsRegex = org.apache.spark.unsafe.types.UTF8String.fromString("\\s+")
+  // the Java∩RE2 explicit whitespace class (Dedup.WsClass) — NOT \s:
+  // Java's \s includes U+000B, the DuckDB oracles' RE2 \s does not
+  private val WsRegex = org.apache.spark.unsafe.types.UTF8String.fromString("[ \\t\\n\\f\\r]+")
 
   /**
    * Distinct hashed word n-gram shingles of a text column in ONE compiled
@@ -139,7 +141,7 @@ object VectorKernels {
    * calling the SAME primitives Spark's expressions call:
    *  - trim  = UTF8String.trim (ASCII space only, as StringTrim)
    *  - lower = UTF8String.toLowerCase (as Lower/CollationSupport default)
-   *  - split = UTF8String.split("\\s+", -1) (as StringSplit: leading
+   *  - split = UTF8String.split("[ \\t\\n\\f\\r]+", -1) (as StringSplit: leading
    *    separator yields an empty first token; "" yields [""])
    *  - < n tokens ⇒ one whole-text shingle (space-joined), as the
    *    `otherwise` branch

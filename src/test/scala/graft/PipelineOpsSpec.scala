@@ -476,8 +476,8 @@ class PipelineOpsSpec extends AnyFunSuite {
       (3L, "hello world"),         // hello | " world"
       (4L, "  "),                  // one whitespace run
       (5L, "x, y; z"),             // x | , | " y" | ; | " z"
-      (6L, "&"),             // & | VT — the Java-vs-RE2 \s edge:
-      (7L, "ab")))           // the explicit class makes both count VT as ws
+      (6L, "&\u000B"),             // & | VT — the Java-vs-RE2 \s edge:
+      (7L, "a\u000Bb")))           // the explicit class makes both count VT as ws
     val out = df.select(col("doc_id"), TextOps.bpeTokenCount(col("text")).as("n"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(out(1L) == 3, out)
@@ -697,6 +697,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     val out2 = Multimodal.extractFeatures(spark, spark.createDataset(media)).collect()
     assert(out.map(_.features.toSeq).toSeq == out2.map(_.features.toSeq).toSeq)
     assert(Multimodal.frameSampleOffsets(1000L, 4) == Seq(0L, 250L, 500L, 750L))
+  }
+
+  test("tokenizer whitespace is the Java∩RE2 class: U+000B does NOT " +
+    "split (DuckDB's RE2 \\s excludes it — both engines must agree)") {
+    import spark.implicits._
+    val df = Seq(("a\u000Bb c", 0)).toDF("text", "x")
+    val toks = df.select(Dedup.tokens(col("text"))).head.getSeq[String](0)
+    assert(toks == Seq("a\u000Bb", "c"))
+    assert(df.select(TextOps.tokenCount(col("text"))).head.getInt(0) == 2)
+    // normalizeWs leaves the vertical tab in place, as RE2 '\s+' would
+    assert(df.select(TextOps.normalizeWs(col("text"))).head.getString(0)
+      == "a\u000Bb c")
+    // the kernel splits with the same class as the HOF path
+    val k = df.select(Dedup.shingleHashes(col("text"), n = 3)).head.getSeq[Long](0)
+    val h = df.select(Dedup.shingleHashesHof(col("text"),
+      c => xxhash64(c), n = 3)).head.getSeq[Long](0)
+    assert(k == h)
   }
 
   test("repetitionStats: planted degenerate text reads the exact Gopher-" +
