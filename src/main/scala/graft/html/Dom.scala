@@ -12,12 +12,22 @@ final class AttrMap {
   private var ks: Array[String] = _
   private var vs: Array[String] = _
   private var n = 0
+  // cached slots of the two keys the scoring phases probe repeatedly
+  // (class/id lookups run several times per node per phase — JFR r5 put
+  // the linear scan at ~6% of self-time); -1 = not present / unknown
+  private var classIdx = -1
+  private var idIdx = -1
 
   def size: Int = n
   def isEmpty: Boolean = n == 0
   def nonEmpty: Boolean = n > 0
 
   private def indexOf(k: String): Int = {
+    if (k.length == 5) {
+      if (classIdx >= 0 && "class" == k) return classIdx
+    } else if (k.length == 2) {
+      if (idIdx >= 0 && "id" == k) return idIdx
+    }
     var i = 0
     while (i < n) { if (ks(i) == k) return i; i += 1 }
     -1
@@ -50,6 +60,7 @@ final class AttrMap {
       ks = java.util.Arrays.copyOf(ks, n * 2)
       vs = java.util.Arrays.copyOf(vs, n * 2)
     }
+    if (k == "class") classIdx = n else if (k == "id") idIdx = n
     ks(n) = k; vs(n) = v; n += 1
   }
 
@@ -60,6 +71,9 @@ final class AttrMap {
     while (j < n - 1) { ks(j) = ks(j + 1); vs(j) = vs(j + 1); j += 1 }
     n -= 1
     ks(n) = null; vs(n) = null
+    // shifted slots: a cached index at i is gone; ones past i moved left
+    if (classIdx == i) classIdx = -1 else if (classIdx > i) classIdx -= 1
+    if (idIdx == i) idIdx = -1 else if (idIdx > i) idIdx -= 1
   }
 
   def foreach[U](f: ((String, String)) => U): Unit = {
