@@ -26,4 +26,15 @@ class CorpusSmokeSpec extends AnyFunSuite {
       assert(text.length > 200, s"suspiciously short main text (${text.length}): ${text.take(120)}")
     }
   }
+
+  test("driver contract: SparkEntry.entry returns > 0 rows with ok " +
+    "status over the sf0.001 pages (the driver's smoke check)") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    val out = SparkEntry.entry(SparkSessionFixture.spark)
+    val rows = out.collect()
+    assert(rows.length > 0)
+    assert(rows.exists(_.getAs[String]("status") == "ok"))
+    assert(out.columns.toSeq ==
+      Seq("url", "status", "title", "text_len"))
+  }
 }
