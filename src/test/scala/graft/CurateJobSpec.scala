@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.extract.Page
+import graft.job.{CurateJob, PageTableIO}
+
+/** End-to-end spec for the crawl→training-set composition: every funnel
+  * stage (extract, exact dedup, near dedup, quality+repetition gates,
+  * decontamination, stratified quota) drops exactly the planted rows,
+  * and the funnel report accounts for each. */
+class CurateJobSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSessionFixture.spark
+
+  private def page(url: String, body: String, hour: Long): Page = {
+    val html =
+      s"""<html><head><title>T</title></head><body>
+         |<div class="article"><p>$body</p></div>
+         |</body></html>""".stripMargin
+    Page(url, new java.sql.Timestamp(1767225600000L + hour * 3600L * 1000),
+      html.getBytes(java.nio.charset.StandardCharsets.UTF_8), "", "")
+  }
+
+  // comma-bearing prose that clears the quality gate while docs with
+  // DIFFERENT seeds share no 3-gram (two of every three words are
+  // seed-unique — only the planted duplicates may near-match)
+  private def prose(seed: Int): String =
+    (0 until 40).map { j =>
+      val w =
+        if (j % 3 == 0) Seq("the", "and", "of", "a", "to", "is")((j / 3) % 6)
+        else s"word${seed}x$j"
+      w + (if (j % 9 == 8) "," else "")
+    }.mkString(" ") + s" marker$seed end of document text, which is plain."
+
+  test("the funnel drops exactly the planted rows at each stage") {
+    val tmp = java.nio.file.Files.createTempDirectory("curate").toString
+    import spark.implicits._
+
+    val pages = Seq(
+      page("test://keep/1", prose(1), 0),
+      page("test://keep/2", prose(2), 1),
+      page("test://keep/3", prose(3), 2),
+      // exact duplicate of keep/1 (same body) under a later url
+      page("test://xdup/1", prose(1), 3),
+      // near duplicate of keep/2: same prose with a tiny tail edit
+      page("test://ndup/2", prose(2) + " tiny extra tail word", 4),
+      // degenerate repetition: fails the repetition gate
+      page("test://rep/1", Seq.fill(60)("loop").mkString(" "), 5),
+      // contaminated: verbatim copy of the eval doc's text
+      page("test://contam/1", prose(9), 6))
+    PageTableIO.write(spark.createDataset(pages).toDF(), s"$tmp/pages",
+      numBuckets = 2)
+    // held-out eval set containing prose(9)
+    Seq(("eval://doc/1", prose(9))).toDF("url", "text")
+      .write.parquet(s"$tmp/eval")
+
+    val funnel = CurateJob.run(spark, s"$tmp/pages", s"$tmp/out",
+      partitions = 4,
+      th = CurateJob.Thresholds(minQuality = 0.2, quotaPerLang = 10),
+      evalPath = Some(s"$tmp/eval"))
+
+    val curated = spark.read.parquet(s"$tmp/out/curated")
+    val urls = curated.select("url").collect().map(_.getString(0)).toSet
+    assert(urls == Set("test://keep/1", "test://keep/2", "test://keep/3"),
+      s"funnel=$funnel urls=$urls")
+    // funnel accounts for each stage: 7 extracted → 6 (exact dup gone) →
+    // 5 (near dup gone) → ≤4 (repetition gone) → 3 (contaminated gone)
+    assert(funnel.contains("\"extracted\":7"))
+    assert(funnel.contains("\"after_exact_dedup\":6"))
+    assert(funnel.contains("\"after_near_dedup\":5"))
+    assert(funnel.contains("\"after_quality\":4"))
+    assert(funnel.contains("\"after_decontam\":3"))
+    assert(funnel.contains("\"curated\":3"))
+    // deterministic: re-running into a fresh dir selects the same rows
+    val funnel2 = CurateJob.run(spark, s"$tmp/pages", s"$tmp/out2",
+      partitions = 4,
+      th = CurateJob.Thresholds(minQuality = 0.2, quotaPerLang = 10),
+      evalPath = Some(s"$tmp/eval"))
+    assert(funnel2 == funnel)
+    val urls2 = spark.read.parquet(s"$tmp/out2/curated")
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(urls2 == urls)
+    // the curated schema carries the training-set columns
+    assert(curated.columns.toSet ==
+      Set("url", "warc_ts", "lang", "quality", "sample_rank",
+        "bpe_tokens", "text"))
+  }
+
+  test("quota caps per language; without an eval table decontamination " +
+    "is skipped") {
+    val tmp = java.nio.file.Files.createTempDirectory("curateq").toString
+    import spark.implicits._
+    val pages = (0 until 8).map(i => page(s"test://doc/$i", prose(i), i.toLong))
+    PageTableIO.write(spark.createDataset(pages).toDF(), s"$tmp/pages",
+      numBuckets = 2)
+    val funnel = CurateJob.run(spark, s"$tmp/pages", s"$tmp/out",
+      partitions = 4,
+      th = CurateJob.Thresholds(minQuality = 0.2, quotaPerLang = 4))
+    val curated = spark.read.parquet(s"$tmp/out/curated")
+    assert(curated.count() == 4) // quota bound, one language (en)
+    assert(curated.select(max(col("sample_rank"))).head.getInt(0) == 4)
+    assert(funnel.contains("\"curated\":4"))
+  }
+}
