@@ -86,6 +86,56 @@ object ExtractStream {
       .start()
   }
 
+  /**
+   * Continuous corpus profiling: the --profile-sketches leg lifted to
+   * streaming. Each micro-batch contributes only its TOUCHED DAYS (a
+   * distinct over the micro-batch — tiny); the sketches for those days
+   * are recomputed from the day's FULL slice of the extracted table and
+   * group-UPSERTED (Sketch.upsertHll/upsertHist) — NOT built from the
+   * batch alone, because a crawl day arrives across many micro-batches
+   * and a batch-local group replace would drop the earlier batches'
+   * contribution. Same discipline as the batch job, so restarts and
+   * replays are idempotent. Chain off extractQuery's output directory
+   * (as dedupIngestQuery).
+   */
+  def profileSketchQuery(spark: SparkSession, extractedDir: String,
+                         sketchPath: String, checkpointDir: String,
+                         trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val extractedSchema =
+      org.apache.spark.sql.Encoders.product[graft.extract.Extracted].schema
+    spark.readStream
+      .schema(extractedSchema)
+      .option("maxFilesPerTrigger", 64)
+      .parquet(extractedDir)
+      .where(col("status") === "ok")
+      .select(to_date(col("warc_ts")).cast("string").as("warc_day"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.pipeline.{Dedup, Sketch}
+        val days = batch.distinct().collect().map(_.getString(0)).filter(_ != null)
+        if (days.nonEmpty) {
+          val rows = spark.read.schema(extractedSchema).parquet(extractedDir)
+            .where(col("status") === "ok" &&
+              to_date(col("warc_ts")).cast("string").isin(days.toSeq: _*))
+            .select(to_date(col("warc_ts")).cast("string").as("warc_day"),
+              col("extracted_text"))
+            .localCheckpoint(true)
+          val toks = rows.select(col("warc_day"),
+            explode(Dedup.tokens(col("extracted_text"))).as("tok"))
+          Sketch.upsertHll(spark, Seq("warc_day"),
+            Sketch.hllRegisters(toks, Seq("warc_day"), col("tok")),
+            p = 9, s"$sketchPath/hll_tokens")
+          Sketch.upsertHist(spark, Seq("warc_day"),
+            Sketch.histBuild(rows, Seq("warc_day"),
+              length(col("extracted_text"))),
+            s"$sketchPath/len_hist")
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
   /** Watermarked tumbling-window extraction metrics (1h windows, 2h
     * allowed lateness). */
   def metricsQuery(spark: SparkSession, pagesDir: String, outDir: String,

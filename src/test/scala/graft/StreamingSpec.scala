@@ -131,6 +131,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$idx/meta").head.getAs[Int]("ingests") == metaAfter)
   }
 
+  test("streaming profile sketches: a day arriving across micro-batches " +
+    "ends with the FULL-day sketch; restart over new files upserts only " +
+    "touched days") {
+    import spark.implicits._
+    import graft.extract.Page
+    import graft.pipeline.{Dedup, Sketch}
+    import org.apache.spark.sql.functions.{col, explode, length, to_date}
+    val base = java.nio.file.Files.createTempDirectory("streamsketch").toString
+    val pagesDir = s"$base/pages"
+    val outDir = s"$base/extracted"
+    val sk = s"$base/sk"
+
+    def page(i: Long): Page =
+      Page(s"sk://doc/$i", new java.sql.Timestamp(1767225600000L + i * 3600L * 1000),
+        s"""<html><head><title>D$i</title></head><body><div class="article"><p>doc $i words w${i % 5} w${i % 7} tail</p></div></body></html>"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8), "", "")
+
+    def runBoth(): Unit = {
+      ExtractStream.extractQuery(spark, pagesDir, outDir, s"$base/ckptE")
+        .awaitTermination(120000)
+      ExtractStream.profileSketchQuery(spark, outDir, sk, s"$base/ckptS")
+        .awaitTermination(120000)
+    }
+
+    // drop 1: half of day 1 (hours 0-11)
+    spark.createDataset((0L until 12L).map(page)).toDF().write.parquet(pagesDir)
+    runBoth()
+    // drop 2: rest of day 1 + start of day 2
+    spark.createDataset((12L until 30L).map(page)).toDF()
+      .write.mode("append").parquet(pagesDir)
+    runBoth()
+
+    // the persisted registers equal a direct build over the FULL
+    // extracted table — day 1's second half was folded in by recompute,
+    // not lost to a batch-local replace
+    val all = spark.read.parquet(outDir).where(col("status") === "ok")
+      .select(to_date(col("warc_ts")).cast("string").as("warc_day"),
+        col("extracted_text"))
+    val wantHll = Sketch.hllRegisters(
+      all.select(col("warc_day"),
+        explode(Dedup.tokens(col("extracted_text"))).as("tok")),
+      Seq("warc_day"), col("tok")).collect().map(_.toSeq).toSet
+    val (gotHll, p) = Sketch.loadHll(spark, Seq("warc_day"), s"$sk/hll_tokens")
+    assert(p == 9)
+    assert(gotHll.collect().map(_.toSeq).toSet == wantHll)
+    val wantHist = Sketch.histBuild(all, Seq("warc_day"),
+      length(col("extracted_text"))).collect().map(_.toSeq).toSet
+    assert(Sketch.loadHist(spark, Seq("warc_day"), s"$sk/len_hist")
+      .collect().map(_.toSeq).toSet == wantHist)
+  }
+
   test("streaming exact dedup keeps one row per content fingerprint " +
     "(watermark-bounded state)") {
     import spark.implicits._
