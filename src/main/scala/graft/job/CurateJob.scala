@@ -44,14 +44,25 @@ object CurateJob {
 
   def main(args: Array[String]): Unit = {
     val valueFlags = Set("--quota", "--min-quality", "--partitions", "--eval")
-    valueFlags.foreach { f =>
-      val i = args.indexOf(f)
-      require(i < 0 || (i + 1 < args.length && !args(i + 1).startsWith("--")),
-        s"$f requires a value")
+    // index-walking parse: a value-flag consumes exactly its next token,
+    // so a flag VALUE that string-equals a positional can never swallow
+    // the positional (indexOf-based filtering did)
+    val pos = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < args.length) {
+      if (valueFlags.contains(args(i))) {
+        require(i + 1 < args.length && !args(i + 1).startsWith("--"),
+          s"${args(i)} requires a value")
+        i += 2
+      } else {
+        if (!args(i).startsWith("--")) pos += args(i)
+        i += 1
+      }
     }
-    val pos = args.filterNot(_.startsWith("--")).filterNot(a =>
-      args.indexOf(a) > 0 && valueFlags.contains(args(args.indexOf(a) - 1)))
-    val Array(pagesDir, outDir) = pos.take(2)
+    require(pos.length >= 2,
+      "usage: CurateJob <pagesDir> <outDir> [--eval <parquet>] [--quota N] " +
+        "[--min-quality Q] [--partitions N] [--warc]")
+    val (pagesDir, outDir) = (pos(0), pos(1))
     def opt(flag: String): Option[String] =
       args.sliding(2).collectFirst { case Array(`flag`, v) => v }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -69,7 +80,8 @@ object CurateJob {
     val th = Thresholds(
       minQuality = opt("--min-quality").map(_.toDouble).getOrElse(0.3),
       quotaPerLang = opt("--quota").map(_.toInt).getOrElse(1000))
-    val funnel = run(spark, pagesDir, outDir, cpus.toInt * 2, th,
+    val partitions = opt("--partitions").map(_.toInt).getOrElse(cpus.toInt * 2)
+    val funnel = run(spark, pagesDir, outDir, partitions, th,
       evalPath = opt("--eval"),
       warcInput = args.contains("--warc"))
     println(funnel)
@@ -92,13 +104,17 @@ object CurateJob {
       .localCheckpoint(true) // every later stage re-reads this frame
     val nExtracted = extracted.count()
 
-    // 2. exact dedup: fingerprint keep-first (min url per fingerprint)
+    // 2. exact dedup: fingerprint keep-first (min url per fingerprint);
+    // checkpointed — the count, the LSH shingling and the keep anti-join
+    // all consume it (without it the full-corpus window shuffle re-runs
+    // three times)
     val exactKeep = extracted
       .withColumn("fp", TextOps.fingerprint(col("text")))
       .withColumn("__r", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("fp")).orderBy(col("url"))))
       .where(col("__r") === 1).drop("__r", "fp")
+      .localCheckpoint(true)
     val nExact = exactKeep.count()
 
     // 3. near dedup: LSH pairs → clusters → keep each cluster's min url
@@ -126,16 +142,28 @@ object CurateJob {
       .localCheckpoint(true)
     val nQuality = qualityKeep.count()
 
-    // 5. decontamination vs a held-out eval set (span containment)
+    // 5. decontamination vs a held-out eval set. The fraction is
+    // normalized by the BENCHMARK doc's span count — "does this training
+    // candidate contain ≥ X of some eval doc" — NOT by the candidate's
+    // own length: a 10,000-span page that verbatim embeds a 500-span
+    // benchmark must be dropped even though the overlap is only 5% of
+    // the page (the candidate-normalized fraction would wave it through).
     val decontamKeep = evalPath match {
       case None => qualityKeep
       case Some(p) =>
         val eval = spark.read.parquet(p).select(col("url"), col("text"))
-        val contam = Dedup.spanContamination(
-          train = eval, eval = qualityKeep, idCol = "url", textCol = "text")
-          .where(col("contamination") > th.maxContamination)
-          .select(col("id").as("url"))
-        qualityKeep.join(contam, Seq("url"), "left_anti").localCheckpoint(true)
+        val benchSpanCounts = eval.select(col("url").as("bench_id"),
+          size(Dedup.shingleHashes(col("text"), n = 8)).as("bench_spans"))
+        // pairs: (eval_id = benchmark id, train_id = candidate id, shared)
+        val shared = Dedup.spanContaminationPairs(
+          train = qualityKeep, eval = eval, idCol = "url", textCol = "text")
+        val contaminated = shared
+          .join(benchSpanCounts, shared("eval_id") === benchSpanCounts("bench_id"))
+          .where(col("shared_spans").cast("double") / col("bench_spans")
+            > th.maxContamination)
+          .select(col("train_id").as("url")).distinct()
+        qualityKeep.join(contaminated, Seq("url"), "left_anti")
+          .localCheckpoint(true)
     }
     val nDecontam = decontamKeep.count()
 
@@ -147,9 +175,10 @@ object CurateJob {
       .withColumn("bpe_tokens", TextOps.bpeTokenCount(col("text")))
       .select(col("url"), col("warc_ts"), col("lang"), col("quality"),
         col("sample_rank"), col("bpe_tokens"), col("text"))
+      .localCheckpoint(true) // count + write from the materialized frame
+    val nFinal = curated.count() // a 0-row partitioned dir can't be re-read
     curated.write.mode(SaveMode.Overwrite).partitionBy("lang")
       .parquet(s"$outDir/curated")
-    val nFinal = spark.read.parquet(s"$outDir/curated").count()
 
     val funnel =
       s"""{"extracted":$nExtracted,"after_exact_dedup":$nExact,""" +

@@ -46,14 +46,25 @@ object ExtractJob {
 
   def main(args: Array[String]): Unit = {
     val valueFlags = Set("--partitions", "--dedup-index", "--profile-sketches")
-    valueFlags.foreach { f => // a trailing valueless flag is a typo, not a no-op
-      val i = args.indexOf(f)
-      require(i < 0 || (i + 1 < args.length && !args(i + 1).startsWith("--")),
-        s"$f requires a value")
+    // index-walking parse: each value flag consumes exactly its next
+    // token (indexOf-based filtering dropped a genuine positional when a
+    // flag VALUE string-equalled it), and a trailing valueless flag is a
+    // loud error, not a no-op
+    val pos = scala.collection.mutable.ArrayBuffer[String]()
+    var argI = 0
+    while (argI < args.length) {
+      if (valueFlags.contains(args(argI))) {
+        require(argI + 1 < args.length && !args(argI + 1).startsWith("--"),
+          s"${args(argI)} requires a value")
+        argI += 2
+      } else {
+        if (!args(argI).startsWith("--")) pos += args(argI)
+        argI += 1
+      }
     }
-    val pos = args.filterNot(_.startsWith("--")).filterNot(a =>
-      args.indexOf(a) > 0 && valueFlags.contains(args(args.indexOf(a) - 1)))
-    val Array(pagesDir, outDir) = pos.take(2)
+    require(pos.length >= 2,
+      "usage: ExtractJob <pagesDir|warcGlob> <outDir> [flags]")
+    val (pagesDir, outDir) = (pos(0), pos(1))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val partitions = args.sliding(2).collectFirst {
       case Array("--partitions", v) => v.toInt

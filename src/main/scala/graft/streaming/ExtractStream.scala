@@ -114,10 +114,14 @@ object ExtractStream {
         import graft.pipeline.{Dedup, Sketch}
         val days = batch.distinct().collect().map(_.getString(0)).filter(_ != null)
         if (days.nonEmpty) {
-          val rows = spark.read.schema(extractedSchema).parquet(extractedDir)
+          // batch (non-stream) re-read WITHOUT the user schema so the
+          // warc_day PARTITION column is discovered and the day filter
+          // partition-prunes — filtering on to_date(warc_ts) would full-
+          // scan the entire extracted history every micro-batch
+          val rows = spark.read.parquet(extractedDir)
             .where(col("status") === "ok" &&
-              to_date(col("warc_ts")).cast("string").isin(days.toSeq: _*))
-            .select(to_date(col("warc_ts")).cast("string").as("warc_day"),
+              col("warc_day").cast("string").isin(days.toSeq: _*))
+            .select(col("warc_day").cast("string").as("warc_day"),
               col("extracted_text"))
             .localCheckpoint(true)
           val toks = rows.select(col("warc_day"),

@@ -48,7 +48,11 @@ class CurateJobSpec extends AnyFunSuite {
       // degenerate repetition: fails the repetition gate
       page("test://rep/1", Seq.fill(60)("loop").mkString(" "), 5),
       // contaminated: verbatim copy of the eval doc's text
-      page("test://contam/1", prose(9), 6))
+      page("test://contam/1", prose(9), 6),
+      // contaminated the SNEAKY way: a LONG page embedding the entire
+      // eval doc — only ~1/3 of ITS OWN spans overlap, but 100% of the
+      // BENCHMARK's do; the benchmark-normalized gate must drop it
+      page("test://embed/1", prose(4) + " " + prose(9) + " " + prose(5), 7))
     PageTableIO.write(spark.createDataset(pages).toDF(), s"$tmp/pages",
       numBuckets = 2)
     // held-out eval set containing prose(9)
@@ -64,12 +68,13 @@ class CurateJobSpec extends AnyFunSuite {
     val urls = curated.select("url").collect().map(_.getString(0)).toSet
     assert(urls == Set("test://keep/1", "test://keep/2", "test://keep/3"),
       s"funnel=$funnel urls=$urls")
-    // funnel accounts for each stage: 7 extracted → 6 (exact dup gone) →
-    // 5 (near dup gone) → ≤4 (repetition gone) → 3 (contaminated gone)
-    assert(funnel.contains("\"extracted\":7"))
-    assert(funnel.contains("\"after_exact_dedup\":6"))
-    assert(funnel.contains("\"after_near_dedup\":5"))
-    assert(funnel.contains("\"after_quality\":4"))
+    // funnel accounts for each stage: 8 extracted → 7 (exact dup gone) →
+    // 6 (near dup gone) → 5 (repetition gone) → 3 (both the verbatim
+    // copy AND the embedding page dropped by decontamination)
+    assert(funnel.contains("\"extracted\":8"))
+    assert(funnel.contains("\"after_exact_dedup\":7"))
+    assert(funnel.contains("\"after_near_dedup\":6"))
+    assert(funnel.contains("\"after_quality\":5"))
     assert(funnel.contains("\"after_decontam\":3"))
     assert(funnel.contains("\"curated\":3"))
     // deterministic: re-running into a fresh dir selects the same rows
