@@ -21,6 +21,20 @@ import graft.extract.{Extractor, Page}
  *    its `queries` value is the NEGATED worst elapsed — never confusable
  *    with a successful timing — and is excluded from total_sec.
  *
+ * Self-calibration (VERDICT r5 #1): the wall_vs_cpu ratio alone cannot
+ * flag a host whose memory-bandwidth contention inflates CPU time itself
+ * (stalled cycles are on-CPU — BENCH_r05 recorded 33.7 cpu-sec/kdoc at a
+ * healthy-looking 1.15 ratio while a same-day bare-JVM run measured
+ * 7.15). The artifact therefore stamps the COMMITTED single-config CPU
+ * floor (`cpu_sec_per_kdoc_reference`, from BENCH.md §2's cross-round
+ * history at local[32]) and a derived `host_inflation` =
+ * measured / reference — any squeezed window is machine-readable from
+ * the artifact alone, whether the squeeze lands in wall or in CPU.
+ * Attempts are also WALL-CAPPED at max(30 s, 10× the floor-predicted
+ * wall): a cancelled attempt is marked `timed_out` (excluded from
+ * best-of), bounding a loaded host's artifact at ~2 min of extraction
+ * measurement instead of the ~9 min BENCH_r05 spent.
+ *
  * Env knobs:
  *   SPARK_GRAFT_SF_DIR      testdata dir (default /root/testdata/sf0.1)
  *   SPARK_GRAFT_CPUS        local[N] parallelism (default 32)
@@ -28,6 +42,15 @@ import graft.extract.{Extractor, Page}
  *   SPARK_GRAFT_ARTICLES    dir with fixture articles (default repo path)
  */
 object Bench {
+
+  /** Committed CPU floor for the extraction headline at local[32],
+    * cpu-sec per 1000 docs over the fixture corpus. Source: BENCH.md §2's
+    * cross-round history (judge-controlled bare-JVM runs measured
+    * 6.0–7.2 across rounds 3–5; driver-style healthy windows 6.4–7.8).
+    * This is an engine property of the committed code, not a host
+    * property — re-commit it when an extraction change moves the floor
+    * (ScalingBench's interleaved protocol is the measurement to trust). */
+  val ReferenceCpuSecPerKdoc: Double = 7.0
 
   /** One timed attempt per query, best-of over `attempts` SUCCESSFUL runs.
     * Attempts run ROUND-ROBIN (all queries' attempt 1, then all attempt 2,
@@ -92,12 +115,20 @@ object Bench {
     var docsPerSec = 0.0
     var mbPerSec = 0.0
     var extractSec = 0.0
-    // (wall, executorCpu) per attempt. Executor CPU time per doc is the
-    // noise-immune signal the wall clock lacks: a noisy-neighbor host
-    // inflates wall while cpu_sec/doc stays flat (rounds 2–4 all saw the
-    // driver's wall-clock headline misread a ~3,500 docs/sec engine as
-    // ~100; flat CPU with inflated wall is machine-checkable evidence).
-    var extractAttempts = List.empty[(Double, Double)]
+    // (wall, executorCpu, timedOut) per attempt. Executor CPU time per
+    // doc is the noise-immune signal the wall clock lacks: a
+    // noisy-neighbor host inflates wall while cpu_sec/doc stays flat
+    // (rounds 2–4 all saw the driver's wall-clock headline misread a
+    // ~3,500 docs/sec engine as ~100; flat CPU with inflated wall is
+    // machine-checkable evidence). timedOut marks an attempt cancelled at
+    // the wall cap — it never enters the best-of pool.
+    var extractAttempts = List.empty[(Double, Double, Boolean)]
+    // wall cap per attempt: 10× the floor-predicted wall, never under 30 s
+    // (the floor prediction assumes perfect 32-way scaling the host can't
+    // deliver — BENCH.md §2's DRAM ceiling — so the healthy band is ~2–6×
+    // the prediction; 10× only triggers on genuinely squeezed windows)
+    val attemptCapSec = math.max(30.0,
+      10.0 * (benchDocs / 1000.0) * ReferenceCpuSecPerKdoc / cpus.toDouble)
     val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
     val cpuListener = new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
@@ -113,17 +144,37 @@ object Bench {
         System.err.println(s"bench: listener bus drain timed out ($e) — " +
           "cpu attribution may smear across attempts")
       }
-    def extractAttempt(corpus: => org.apache.spark.sql.Dataset[Page]): ((Double, Double), Long) = {
+    def extractAttempt(corpus: => org.apache.spark.sql.Dataset[Page]): ((Double, Double, Boolean), Long) = {
       // listener events are posted asynchronously: drain the bus so the
       // cpu snapshot brackets exactly this attempt's tasks
       drainBus()
       val cpu0 = cpuNs.get
       val t0 = System.nanoTime()
-      val n = corpus.map(Extractor.extract)
-        .select("status").where($"status" === "ok").count()
-      val wall = (System.nanoTime() - t0) / 1e9
+      val group = s"graft-extract-attempt-$t0"
+      @volatile var timedOut = false
+      val watchdog = new java.util.Timer("bench-attempt-watchdog", true)
+      spark.sparkContext.setJobGroup(group, "bench extraction attempt",
+        interruptOnCancel = true)
+      val n = try {
+        watchdog.schedule(new java.util.TimerTask {
+          override def run(): Unit = {
+            timedOut = true
+            System.err.println(f"bench: extraction attempt exceeded the " +
+              f"$attemptCapSec%.0f s wall cap — cancelling (timed_out)")
+            spark.sparkContext.cancelJobGroup(group)
+          }
+        }, (attemptCapSec * 1000).toLong)
+        corpus.map(Extractor.extract)
+          .select("status").where($"status" === "ok").count()
+      } catch {
+        case _: Throwable if timedOut => -1L // cancelled at the cap
+      } finally {
+        watchdog.cancel()
+        spark.sparkContext.clearJobGroup()
+      }
+      val wall = if (timedOut) attemptCapSec else (System.nanoTime() - t0) / 1e9
       drainBus()
-      ((wall, (cpuNs.get - cpu0) / 1e9), n)
+      ((wall, (cpuNs.get - cpu0) / 1e9, timedOut), n)
     }
 
     val corpusOpt: Option[() => org.apache.spark.sql.Dataset[Page]] =
@@ -146,29 +197,40 @@ object Bench {
     corpusOpt.foreach { corpus =>
       corpus().limit(600).map(Extractor.extract).count()
       val (wc, n) = extractAttempt(corpus())
-      extractAttempts ::= wc; okDocs = n
+      extractAttempts ::= wc; if (n >= 0) okDocs = n
     }
 
     // ---- per-query timings (best-of-2, failures marked) -----------------
     val (results, failedQs) = benchQueries(spark, sfDir, SparkEntry.queries)
 
     // extraction attempt 2 — AFTER the query loop (separate time window);
-    // adaptive: >3× disagreement means a noisy window, take up to 2 more
+    // adaptive: >3× disagreement (or fewer than two uncapped attempts)
+    // means a noisy window, take up to 2 more
     var cpuSecPerKdoc = 0.0
     var wallVsCpuRatio = 0.0
+    var extractTimedOut = false
     corpusOpt.foreach { corpus =>
-      extractAttempts ::= extractAttempt(corpus())._1
+      val (wc2, n2) = extractAttempt(corpus())
+      extractAttempts ::= wc2; if (n2 >= 0) okDocs = n2
       var extra = 0
-      def walls = extractAttempts.map(_._1)
-      while (extra < 2 && walls.max / walls.min > 3.0) {
-        System.err.println(f"bench: extraction attempts disagree >3x " +
-          f"(${walls.min}%.2f..${walls.max}%.2f s) — retrying")
-        extractAttempts ::= extractAttempt(corpus())._1
+      def valid = extractAttempts.filterNot(_._3)
+      def suspect: Boolean =
+        if (valid.size < 2) true
+        else { val ws = valid.map(_._1); ws.max / ws.min > 3.0 }
+      while (extra < 2 && suspect) {
+        val ws = extractAttempts.map(_._1)
+        System.err.println(f"bench: extraction window suspect " +
+          f"(${ws.min}%.2f..${ws.max}%.2f s, ${valid.size} uncapped) — retrying")
+        val (wcE, nE) = extractAttempt(corpus())
+        extractAttempts ::= wcE; if (nE >= 0) okDocs = nE
         extra += 1
       }
-      val best = extractAttempts.minBy(_._1)
+      // best over uncapped attempts; if EVERY attempt hit the cap the
+      // headline is a ≤-bound at the cap wall and the artifact says so
+      extractTimedOut = valid.isEmpty
+      val best = (if (valid.nonEmpty) valid else extractAttempts).minBy(_._1)
       extractSec = best._1
-      docsPerSec = okDocs / extractSec
+      docsPerSec = (if (okDocs > 0) okDocs else benchDocs.toLong) / extractSec
       mbPerSec = totalBytes / 1e6 / extractSec
       // CPU evidence from the best attempt: flat cpu_sec/kdoc across
       // rounds + wall ≫ cpu/cores = loaded host, not a slow engine
@@ -181,12 +243,19 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failedQs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val attemptsJson = extractAttempts.reverse
-      .map { case (w, c) => f"""{"wall_sec":$w%.2f,"cpu_sec":$c%.2f}""" }
+      .map { case (w, c, t) =>
+        f"""{"wall_sec":$w%.2f,"cpu_sec":$c%.2f,"timed_out":$t}""" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ > 0).sum + extractSec
+    // host_inflation: measured cpu-sec/kdoc over the committed floor.
+    // ~1.0 = trustworthy window; ≫1 = the host inflated cycle cost
+    // (memory-bandwidth stalls are on-CPU) and the wall headline
+    // under-reads the engine by roughly the same factor.
+    val hostInflation =
+      if (cpuSecPerKdoc > 0) cpuSecPerKdoc / ReferenceCpuSecPerKdoc else 0.0
 
     val json =
-      f"""{"metric":"extract_docs_per_sec","value":$docsPerSec%.1f,"unit":"docs/sec","total_sec":$total%.2f,"extract_sec":$extractSec%.2f,"extract_attempts":${extractAttempts.size},"extract_attempt_detail":$attemptsJson,"cpu_sec_per_kdoc":$cpuSecPerKdoc%.2f,"wall_vs_cpu_ratio":$wallVsCpuRatio%.2f,"extract_mb_per_sec":$mbPerSec%.1f,"bench_docs":$benchDocs,"cpus":$cpus,"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"extract_docs_per_sec","value":$docsPerSec%.1f,"unit":"docs/sec","total_sec":$total%.2f,"extract_sec":$extractSec%.2f,"extract_attempts":${extractAttempts.size},"extract_attempt_detail":$attemptsJson,"extract_attempt_cap_sec":$attemptCapSec%.1f,"extract_timed_out":$extractTimedOut,"cpu_sec_per_kdoc":$cpuSecPerKdoc%.2f,"cpu_sec_per_kdoc_reference":$ReferenceCpuSecPerKdoc%.2f,"host_inflation":$hostInflation%.2f,"wall_vs_cpu_ratio":$wallVsCpuRatio%.2f,"extract_mb_per_sec":$mbPerSec%.1f,"bench_docs":$benchDocs,"cpus":$cpus,"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // bare-file copy so harnesses don't have to scrape the JSON line out of
     // sbt's [info]-prefixed stdout (env-overridable path)

@@ -1,6 +1,6 @@
 package graft.job
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.pipeline.{Dedup, Sampling, TextOps}
 
@@ -21,18 +21,27 @@ import graft.pipeline.{Dedup, Sampling, TextOps}
  *                  the Gopher-style degenerate-text drop)
  *   5. decontam    drop docs whose 8-gram span containment against a
  *                  held-out eval set exceeds maxContamination (skipped
- *                  when no eval table is given)
+ *                  when no eval table is given); the dropped set's
+ *                  attribution lands in `<out>/_decontam_report`
  *   6. sample      deterministic per-language stratified quota
  *                  (WindowGroupLimit partial top-n)
  *   7. write       curated rows + a per-stage funnel report
  *                  (<out>/_funnel.json) so every drop is accounted for
  *
- * Every stage is a DataFrame transform over the previous stage's columns
- * — one linear plan per stage boundary, no driver-side row data, and the
- * same operators the oracled queries pin (q13/q15/q17/q26/q30/q50/q51).
+ * Staging discipline (VERDICT r5 #2): every stage boundary is a DURABLE
+ * parquet write under `<out>/stage_*` — the ExtractJob pattern — and the
+ * funnel counts ride `Dataset.observe` on that same write pass, so each
+ * stage is exactly ONE action, downstream stages read the durable output
+ * (no executor-resident corpus copies that a lost executor would
+ * invalidate — localCheckpoint is non-reliable at cluster scale), and
+ * `--resume` restarts MID-FUNNEL: a stage whose `_SUCCESS` marker exists
+ * is read back, not recomputed (its funnel count then comes from a
+ * column-less count of the committed files — the only count-only job,
+ * and only on the resume path).
  *
  * Usage: CurateJob <pagesDir> <outDir> [--eval <parquet with url,text>]
  *          [--quota N] [--min-quality Q] [--partitions N] [--warc]
+ *          [--resume]
  */
 object CurateJob {
 
@@ -61,7 +70,7 @@ object CurateJob {
     }
     require(pos.length >= 2,
       "usage: CurateJob <pagesDir> <outDir> [--eval <parquet>] [--quota N] " +
-        "[--min-quality Q] [--partitions N] [--warc]")
+        "[--min-quality Q] [--partitions N] [--warc] [--resume]")
     val (pagesDir, outDir) = (pos(0), pos(1))
     def opt(flag: String): Option[String] =
       args.sliding(2).collectFirst { case Array(`flag`, v) => v }
@@ -83,9 +92,43 @@ object CurateJob {
     val partitions = opt("--partitions").map(_.toInt).getOrElse(cpus.toInt * 2)
     val funnel = run(spark, pagesDir, outDir, partitions, th,
       evalPath = opt("--eval"),
-      warcInput = args.contains("--warc"))
+      warcInput = args.contains("--warc"),
+      resume = args.contains("--resume"))
     println(funnel)
     spark.stop()
+  }
+
+  private def stageDone(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def observedRows(obs: Observation): Long = {
+    import scala.jdk.CollectionConverters._
+    obs.getAsJava.asScala("rows") match {
+      case n: java.lang.Number => n.longValue()
+      case other => throw new IllegalStateException(s"observed rows: $other")
+    }
+  }
+
+  /** Write `build` to `dir` with its row count observed on the SAME write
+    * action; on resume (committed `_SUCCESS` present) skip the recompute
+    * and count the committed files instead. Returns (read-back frame,
+    * rows) — downstream stages consume the durable read-back, never the
+    * upstream plan. */
+  private def stage(spark: SparkSession, dir: String, resume: Boolean,
+                    partitionCols: Seq[String] = Nil)
+                   (build: => DataFrame): (DataFrame, Long) = {
+    if (resume && stageDone(spark, dir))
+      (spark.read.parquet(dir), spark.read.parquet(dir).count())
+    else {
+      val obs = new Observation()
+      val w = build.observe(obs, count(lit(1)).as("rows"))
+        .write.mode(SaveMode.Overwrite)
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(dir)
+      (spark.read.parquet(dir), observedRows(obs))
+    }
   }
 
   /** Runs the full pipeline; returns the funnel JSON (also written to
@@ -93,54 +136,62 @@ object CurateJob {
   def run(spark: SparkSession, pagesDir: String, outDir: String,
           partitions: Int, th: Thresholds = Thresholds(),
           evalPath: Option[String] = None,
-          warcInput: Boolean = false): String = {
+          warcInput: Boolean = false,
+          resume: Boolean = false): String = {
 
-    // 1. extraction (the engine itself; resumable, observed metrics)
-    ExtractJob.run(spark, pagesDir, outDir, partitions, resume = false,
-      warcInput = warcInput)
+    // 1. extraction (the engine itself; durable, resumable, observed
+    // metrics). On --resume a committed extraction stage is left
+    // untouched — the raw input need not even exist anymore.
+    if (!(resume && stageDone(spark, s"$outDir/extracted")))
+      ExtractJob.run(spark, pagesDir, outDir, partitions, resume = false,
+        warcInput = warcInput)
     val extracted = spark.read.parquet(s"$outDir/extracted")
       .where(col("status") === "ok")
       .select(col("url"), col("warc_ts"), col("extracted_text").as("text"))
-      .localCheckpoint(true) // every later stage re-reads this frame
-    val nExtracted = extracted.count()
 
-    // 2. exact dedup: fingerprint keep-first (min url per fingerprint);
-    // checkpointed — the count, the LSH shingling and the keep anti-join
-    // all consume it (without it the full-corpus window shuffle re-runs
-    // three times)
-    val exactKeep = extracted
-      .withColumn("fp", TextOps.fingerprint(col("text")))
-      .withColumn("__r", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("fp")).orderBy(col("url"))))
-      .where(col("__r") === 1).drop("__r", "fp")
-      .localCheckpoint(true)
-    val nExact = exactKeep.count()
+    // 2. exact dedup: fingerprint keep-first (min url per fingerprint).
+    // The ok-row input count rides the SAME write action as the stage's
+    // output count (a second CollectMetrics node in the plan) — the
+    // "extracted" funnel line never needs its own job.
+    val exactResumed = resume && stageDone(spark, s"$outDir/stage_exact")
+    val obsIn = new Observation()
+    val (exactKeep, nExact) = stage(spark, s"$outDir/stage_exact", resume) {
+      extracted.observe(obsIn, count(lit(1)).as("rows"))
+        .withColumn("fp", TextOps.fingerprint(col("text")))
+        .withColumn("__r", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("fp")).orderBy(col("url"))))
+        .where(col("__r") === 1).drop("__r", "fp")
+    }
+    val nExtracted =
+      if (exactResumed) extracted.count() else observedRows(obsIn)
 
-    // 3. near dedup: LSH pairs → clusters → keep each cluster's min url
-    val pairs = Dedup.minhashLsh(exactKeep, "url", "text")
-    val clusters = Dedup.duplicateClusters(pairs.select("id_a", "id_b"))
-    val nearKeep = exactKeep.join(
-      clusters.where(col("id") =!= col("component"))
-        .select(col("id").as("url")),
-      Seq("url"), "left_anti")
-      .localCheckpoint(true)
-    val nNear = nearKeep.count()
+    // 3. near dedup: LSH pairs → clusters → keep each cluster's min url.
+    // Both consumers of the exact-dedup output (shingling and the keep
+    // anti-join) read the durable stage_exact files.
+    val (nearKeep, nNear) = stage(spark, s"$outDir/stage_near", resume) {
+      val pairs = Dedup.minhashLsh(exactKeep, "url", "text")
+      val clusters = Dedup.duplicateClusters(pairs.select("id_a", "id_b"))
+      exactKeep.join(
+        clusters.where(col("id") =!= col("component"))
+          .select(col("id").as("url")),
+        Seq("url"), "left_anti")
+    }
 
     // 4. quality + repetition gates
-    val rep = TextOps.repetitionStats(nearKeep, "url", "text")
-      .select(col("id").as("url"), col("dup_3gram_frac"), col("top_2gram_frac"))
-    val scored = nearKeep
-      .withColumn("quality", TextOps.qualityScore(col("text")))
-      .withColumn("lang", TextOps.langId(col("text")))
-      .join(rep, Seq("url"), "left") // single-token docs carry no stats
-    val qualityKeep = scored.where(
-      col("quality") >= th.minQuality &&
-        coalesce(col("dup_3gram_frac") <= th.maxDup3Gram, lit(true)) &&
-        coalesce(col("top_2gram_frac") <= th.maxTop2Gram, lit(true)))
-      .drop("dup_3gram_frac", "top_2gram_frac")
-      .localCheckpoint(true)
-    val nQuality = qualityKeep.count()
+    val (qualityKeep, nQuality) = stage(spark, s"$outDir/stage_quality", resume) {
+      val rep = TextOps.repetitionStats(nearKeep, "url", "text")
+        .select(col("id").as("url"), col("dup_3gram_frac"), col("top_2gram_frac"))
+      nearKeep
+        .withColumn("quality", TextOps.qualityScore(col("text")))
+        .withColumn("lang", TextOps.langId(col("text")))
+        .join(rep, Seq("url"), "left") // single-token docs carry no stats
+        .where(
+          col("quality") >= th.minQuality &&
+            coalesce(col("dup_3gram_frac") <= th.maxDup3Gram, lit(true)) &&
+            coalesce(col("top_2gram_frac") <= th.maxTop2Gram, lit(true)))
+        .drop("dup_3gram_frac", "top_2gram_frac")
+    }
 
     // 5. decontamination vs a held-out eval set. The fraction is
     // normalized by the BENCHMARK doc's span count — "does this training
@@ -148,44 +199,53 @@ object CurateJob {
     // own length: a 10,000-span page that verbatim embeds a 500-span
     // benchmark must be dropped even though the overlap is only 5% of
     // the page (the candidate-normalized fraction would wave it through).
-    val decontamKeep = evalPath match {
-      case None => qualityKeep
+    // The dropped set's attribution (which benchmark, how many spans) is
+    // itself an artifact: operators of a real pipeline audit WHY a doc
+    // was dropped, so the report is written first and the drop list is
+    // derived FROM it — one corpus-scale span join total.
+    val (decontamKeep, nDecontam) = evalPath match {
+      case None => (qualityKeep, nQuality)
       case Some(p) =>
-        val eval = spark.read.parquet(p).select(col("url"), col("text"))
-        val benchSpanCounts = eval.select(col("url").as("bench_id"),
-          size(Dedup.shingleHashes(col("text"), n = 8)).as("bench_spans"))
-        // pairs: (eval_id = benchmark id, train_id = candidate id, shared)
-        val shared = Dedup.spanContaminationPairs(
-          train = qualityKeep, eval = eval, idCol = "url", textCol = "text")
-        val contaminated = shared
-          .join(benchSpanCounts, shared("eval_id") === benchSpanCounts("bench_id"))
-          .where(col("shared_spans").cast("double") / col("bench_spans")
-            > th.maxContamination)
+        val reportDir = s"$outDir/_decontam_report"
+        if (!(resume && stageDone(spark, s"$outDir/stage_decontam"))) {
+          val eval = spark.read.parquet(p).select(col("url"), col("text"))
+          val benchSpanCounts = eval.select(col("url").as("bench_id"),
+            size(Dedup.shingleHashes(col("text"), n = 8)).as("bench_spans"))
+          // pairs: (eval_id = benchmark id, train_id = candidate id, shared)
+          val shared = Dedup.spanContaminationPairs(
+            train = qualityKeep, eval = eval, idCol = "url", textCol = "text")
+          shared
+            .join(benchSpanCounts, shared("eval_id") === benchSpanCounts("bench_id"))
+            .where(col("shared_spans").cast("double") / col("bench_spans")
+              > th.maxContamination)
+            .select(col("train_id"), col("eval_id"), col("shared_spans"),
+              col("bench_spans"))
+            .write.mode(SaveMode.Overwrite).parquet(reportDir)
+        }
+        val contaminated = spark.read.parquet(reportDir)
           .select(col("train_id").as("url")).distinct()
-        qualityKeep.join(contaminated, Seq("url"), "left_anti")
-          .localCheckpoint(true)
+        stage(spark, s"$outDir/stage_decontam", resume) {
+          qualityKeep.join(contaminated, Seq("url"), "left_anti")
+        }
     }
-    val nDecontam = decontamKeep.count()
 
-    // 6. deterministic per-language stratified quota
-    val sampled = Sampling.stratifiedQuota(decontamKeep,
-      strataCols = Seq("lang"), idCol = "url", n = th.quotaPerLang)
-    // 7. curated output + token budget
-    val curated = sampled
-      .withColumn("bpe_tokens", TextOps.bpeTokenCount(col("text")))
-      .select(col("url"), col("warc_ts"), col("lang"), col("quality"),
-        col("sample_rank"), col("bpe_tokens"), col("text"))
-      .localCheckpoint(true) // count + write from the materialized frame
-    val nFinal = curated.count() // a 0-row partitioned dir can't be re-read
-    curated.write.mode(SaveMode.Overwrite).partitionBy("lang")
-      .parquet(s"$outDir/curated")
+    // 6. deterministic per-language stratified quota + 7. curated output
+    val (_, nFinal) = stage(spark, s"$outDir/curated", resume,
+      partitionCols = Seq("lang")) {
+      Sampling.stratifiedQuota(decontamKeep,
+        strataCols = Seq("lang"), idCol = "url", n = th.quotaPerLang)
+        .withColumn("bpe_tokens", TextOps.bpeTokenCount(col("text")))
+        .select(col("url"), col("warc_ts"), col("lang"), col("quality"),
+          col("sample_rank"), col("bpe_tokens"), col("text"))
+    }
 
     val funnel =
       s"""{"extracted":$nExtracted,"after_exact_dedup":$nExact,""" +
         s""""after_near_dedup":$nNear,"after_quality":$nQuality,""" +
         s""""after_decontam":$nDecontam,"curated":$nFinal}"""
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$outDir/_funnel.json"), funnel)
+    // through the output's Hadoop FileSystem: a remote outDir (hdfs://,
+    // s3a://) must not fail the funnel report at the very last step
+    ExtractJob.writeTextFile(spark, s"$outDir/_funnel.json", funnel)
     funnel
   }
 }

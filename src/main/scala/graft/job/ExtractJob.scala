@@ -225,8 +225,7 @@ object ExtractJob {
           }
           s""""$k":$jv"""
         }.mkString("{", ",", "}")
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$outDir/_metrics.json").toAbsolutePath, json)
+      writeTextFile(spark, s"$outDir/_metrics.json", json)
     }
 
     // lineage: one tuple per task, collected driver-side — write after the action
@@ -269,12 +268,30 @@ object ExtractJob {
       // untouched day inside the span recomputes identical rows (group
       // replace is idempotent), so the contiguous range is safe; the
       // span is bounded by the ingest's crawl window.
-      val touchedDays = (observed.get("min_warc_day"), observed.get("max_warc_day")) match {
-        case (Some(lo: java.sql.Date), Some(hi: java.sql.Date)) =>
-          Iterator.iterate(lo.toLocalDate)(_.plusDays(1))
-            .takeWhile(!_.isAfter(hi.toLocalDate)).map(_.toString).toArray
+      // the observed min/max arrive as java.sql.Date by default but as
+      // java.time.LocalDate under spark.sql.datetime.java8API.enabled —
+      // matching only the former silently no-ops the requested profiling
+      // leg on a java8API session, so both encodings are accepted
+      def asLocalDate(v: Any): Option[java.time.LocalDate] = v match {
+        case d: java.sql.Date => Some(d.toLocalDate)
+        case d: java.time.LocalDate => Some(d)
+        case _ => None
+      }
+      val touchedDays = (observed.get("min_warc_day").flatMap(asLocalDate),
+        observed.get("max_warc_day").flatMap(asLocalDate)) match {
+        case (Some(lo), Some(hi)) =>
+          Iterator.iterate(lo)(_.plusDays(1))
+            .takeWhile(!_.isAfter(hi)).map(_.toString).toArray
         case _ => Array.empty[String]
       }
+      if (touchedDays.isEmpty)
+        // loud skip: rows were written (the leg was requested and there
+        // was a run) but the day span could not be derived — never a
+        // silent no-op of a requested feature
+        System.err.println(
+          "profile-sketches: no touched days derived from observed " +
+            s"metrics (min=${observed.get("min_warc_day")}, " +
+            s"max=${observed.get("max_warc_day")}) — sketch upserts skipped")
       if (touchedDays.nonEmpty) {
         val rows = spark.read.parquet(s"$outDir/extracted")
           .where(col("status") === "ok" &&
@@ -362,6 +379,20 @@ object ExtractJob {
         Dedup.appendShingledToMinHashIndex(spark, idxPath, shB)
       }
     }
+  }
+
+  /** Small-artifact text write through the OUTPUT's Hadoop FileSystem —
+    * the data writes already go through it, so a remote outDir
+    * (hdfs://, s3a://) must not make the job complete the expensive
+    * pipeline and then throw on a java.nio local-path write at the very
+    * last step (the report artifacts: _metrics.json, _funnel.json). */
+  private[job] def writeTextFile(spark: SparkSession, path: String,
+                                 content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Done-manifest: urls already extracted (null when no prior output). */

@@ -371,9 +371,17 @@ object Dedup {
                                    path: String, sh: DataFrame): Int = {
     import spark.implicits._
     val (k, bands, algo, metaIngests) = readIndexMeta(spark, path)
-    val shinglesDf = spark.read.parquet(s"$path/shingles")
+    // mergeSchema: an r4 (ingest-less) index that already received stamped
+    // appends holds MIXED file schemas — without it, which footer Spark
+    // samples decides whether the ingest column is visible, and sampling
+    // an old file after a crash that appended data but not the meta bump
+    // would re-issue an already-used ingest number to a different batch.
+    // Same hazard compactMinHashIndex guards; coalesce the old files'
+    // nulls to ingest 0 (the initial save's number) before taking max+1.
+    val shinglesDf = spark.read.option("mergeSchema", "true")
+      .parquet(s"$path/shingles")
     val next =
-      if (!shinglesDf.columns.contains("ingest")) metaIngests // r4 layout
+      if (!shinglesDf.columns.contains("ingest")) metaIngests // pure r4 layout
       else {
         val m = shinglesDf.agg(max(coalesce(col("ingest"), lit(0)))).head
         if (m.isNullAt(0)) metaIngests else m.getInt(0) + 1 // null: empty index

@@ -90,6 +90,59 @@ class CurateJobSpec extends AnyFunSuite {
     assert(curated.columns.toSet ==
       Set("url", "warc_ts", "lang", "quality", "sample_rank",
         "bpe_tokens", "text"))
+    // decontamination attribution: both planted contaminated docs appear
+    // in the audit report with the benchmark that caught them
+    val report = spark.read.parquet(s"$tmp/out/_decontam_report")
+    assert(report.columns.toSet ==
+      Set("train_id", "eval_id", "shared_spans", "bench_spans"))
+    val dropped = report.select("train_id", "eval_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(dropped == Set(
+      ("test://contam/1", "eval://doc/1"),
+      ("test://embed/1", "eval://doc/1")), s"report=$dropped")
+  }
+
+  test("--resume restarts mid-funnel from the durable stage outputs " +
+    "without recomputing committed stages") {
+    val tmp = java.nio.file.Files.createTempDirectory("curater").toString
+    import spark.implicits._
+    val pages = Seq(
+      page("test://keep/1", prose(1), 0),
+      page("test://keep/2", prose(2), 1),
+      page("test://xdup/1", prose(1), 2), // exact dup of keep/1
+      page("test://contam/1", prose(9), 3))
+    PageTableIO.write(spark.createDataset(pages).toDF(), s"$tmp/pages",
+      numBuckets = 2)
+    Seq(("eval://doc/1", prose(9))).toDF("url", "text")
+      .write.parquet(s"$tmp/eval")
+    val th = CurateJob.Thresholds(minQuality = 0.2, quotaPerLang = 10)
+
+    val funnel = CurateJob.run(spark, s"$tmp/pages", s"$tmp/out",
+      partitions = 4, th = th, evalPath = Some(s"$tmp/eval"))
+
+    // simulate a crash AFTER the quality stage committed: wipe the later
+    // stages AND the raw input — a resume that recomputed any committed
+    // stage (or re-extracted) would need the deleted pages dir and crash
+    def rmr(p: String): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(hp, true)
+    }
+    rmr(s"$tmp/out/stage_decontam")
+    rmr(s"$tmp/out/_decontam_report")
+    rmr(s"$tmp/out/curated")
+    rmr(s"$tmp/pages")
+
+    val funnel2 = CurateJob.run(spark, s"$tmp/pages", s"$tmp/out",
+      partitions = 4, th = th, evalPath = Some(s"$tmp/eval"), resume = true)
+    assert(funnel2 == funnel, s"resumed funnel must match: $funnel2 vs $funnel")
+    val urls = spark.read.parquet(s"$tmp/out/curated")
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(urls == Set("test://keep/1", "test://keep/2"))
+    // the rebuilt report still attributes the planted contaminated doc
+    val rep = spark.read.parquet(s"$tmp/out/_decontam_report")
+      .select("train_id").collect().map(_.getString(0)).toSet
+    assert(rep == Set("test://contam/1"))
   }
 
   test("quota caps per language; without an eval table decontamination " +
