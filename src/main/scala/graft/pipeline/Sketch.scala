@@ -242,6 +242,99 @@ object Sketch {
     saveHll(merged.localCheckpoint(true), groupCols, p, path)
   }
 
+  // ---- incremental folds (streaming) ------------------------------------
+  //
+  // The STREAMING counterpart of the upserts: a micro-batch folds its
+  // BATCH-LOCAL sketch into the persisted table via the associative merge
+  // (max for HLL registers, ADD for histogram counters) — O(batch), never
+  // a re-scan of the day's earlier files (the r5 recompute-the-day shape
+  // cost O(triggers × day) when a crawl day arrived across T triggers).
+  // Replay safety comes from a per-GROUP, per-TABLE high-water mark: every
+  // row carries `folded_batch` = the id of the last micro-batch folded
+  // into its group, and a fold with batchId ≤ the group's mark is a no-op
+  // for that group (Structured Streaming replays a crashed batch under
+  // the SAME id, and foreachBatch ids are monotonic). The mark lives in
+  // the table itself, so "sketch updated" and "batch consumed" commit in
+  // ONE write — a crash between the two sketch tables' folds replays the
+  // batch, and each table's own mark decides (counter-ADD would
+  // double-count exactly the already-folded one without it).
+  //
+  // A sketch table is owned by ONE discipline: batch jobs group-REPLACE
+  // via upsert*, streams fold via fold* — mixing them on one path would
+  // let a fold ADD rows an upsert already replaced (rows written by
+  // upsert* carry no mark and read as -1: any fold may touch them).
+
+  private def hwmFilter(old: DataFrame, batch: DataFrame,
+                        groupCols: Seq[String], batchId: Long)
+  : (DataFrame, DataFrame, DataFrame) = {
+    // (fresh batch rows, old rows of untouched groups, old rows of
+    // touched groups) — "touched" = groups with batch rows NOT yet folded
+    val hwm = old.groupBy(groupCols.map(col): _*)
+      .agg(max(col("folded_batch")).as("__hwm"))
+    val fresh = batch.join(hwm, groupCols, "left")
+      .where(coalesce(col("__hwm"), lit(-1L)) < batchId).drop("__hwm")
+    val touched = fresh.select(groupCols.map(col): _*).distinct()
+    (fresh, old.join(touched, groupCols, "left_anti"),
+      old.join(touched, groupCols, "left_semi"))
+  }
+
+  private def withFoldMark(df: DataFrame): DataFrame =
+    if (df.columns.contains("folded_batch"))
+      df.withColumn("folded_batch", coalesce(col("folded_batch"), lit(-1L)))
+    else df.withColumn("folded_batch", lit(-1L))
+
+  /** Fold one micro-batch's HLL registers into the persisted table at
+    * `path` (create it if absent): register-max merge per touched group,
+    * skipped for groups whose high-water mark already covers `batchId`.
+    * loadHll reads the folded table unchanged (the mark is an extra
+    * column its projection drops). */
+  def foldHll(spark: org.apache.spark.sql.SparkSession,
+              groupCols: Seq[String], registers: DataFrame, p: Int,
+              path: String, batchId: Long): Unit = {
+    val cols = groupCols.map(col) :+ col("bucket") :+ col("r")
+    val stamped = registers.select(cols: _*)
+      .withColumn("folded_batch", lit(batchId))
+    val merged = if (!pathExists(spark, path)) stamped else {
+      val df = spark.read.parquet(path)
+      val Seq(oldP) = readParams(df, path, Seq("p"))
+      require(oldP == p, s"sketch at $path has p=$oldP, fold has p=$p")
+      val old = withFoldMark(df).select((cols :+ col("folded_batch")): _*)
+      val (fresh, untouched, touchedOld) =
+        hwmFilter(old, stamped, groupCols, batchId)
+      untouched.unionByName(
+        hllMergeRegisters(touchedOld.select(cols: _*),
+          fresh.select(cols: _*), groupCols)
+          .withColumn("folded_batch", lit(batchId)))
+    }
+    withParams(merged.localCheckpoint(true)
+      .select((cols :+ col("folded_batch")): _*), Seq("p" -> p))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Fold one micro-batch's histogram into the persisted table at `path`
+    * — counter-ADD merge per touched group behind the same high-water
+    * mark (ADD is the merge that double-counts on a replay; the mark is
+    * what makes the fold idempotent). */
+  def foldHist(spark: org.apache.spark.sql.SparkSession,
+               groupCols: Seq[String], hist: DataFrame,
+               path: String, batchId: Long): Unit = {
+    val cols = groupCols.map(col) :+ col("bucket") :+ col("cnt")
+    val stamped = hist.select(cols: _*)
+      .withColumn("folded_batch", lit(batchId))
+    val merged = if (!pathExists(spark, path)) stamped else {
+      val old = withFoldMark(spark.read.parquet(path))
+        .select((cols :+ col("folded_batch")): _*)
+      val (fresh, untouched, touchedOld) =
+        hwmFilter(old, stamped, groupCols, batchId)
+      untouched.unionByName(
+        histMerge(touchedOld.select(cols: _*), fresh.select(cols: _*),
+          groupCols)
+          .withColumn("folded_batch", lit(batchId)))
+    }
+    merged.localCheckpoint(true).select((cols :+ col("folded_batch")): _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Group upsert for persisted histograms — same replace-groups
     * discipline (and the same idempotence rationale) as upsertHll. */
   def upsertHist(spark: org.apache.spark.sql.SparkSession,

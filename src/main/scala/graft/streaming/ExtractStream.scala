@@ -88,15 +88,17 @@ object ExtractStream {
 
   /**
    * Continuous corpus profiling: the --profile-sketches leg lifted to
-   * streaming. Each micro-batch contributes only its TOUCHED DAYS (a
-   * distinct over the micro-batch — tiny); the sketches for those days
-   * are recomputed from the day's FULL slice of the extracted table and
-   * group-UPSERTED (Sketch.upsertHll/upsertHist) — NOT built from the
-   * batch alone, because a crawl day arrives across many micro-batches
-   * and a batch-local group replace would drop the earlier batches'
-   * contribution. Same discipline as the batch job, so restarts and
-   * replays are idempotent. Chain off extractQuery's output directory
-   * (as dedupIngestQuery).
+   * streaming. Each micro-batch builds its sketches from the BATCH ROWS
+   * ALONE and folds them into the persisted per-day tables via the
+   * associative merges (Sketch.foldHll register-max / Sketch.foldHist
+   * counter-add) — O(batch) per trigger. A crawl day arriving across T
+   * triggers costs T batch-sized folds, never T re-scans of the day's
+   * earlier files (the r5 recompute-the-day shape was O(triggers × day)).
+   * Replay idempotence comes from the per-day high-water mark each fold
+   * persists inside the sketch table itself (a replayed batch id is
+   * ≤ the mark and no-ops for already-folded days — counter-add would
+   * double-count exactly that replay without it; see Sketch.foldHist).
+   * Chain off extractQuery's output directory (as dedupIngestQuery).
    */
   def profileSketchQuery(spark: SparkSession, extractedDir: String,
                          sketchPath: String, checkpointDir: String,
@@ -108,31 +110,23 @@ object ExtractStream {
       .option("maxFilesPerTrigger", 64)
       .parquet(extractedDir)
       .where(col("status") === "ok")
-      .select(to_date(col("warc_ts")).cast("string").as("warc_day"))
+      .select(to_date(col("warc_ts")).cast("string").as("warc_day"),
+        col("extracted_text"))
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import graft.pipeline.{Dedup, Sketch}
-        val days = batch.distinct().collect().map(_.getString(0)).filter(_ != null)
-        if (days.nonEmpty) {
-          // batch (non-stream) re-read WITHOUT the user schema so the
-          // warc_day PARTITION column is discovered and the day filter
-          // partition-prunes — filtering on to_date(warc_ts) would full-
-          // scan the entire extracted history every micro-batch
-          val rows = spark.read.parquet(extractedDir)
-            .where(col("status") === "ok" &&
-              col("warc_day").cast("string").isin(days.toSeq: _*))
-            .select(col("warc_day").cast("string").as("warc_day"),
-              col("extracted_text"))
-            .localCheckpoint(true)
+        // one batch materialization feeds both sketch builds
+        val rows = batch.where(col("warc_day").isNotNull).localCheckpoint(true)
+        if (!rows.isEmpty) {
           val toks = rows.select(col("warc_day"),
             explode(Dedup.tokens(col("extracted_text"))).as("tok"))
-          Sketch.upsertHll(spark, Seq("warc_day"),
+          Sketch.foldHll(spark, Seq("warc_day"),
             Sketch.hllRegisters(toks, Seq("warc_day"), col("tok")),
-            p = 9, s"$sketchPath/hll_tokens")
-          Sketch.upsertHist(spark, Seq("warc_day"),
+            p = 9, s"$sketchPath/hll_tokens", batchId)
+          Sketch.foldHist(spark, Seq("warc_day"),
             Sketch.histBuild(rows, Seq("warc_day"),
               length(col("extracted_text"))),
-            s"$sketchPath/len_hist")
+            s"$sketchPath/len_hist", batchId)
         }
       }
       .option("checkpointLocation", checkpointDir)

@@ -30,6 +30,51 @@ class SketchLifecycleSpec extends AnyFunSuite {
   private def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
 
+  // ---- streaming folds --------------------------------------------------
+
+  test("foldHll/foldHist: batch-local folds accumulate to the full-corpus " +
+    "sketch; a replayed batch id no-ops per table (the counter-add " +
+    "double-count guard)") {
+    val all = corpus(0 until 300)
+    val b0 = all.where(col("id") < 100)        // groups g0..g2, partial
+    val b1 = all.where(col("id") >= 100)       // rest of every group
+    val hllPath = tmp("foldhll")
+    val histPath = tmp("foldhist")
+    def foldBoth(batch: DataFrame, id: Long): Unit = {
+      Sketch.foldHll(spark, Seq("grp"),
+        Sketch.hllRegisters(batch, Seq("grp"), col("text")), 9, hllPath, id)
+      Sketch.foldHist(spark, Seq("grp"),
+        Sketch.histBuild(batch, Seq("grp"), length(col("text"))), histPath, id)
+    }
+    foldBoth(b0, 0L)
+    foldBoth(b1, 1L)
+    val wantHll = canon(Sketch.hllRegisters(all, Seq("grp"), col("text")))
+    val wantHist = canon(Sketch.histBuild(all, Seq("grp"), length(col("text"))))
+    assert(canon(Sketch.loadHll(spark, Seq("grp"), hllPath)._1) == wantHll)
+    assert(canon(Sketch.loadHist(spark, Seq("grp"), histPath)) == wantHist)
+    // replay batch 1 (a crashed trigger re-runs under the SAME id): the
+    // high-water mark makes it a no-op — without it the histogram's
+    // counter-add would double-count every batch-1 row
+    foldBoth(b1, 1L)
+    assert(canon(Sketch.loadHll(spark, Seq("grp"), hllPath)._1) == wantHll)
+    assert(canon(Sketch.loadHist(spark, Seq("grp"), histPath)) == wantHist)
+    // a NEW group arriving in a later batch folds in without touching
+    // committed groups' marks
+    val extra = Seq((900L, "fresh text tok", "g9")).toDF("id", "text", "grp")
+    foldBoth(extra, 2L)
+    val all2 = all.unionByName(extra)
+    assert(canon(Sketch.loadHll(spark, Seq("grp"), hllPath)._1) ==
+      canon(Sketch.hllRegisters(all2, Seq("grp"), col("text"))))
+    assert(canon(Sketch.loadHist(spark, Seq("grp"), histPath)) ==
+      canon(Sketch.histBuild(all2, Seq("grp"), length(col("text")))))
+    // p mismatch still fails loudly through the fold path
+    intercept[IllegalArgumentException] {
+      Sketch.foldHll(spark, Seq("grp"),
+        Sketch.hllRegisters(all, Seq("grp"), col("text"), p = 10), 10,
+        hllPath, 3L)
+    }
+  }
+
   // ---- HLL --------------------------------------------------------------
 
   test("HLL: merge(build(A), build(B)) has register-identical state to " +

@@ -180,6 +180,40 @@ class StreamingSpec extends AnyFunSuite {
       length(col("extracted_text"))).collect().map(_.toSeq).toSet
     assert(Sketch.loadHist(spark, Seq("warc_day"), s"$sk/len_hist")
       .collect().map(_.toSeq).toSet == wantHist)
+
+    // drop 3 proves the fold is INCREMENTAL — no re-read of the day's
+    // earlier files (VERDICT r5 #3): extract one more page for each day,
+    // compute the expected full-corpus sketches while every file is
+    // intact, then TRUNCATE the already-folded day-1 data files to zero
+    // bytes. A fold that recomputed day 1 from its full slice (the r5
+    // shape) would now rebuild it from only the new file and lose hours
+    // 0–23; the batch-local fold never opens them.
+    val day1Dir = new java.io.File(s"$outDir/warc_day=2026-01-01")
+    def day1Files() = day1Dir.listFiles
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getPath).toSet
+    val oldDay1 = day1Files()
+    spark.createDataset(Seq(page(23L), page(40L))).toDF()
+      .write.mode("append").parquet(pagesDir)
+    ExtractStream.extractQuery(spark, pagesDir, outDir, s"$base/ckptE")
+      .awaitTermination(120000)
+    val all3 = spark.read.parquet(outDir).where(col("status") === "ok")
+      .select(to_date(col("warc_ts")).cast("string").as("warc_day"),
+        col("extracted_text")).localCheckpoint(true)
+    val wantHll3 = Sketch.hllRegisters(
+      all3.select(col("warc_day"),
+        explode(Dedup.tokens(col("extracted_text"))).as("tok")),
+      Seq("warc_day"), col("tok")).collect().map(_.toSeq).toSet
+    val wantHist3 = Sketch.histBuild(all3, Seq("warc_day"),
+      length(col("extracted_text"))).collect().map(_.toSeq).toSet
+    oldDay1.foreach(f =>
+      new java.io.FileOutputStream(f).close()) // truncate to 0 bytes
+    ExtractStream.profileSketchQuery(spark, outDir, sk, s"$base/ckptS")
+      .awaitTermination(120000)
+    assert(Sketch.loadHll(spark, Seq("warc_day"), s"$sk/hll_tokens")._1
+      .collect().map(_.toSeq).toSet == wantHll3,
+      "day-1 registers must survive the earlier files' removal — the fold re-read them")
+    assert(Sketch.loadHist(spark, Seq("warc_day"), s"$sk/len_hist")
+      .collect().map(_.toSeq).toSet == wantHist3)
   }
 
   test("streaming exact dedup keeps one row per content fingerprint " +
