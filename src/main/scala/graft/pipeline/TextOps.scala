@@ -73,46 +73,151 @@ object TextOps {
    * Returns (round, left_sym, right_sym, pair_count), round 1-based;
    * stops early when no adjacent pair remains.
    */
-  def bpeLearn(pieces: DataFrame, rounds: Int): DataFrame = {
-    val spark = pieces.sparkSession
-    import spark.implicits._
-    val S = "\u0001"
-    val E = "\u0002"
-    var seqs = pieces
-      .where(!col("piece").contains(S) && !col("piece").contains(E))
-      .select(regexp_replace(col("piece"), "(.)", S + "$1" + E).as("seq"),
+  private val BpeS = "\u0001"
+  private val BpeE = "\u0002"
+
+  /** Delimiter-wrapped symbol sequences from the piece-count table. */
+  private def bpeSeqs(pieces: DataFrame): DataFrame =
+    pieces
+      .where(!col("piece").contains(BpeS) && !col("piece").contains(BpeE))
+      .select(regexp_replace(col("piece"), "(.)", BpeS + "$1" + BpeE).as("seq"),
         col("cnt"))
       .groupBy(col("seq")).agg(sum(col("cnt")).as("cnt"))
       .localCheckpoint(true)
+
+  /** One round's adjacent-pair counts over the sequence table, in the
+    * deterministic selection order (count desc, then pair asc). */
+  private def bpePairCounts(seqs: DataFrame): DataFrame = {
+    val syms = split(
+      regexp_replace(col("seq"), "^" + BpeS + "|" + BpeE + "$", ""), BpeE + BpeS)
+    seqs
+      .select(syms.as("ss"), col("cnt"))
+      .withColumn("la", slice(col("ss"), lit(1), size(col("ss")) - 1))
+      .withColumn("ra", slice(col("ss"), lit(2), size(col("ss")) - 1))
+      .select(explode(arrays_zip(col("la"), col("ra"))).as("p"), col("cnt"))
+      .groupBy(col("p.la").as("left_sym"), col("p.ra").as("right_sym"))
+      .agg(sum(col("cnt")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("left_sym").asc, col("right_sym").asc)
+  }
+
+  /** Apply a set of (involved-symbol-disjoint) merges in one replace
+    * cascade and re-aggregate. */
+  private def bpeApplyMerges(seqs: DataFrame,
+                             ms: Seq[(String, String)]): DataFrame = {
+    val applied = ms.foldLeft(col("seq")) { case (c, (l, r)) =>
+      replace(c, lit(BpeS + l + BpeE + BpeS + r + BpeE),
+        lit(BpeS + l + r + BpeE))
+    }
+    seqs.select(applied.as("seq"), col("cnt"))
+      .groupBy(col("seq")).agg(sum(col("cnt")).as("cnt"))
+      .localCheckpoint(true)
+  }
+
+  def bpeLearn(pieces: DataFrame, rounds: Int): DataFrame = {
+    val spark = pieces.sparkSession
+    import spark.implicits._
+    var seqs = bpeSeqs(pieces)
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var r = 1
     var done = false
     while (r <= rounds && !done) {
-      val syms = split(
-        regexp_replace(col("seq"), "^" + S + "|" + E + "$", ""), E + S)
-      val top = seqs
-        .select(syms.as("ss"), col("cnt"))
-        .withColumn("la", slice(col("ss"), lit(1), size(col("ss")) - 1))
-        .withColumn("ra", slice(col("ss"), lit(2), size(col("ss")) - 1))
-        .select(explode(arrays_zip(col("la"), col("ra"))).as("p"), col("cnt"))
-        .groupBy(col("p.la").as("left_sym"), col("p.ra").as("right_sym"))
-        .agg(sum(col("cnt")).as("pair_count"))
-        .orderBy(col("pair_count").desc, col("left_sym").asc, col("right_sym").asc)
-        .limit(1).collect()
+      val top = bpePairCounts(seqs).limit(1).collect()
       if (top.isEmpty) done = true
       else {
         val l = top(0).getString(0)
         val rt = top(0).getString(1)
         merges += ((r, l, rt, top(0).getLong(2)))
-        seqs = seqs
-          .select(replace(col("seq"), lit(S + l + E + S + rt + E),
-            lit(S + l + rt + E)).as("seq"), col("cnt"))
-          .groupBy(col("seq")).agg(sum(col("cnt")).as("cnt"))
-          .localCheckpoint(true)
+        seqs = bpeApplyMerges(seqs, Seq((l, rt)))
         r += 1
       }
     }
     merges.toSeq.toDF("round", "left_sym", "right_sym", "pair_count")
+  }
+
+  /**
+   * bpeLearn at REALISTIC merge counts: per recount, apply a whole BATCH
+   * of merges that provably commute with the sequential loop, so a
+   * 10k-50k-merge tokenizer build costs O(merges / batchK) Spark rounds
+   * instead of one driver round-trip per merge (VERDICT r5 #4).
+   *
+   * Which batch is safe? Walk the sorted pair list (count desc, pair asc
+   * - bpeLearn's exact order) and greedily take a PREFIX whose pairs are
+   * pairwise disjoint on their INVOLVED-symbol sets {left, right,
+   * left+right}; stop at the first pair that overlaps the selection (or
+   * at `batchK`), then truncate the selection to pairs whose count is
+   * STRICTLY greater than the stopping pair's count (when the collected
+   * list may be incomplete, the last collected count bounds every unseen
+   * pair the same way). Why this equals sequential:
+   *  - merging p never changes the count of a pair sharing no involved
+   *    symbol with p (the merged occurrences are disjoint from that
+   *    pair's adjacencies, and p's created symbol is not one of its
+   *    sides);
+   *  - every pair a merge CREATES or MUTATES involves one of p's
+   *    involved symbols, so it overlaps the selection and its count is
+   *    bounded by an old overlapping pair's count - which ranks at or
+   *    below the stopping row; after the strict truncation no new or
+   *    unselected pair can outrank (or tie into) the remaining selection
+   *    under the (count desc, pair asc) order.
+   * Hence the sequential loop, stepped one merge at a time, picks exactly
+   * the selected pairs in selection order with the same reported counts.
+   * If truncation empties the batch, fall back to the top-1 pair: that
+   * IS the sequential step, always safe. The created symbol lives in the
+   * involved set precisely for the (a,b)-then-(ab,c) case: "ab" may
+   * already exist as a symbol, and the first merge mints new copies of
+   * it, coupling the two counts.
+   *
+   * Pinned equal to bpeLearn on planted and random vocabularies
+   * (BpeSpec); q48's 3-round oracle stays on bpeLearn itself.
+   *
+   * @param merges total merge count to learn
+   * @param batchK max merges applied per recount (driver state is batchK
+   *               (pair, count) rows per round - vocabulary-scale)
+   */
+  def bpeLearnBatched(pieces: DataFrame, merges: Int,
+                      batchK: Int = 64): DataFrame = {
+    val spark = pieces.sparkSession
+    import spark.implicits._
+    var seqs = bpeSeqs(pieces)
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var done = false
+    while (out.size < merges && !done) {
+      val want = math.min(batchK, merges - out.size)
+      // +1 so a full selection still sees its stopping row; +32 margin
+      // keeps the single-merge fallback rare when equal counts cluster
+      val lim = want + 33
+      val top = bpePairCounts(seqs).limit(lim).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (top.isEmpty) done = true
+      else {
+        val used = scala.collection.mutable.Set[String]()
+        val selected = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+        var cut: Option[Long] = None
+        var i = 0
+        while (i < top.length && cut.isEmpty && selected.size < want) {
+          val (l, r, c) = top(i)
+          val inv = Seq(l, r, l + r)
+          if (inv.exists(used)) cut = Some(c)
+          else { selected += ((l, r, c)); inv.foreach(used += _) }
+          i += 1
+        }
+        // stopped by `want` with rows left: the next row bounds the rest;
+        // walked the whole collected list: if it may be incomplete, the
+        // last row bounds every unseen pair
+        if (cut.isEmpty && i < top.length) cut = Some(top(i)._3)
+        else if (cut.isEmpty && top.length == lim) cut = Some(top.last._3)
+        val strict = cut match {
+          case Some(c0) => selected.takeWhile(_._3 > c0).toSeq
+          case None => selected.toSeq // the complete pair list was walked
+        }
+        val take = if (strict.isEmpty) Seq(top.head) else strict
+        val base = out.size
+        out ++= take.zipWithIndex.map { case ((l, r, c), j) =>
+          (base + 1 + j, l, r, c)
+        }
+        seqs = bpeApplyMerges(seqs, take.map(t => (t._1, t._2)))
+      }
+    }
+    out.toSeq.toDF("round", "left_sym", "right_sym", "pair_count")
   }
 
   /**

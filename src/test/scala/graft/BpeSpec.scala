@@ -74,11 +74,9 @@ class BpeSpec extends AnyFunSuite {
       Map("abab" -> 1, "ab" -> 1, "ba" -> 2))
   }
 
-  test("property: bpeLearn ≡ a naive in-memory BPE on random vocabularies " +
-    "(pair statistics, tie-breaks, greedy merging, early stop)") {
-    // reference implementation: lists of symbols, straight from the BPE
-    // definition — no delimiters, no string replaces
-    def naive(pieces: Seq[(String, Long)], rounds: Int): Seq[(Int, String, String, Long)] = {
+  // reference implementation: lists of symbols, straight from the BPE
+  // definition — no delimiters, no string replaces
+  private def naive(pieces: Seq[(String, Long)], rounds: Int): Seq[(Int, String, String, Long)] = {
       var vocab: Seq[(Vector[String], Long)] =
         pieces.groupBy(_._1).toSeq.map { case (p, rs) =>
           (p.map(_.toString).toVector, rs.map(_._2).sum)
@@ -113,8 +111,10 @@ class BpeSpec extends AnyFunSuite {
         }
       }
       out.toSeq
-    }
+  }
 
+  test("property: bpeLearn ≡ a naive in-memory BPE on random vocabularies " +
+    "(pair statistics, tie-breaks, greedy merging, early stop)") {
     // trials kept small: each learn round is a full Spark job chain and
     // the whole suite must stay fast; the planted tests above cover the
     // deterministic edges, this sweep covers random interaction
@@ -130,6 +130,68 @@ class BpeSpec extends AnyFunSuite {
       assert(learn(pieces, rounds) == naive(pieces, rounds),
         s"trial $trial pieces=$pieces rounds=$rounds")
     }
+  }
+
+  private def learnBatched(pieces: Seq[(String, Long)], merges: Int,
+                           batchK: Int): Seq[(Int, String, String, Long)] =
+    TextOps.bpeLearnBatched(pieces.toDF("piece", "cnt"), merges, batchK)
+      .orderBy("round")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+
+  test("bpeLearnBatched ≡ sequential on the planted vocabularies, " +
+    "including the created-symbol coupling and tie cases") {
+    // aaa/abab: created symbols ("aa", "ab") couple consecutive merges —
+    // the involved-set guard must serialize them across recounts
+    for (pieces <- Seq(
+      Seq(("abab", 2L)),
+      Seq(("aaa", 1L)),
+      Seq(("aaabab", 3L), ("ab", 1L)),
+      // ties everywhere: every pair count 1 — strict truncation forces
+      // the single-merge fallback each round (= plain sequential)
+      Seq(("ab", 1L), ("cd", 1L), ("ef", 1L)),
+      // disjoint frequent pairs at distinct counts: one batch round
+      Seq(("ab", 9L), ("cd", 7L), ("ef", 5L), ("gh", 3L)));
+         k <- Seq(1, 2, 8)) {
+      assert(learnBatched(pieces, 6, k) == naive(pieces, 6),
+        s"pieces=$pieces batchK=$k")
+    }
+  }
+
+  test("property: bpeLearnBatched ≡ the naive sequential BPE on random " +
+    "vocabularies at every batch size") {
+    val rnd = new scala.util.Random(41)
+    (0 until 3).foreach { trial =>
+      val alphabet = "abc" // small alphabet: dense symbol collisions,
+      // frequent created-symbol coupling across batches
+      val pieces = (0 until 14 + rnd.nextInt(8)).map { _ =>
+        val len = 1 + rnd.nextInt(7)
+        (Seq.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString,
+          (1 + rnd.nextInt(9)).toLong)
+      }.groupBy(_._1).toSeq.map { case (p, rs) => (p, rs.map(_._2).sum) }
+      val merges = 5 + rnd.nextInt(4)
+      val batchK = 1 + rnd.nextInt(4)
+      assert(learnBatched(pieces, merges, batchK) == naive(pieces, merges),
+        s"trial $trial pieces=$pieces merges=$merges batchK=$batchK")
+    }
+  }
+
+  test("bpeLearnBatched learns 100+ merges over a realistic vocabulary " +
+    "in few Spark rounds, matching the sequential reference") {
+    // ~hundreds of distinct word pieces with Zipf-ish counts — the shape
+    // a corpus-collapsed piece table has; sequential bpeLearn would cost
+    // 120 driver round-trips, the batch path a handful
+    val rnd = new scala.util.Random(7)
+    val words = (0 until 400).map { i =>
+      val len = 3 + rnd.nextInt(6)
+      val w = Seq.fill(len)(('a' + rnd.nextInt(6)).toChar).mkString
+      (w, (1L + rnd.nextInt(50)) * (1 + 400 / (i + 1)))
+    }.groupBy(_._1).toSeq.map { case (p, rs) => (p, rs.map(_._2).sum) }
+    val got = learnBatched(words, 120, batchK = 64)
+    assert(got.size == 120, s"learned ${got.size} merges")
+    assert(got.map(_._1) == (1 to 120), "rounds must be 1..120 in order")
+    assert(got == naive(words, 120))
   }
 
   test("learn → apply round-trip: pieces made of learned merges compress " +
