@@ -767,6 +767,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q52_quantile_sketch2" -> ((s, dir) => {
+      // two-level quantile sketch (q47's refinement): each log2 bucket
+      // splits into 2^3 equal-width sub-buckets — ≤ 512 rows/group of
+      // state, in-bucket error shrinks 8×, merge stays counter-add. As
+      // q47, built per-half and MERGED while the oracle builds over the
+      // full table, so the hash pins the merge law too
+      import graft.pipeline.Sketch
+      val lens = docs(s, dir).select(col("lang"), col("doc_id"),
+        length(col("text")).cast("long").as("l"))
+      val merged = Sketch.hist2Merge(
+        Sketch.hist2Build(lens.where(pmod(col("doc_id"), lit(2)) === 0),
+          Seq("lang"), col("l")),
+        Sketch.hist2Build(lens.where(pmod(col("doc_id"), lit(2)) === 1),
+          Seq("lang"), col("l")),
+        Seq("lang"))
+      Sketch.hist2Quantiles(merged, Seq("lang"),
+        Seq(("s50", 0.5), ("s90", 0.9), ("s99", 0.99)))
+        .orderBy(col("lang"))
+    }),
+
     "q50_decontamination" -> ((s, dir) => {
       // benchmark decontamination: every 10th doc plays the EVAL set;
       // per eval doc, the fraction of its 8-gram spans found anywhere in
@@ -1540,6 +1560,41 @@ object SparkEntry {
         |e AS (SELECT lang, n, cum0, cntd,
         |        CASE WHEN bucket <= 0 THEN 0.0 ELSE pow(2.0, bucket - 1) END AS lo,
         |        CASE WHEN bucket <= 0 THEN 0.0 ELSE pow(2.0, bucket) - 1 END AS hi
+        |      FROM c)
+        |SELECT lang, max(n)::BIGINT AS docs,
+        |  max(CASE WHEN cum0 <= (n-1)*0.5 AND (n-1)*0.5 < cum0 + cntd
+        |      THEN round(lo + (hi - lo) * (((n-1)*0.5 - cum0) / cntd), 4) END) AS s50,
+        |  max(CASE WHEN cum0 <= (n-1)*0.9 AND (n-1)*0.9 < cum0 + cntd
+        |      THEN round(lo + (hi - lo) * (((n-1)*0.9 - cum0) / cntd), 4) END) AS s90,
+        |  max(CASE WHEN cum0 <= (n-1)*0.99 AND (n-1)*0.99 < cum0 + cntd
+        |      THEN round(lo + (hi - lo) * (((n-1)*0.99 - cum0) / cntd), 4) END) AS s99
+        |FROM e GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // two-level refinement of q47: sub = floor((v − 2^(b−1)) / 2^shift)
+    // with shift = max(b−1−3, 0) — double math over exact powers of two
+    // (pow/floor agree bit-for-bit cross-engine for |v| < 2^53); segment
+    // bounds lo + sub·2^shift, read-off as q47
+    "q52_quantile_sketch2" ->
+      """WITH l AS (SELECT lang, length(text)::BIGINT AS v FROM documents),
+        |hb AS (SELECT lang, bucket, sub, count(*) AS cnt FROM (
+        |  SELECT lang,
+        |    CASE WHEN v <= 0 THEN 0 ELSE length(bin(v)) END AS bucket,
+        |    CASE WHEN v <= 0 THEN 0
+        |      ELSE floor((v::DOUBLE - pow(2.0, length(bin(v)) - 1)) /
+        |           pow(2.0, greatest(length(bin(v)) - 1 - 3, 0)))::BIGINT
+        |      END AS sub
+        |  FROM l) GROUP BY lang, bucket, sub),
+        |c AS (SELECT lang, bucket, sub, cnt::DOUBLE AS cntd,
+        |        (sum(cnt) OVER (PARTITION BY lang ORDER BY bucket, sub) - cnt)::DOUBLE AS cum0,
+        |        (sum(cnt) OVER (PARTITION BY lang))::DOUBLE AS n
+        |      FROM hb),
+        |e AS (SELECT lang, n, cum0, cntd,
+        |        CASE WHEN bucket <= 0 THEN 0.0
+        |          ELSE pow(2.0, bucket - 1) +
+        |               sub * pow(2.0, greatest(bucket - 1 - 3, 0)) END AS lo,
+        |        CASE WHEN bucket <= 0 THEN 0.0
+        |          ELSE pow(2.0, bucket - 1) +
+        |               (sub + 1) * pow(2.0, greatest(bucket - 1 - 3, 0)) - 1 END AS hi
         |      FROM c)
         |SELECT lang, max(n)::BIGINT AS docs,
         |  max(CASE WHEN cum0 <= (n-1)*0.5 AND (n-1)*0.5 < cum0 + cntd

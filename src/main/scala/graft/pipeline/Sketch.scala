@@ -426,6 +426,80 @@ object Sketch {
     spark.read.parquet(path)
       .select((groupCols.map(col) :+ col("bucket") :+ col("cnt")): _*)
 
+  // ---- two-level quantile sketch ----------------------------------------
+  //
+  // The log2 histogram's error is ~2× at bucket edges (the span
+  // [2^(b−1), 2^b−1] is interpolated as one linear segment). The
+  // two-level refinement splits every bucket into 2^sBits equal-width
+  // sub-buckets: (bucket, sub) with sub = floor((v − 2^(b−1)) / 2^shift),
+  // shift = max(b−1−sBits, 0) — state grows to ≤ 64·2^sBits rows per
+  // group (512 at the default sBits=3), error shrinks by the same 2^sBits
+  // factor, and the merge stays counter-ADD. All boundaries are powers of
+  // two, so the double math (pow/floor, division by an exact power of
+  // two) reproduces bit-for-bit cross-engine for integral values within
+  // double precision (|v| < 2^53 — far above any text-length/count
+  // column) — oracled end-to-end by q52 exactly like q47.
+
+  /** Two-level histogram of a non-negative integral column:
+    * (group…, bucket, sub, cnt); bucket = bit_length(v) (0 for v ≤ 0,
+    * with sub 0), sub = the value's 2^sBits-way split of the bucket. */
+  def hist2Build(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+                 sBits: Int = 3): DataFrame = {
+    require(sBits >= 1 && sBits <= 6, s"sBits=$sBits out of range")
+    val v = valueCol.cast("long")
+    val b = when(v <= 0, lit(0)).otherwise(length(bin(v)))
+    val staged = df.select(
+      (groupCols.map(col) :+ v.as("__v") :+ b.as("__b")): _*)
+    val shift = greatest(col("__b") - 1 - sBits, lit(0))
+    val sub = when(col("__v") <= 0, lit(0L))
+      .otherwise(floor((col("__v").cast("double") -
+        pow(lit(2.0), col("__b") - 1)) / pow(lit(2.0), shift)).cast("long"))
+    staged
+      .select((groupCols.map(col) :+ col("__b").as("bucket") :+
+        sub.as("sub")): _*)
+      .groupBy((groupCols.map(col) :+ col("bucket") :+ col("sub")): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Associative two-level merge: ADD per (group, bucket, sub). */
+  def hist2Merge(a: DataFrame, b: DataFrame,
+                 groupCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy((groupCols.map(col) :+ col("bucket") :+ col("sub")): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Quantile estimates from a (possibly merged) two-level histogram —
+    * the (n−1)·q convention of histQuantiles over the finer
+    * (bucket, sub) segments [lo + sub·2^shift, lo + (sub+1)·2^shift − 1].
+    * `sBits` must match the build (as p for HLL). */
+  def hist2Quantiles(hist: DataFrame, groupCols: Seq[String],
+                     qs: Seq[(String, Double)], sBits: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("bucket"), col("sub"))
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    val cnt = col("cnt").cast("double")
+    val cum0 = (sum(col("cnt")).over(w) - col("cnt")).cast("double")
+    val n = sum(col("cnt")).over(wAll).cast("double")
+    val width = pow(lit(2.0), greatest(col("bucket") - 1 - sBits, lit(0)))
+    val lo = when(col("bucket") <= 0, lit(0.0))
+      .otherwise(pow(lit(2.0), col("bucket") - 1) + col("sub") * width)
+    val hi = when(col("bucket") <= 0, lit(0.0))
+      .otherwise(pow(lit(2.0), col("bucket") - 1) +
+        (col("sub") + 1) * width - 1)
+    val staged = hist.select(
+      (groupCols.map(col) :+ cnt.as("__cnt") :+ cum0.as("__cum0") :+
+        n.as("__n") :+ lo.as("__lo") :+ hi.as("__hi")): _*)
+    val qAggs = qs.map { case (name, q) =>
+      val t = (col("__n") - 1) * q
+      max(when(col("__cum0") <= t && t < col("__cum0") + col("__cnt"),
+        round(col("__lo") + (col("__hi") - col("__lo")) *
+          ((t - col("__cum0")) / col("__cnt")), 4))).as(name)
+    }
+    staged.groupBy(groupCols.map(col): _*)
+      .agg(max(col("__n")).cast("long").as("docs"), qAggs: _*)
+  }
+
   /** Quantile estimates from a (possibly merged) histogram. For each
     * (name, q): t = (n−1)·q; the bucket with cum0 ≤ t < cum0+cnt yields
     * lo + (hi−lo)·(t−cum0)/cnt — the same (n−1)·q rank convention as the

@@ -30,6 +30,49 @@ class SketchLifecycleSpec extends AnyFunSuite {
   private def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
 
+  // ---- two-level quantile sketch ----------------------------------------
+
+  test("hist2: add-merge ≡ rebuild over the union (exact (bucket, sub) " +
+    "counts), and estimates refine the one-level histogram's error to " +
+    "the sub-bucket span") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // lengths spread inside ONE log2 bucket [1024, 2047]: the one-level
+    // histogram interpolates the whole 1024-wide span, the two-level one
+    // pins the estimate to a 128-wide sub-bucket
+    val vals = (0 until 512).map(i => (1024L + 2 * i, s"g${i % 2}"))
+    val df = vals.toDF("v", "grp")
+    val a = df.where(col("v") % 4 === 0)
+    val b = df.where(col("v") % 4 =!= 0)
+    val full = Sketch.hist2Build(df, Seq("grp"), col("v"))
+    assert(canon(Sketch.hist2Merge(
+      Sketch.hist2Build(a, Seq("grp"), col("v")),
+      Sketch.hist2Build(b, Seq("grp"), col("v")), Seq("grp"))) == canon(full))
+    // every (bucket, sub) count stays within the 2^sBits split bound
+    assert(full.select(col("sub")).collect().map(_.getLong(0)).forall(s =>
+      s >= 0 && s < 8))
+    val est = Sketch.hist2Quantiles(full, Seq("grp"),
+      Seq(("s50", 0.5), ("s90", 0.9)))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    // exact percentiles per group ((n−1)·q over the sorted 256 values)
+    def exact(g: String, q: Double): Double = {
+      val xs = vals.filter(_._2 == g).map(_._1.toDouble).sorted
+      val t = (xs.length - 1) * q
+      val i = t.toInt
+      if (i + 1 < xs.length) xs(i) + (xs(i + 1) - xs(i)) * (t - i) else xs(i)
+    }
+    for (g <- Seq("g0", "g1")) {
+      val (s50, s90) = est(g)
+      // sub-bucket span here is 1024/8 = 128: the estimate must land
+      // within one span of the exact value (the one-level bucket span,
+      // 1024, would not pin this)
+      assert(math.abs(s50 - exact(g, 0.5)) <= 128.0,
+        s"$g s50=$s50 exact=${exact(g, 0.5)}")
+      assert(math.abs(s90 - exact(g, 0.9)) <= 128.0,
+        s"$g s90=$s90 exact=${exact(g, 0.9)}")
+    }
+  }
+
   // ---- streaming folds --------------------------------------------------
 
   test("foldHll/foldHist: batch-local folds accumulate to the full-corpus " +
