@@ -172,9 +172,13 @@ object Bench {
         watchdog.cancel()
         spark.sparkContext.clearJobGroup()
       }
-      val wall = if (timedOut) attemptCapSec else (System.nanoTime() - t0) / 1e9
+      // aborted only when the cancellation actually killed the count —
+      // a timer firing in the window after a just-under-the-cap success
+      // must not discard a real measurement
+      val aborted = timedOut && n == -1L
+      val wall = if (aborted) attemptCapSec else (System.nanoTime() - t0) / 1e9
       drainBus()
-      ((wall, (cpuNs.get - cpu0) / 1e9, timedOut), n)
+      ((wall, (cpuNs.get - cpu0) / 1e9, aborted), n)
     }
 
     val corpusOpt: Option[() => org.apache.spark.sql.Dataset[Page]] =
@@ -230,7 +234,12 @@ object Bench {
       extractTimedOut = valid.isEmpty
       val best = (if (valid.nonEmpty) valid else extractAttempts).minBy(_._1)
       extractSec = best._1
-      docsPerSec = (if (okDocs > 0) okDocs else benchDocs.toLong) / extractSec
+      // benchDocs substitutes ONLY when no attempt ever finished (count
+      // unknown, headline is a ≤-bound at the cap); a completed attempt
+      // that extracted zero ok docs must report an honest 0.0
+      docsPerSec =
+        (if (extractTimedOut && okDocs == 0) benchDocs.toLong else okDocs) /
+          extractSec
       mbPerSec = totalBytes / 1e6 / extractSec
       // CPU evidence from the best attempt: flat cpu_sec/kdoc across
       // rounds + wall ≫ cpu/cores = loaded host, not a slow engine

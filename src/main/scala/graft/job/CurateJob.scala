@@ -119,15 +119,42 @@ object CurateJob {
   private def stage(spark: SparkSession, dir: String, resume: Boolean,
                     partitionCols: Seq[String] = Nil)
                    (build: => DataFrame): (DataFrame, Long) = {
-    if (resume && stageDone(spark, dir))
-      (spark.read.parquet(dir), spark.read.parquet(dir).count())
-    else {
+    // a 0-row PARTITIONED write leaves only _SUCCESS (dynamic partition
+    // dirs never materialize), so reading it back throws
+    // UNABLE_TO_INFER_SCHEMA; non-partitioned empty writes keep a
+    // schema'd file and read fine. Guard both paths: the read-back of an
+    // empty partitioned stage is replaced by an empty frame (its only
+    // consumer is the funnel count — partitioned stages are terminal).
+    def hasDataFiles: Boolean = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).exists { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+    }
+    if (resume && stageDone(spark, dir)) {
+      if (partitionCols.nonEmpty && !hasDataFiles)
+        (spark.emptyDataFrame, 0L)
+      else {
+        val df = spark.read.parquet(dir)
+        (df, df.count())
+      }
+    } else {
       val obs = new Observation()
-      val w = build.observe(obs, count(lit(1)).as("rows"))
+      val built = build
+      val schema = built.schema
+      val w = built.observe(obs, count(lit(1)).as("rows"))
         .write.mode(SaveMode.Overwrite)
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(dir)
-      (spark.read.parquet(dir), observedRows(obs))
+      val rows = observedRows(obs)
+      val frame =
+        if (rows == 0L && partitionCols.nonEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else spark.read.parquet(dir)
+      (frame, rows)
     }
   }
 

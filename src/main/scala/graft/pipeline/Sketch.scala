@@ -209,10 +209,12 @@ object Sketch {
       .write.mode("overwrite").parquet(path)
 
   /** Load persisted registers; returns (registers, p) and fails loudly on
-    * a parameter mix. */
+    * a parameter mix. Resolves the newest complete fold generation when
+    * the table was written by foldHll (flat upsert layout otherwise). */
   def loadHll(spark: org.apache.spark.sql.SparkSession, groupCols: Seq[String],
               path: String): (DataFrame, Int) = {
-    val df = spark.read.parquet(path)
+    val src = newestGen(spark, path).map(_._2).getOrElse(path)
+    val df = spark.read.parquet(src)
     val Seq(p) = readParams(df, path, Seq("p"))
     (df.select((groupCols.map(col) :+ col("bucket") :+ col("r")): _*), p)
   }
@@ -257,12 +259,92 @@ object Sketch {
   // the table itself, so "sketch updated" and "batch consumed" commit in
   // ONE write — a crash between the two sketch tables' folds replays the
   // batch, and each table's own mark decides (counter-ADD would
-  // double-count exactly the already-folded one without it).
+  // double-count exactly the already-folded one without it). That one
+  // write is a GENERATION commit (below): a crash inside the write
+  // itself leaves the previous generation intact, never a half-deleted
+  // table.
   //
   // A sketch table is owned by ONE discipline: batch jobs group-REPLACE
   // via upsert*, streams fold via fold* — mixing them on one path would
   // let a fold ADD rows an upsert already replaced (rows written by
   // upsert* carry no mark and read as -1: any fold may touch them).
+
+  // Fold COMMIT protocol: the fold rewrites the whole (tiny) sketch
+  // table, and parquet overwrite is delete-then-write — a crash in that
+  // window would silently lose the accumulated state, which a fold (O(batch)
+  // by design, never re-reading history) can NEVER rebuild. Folds
+  // therefore commit GENERATIONS: each fold writes a fresh, complete
+  // `_gen-<batchId>` subdir (carrying its own _SUCCESS) and readers take
+  // the newest COMPLETE generation — a partial write lacks _SUCCESS and
+  // is invisible, the old generation stays intact, and the replayed
+  // batch overwrites the same gen dir. Older generations are pruned
+  // best-effort AFTER the commit (a crash between commit and prune
+  // leaves an extra dir the next fold removes). Tables written by the
+  // batch-side upsert* keep their flat layout; a fold over one migrates
+  // it to generations on its first commit (the flat data files are
+  // pruned with the old gens). loadHll/loadHist resolve generations
+  // first, so reads work over either layout.
+
+  private def hadoopFs(spark: org.apache.spark.sql.SparkSession,
+                       path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private val GenRe = "_gen-(\\d+)".r
+
+  /** Newest COMPLETE (has _SUCCESS) generation under `path`, if any. */
+  private[pipeline] def newestGen(spark: org.apache.spark.sql.SparkSession,
+                                  path: String): Option[(Long, String)] = {
+    val (fs, p) = hadoopFs(spark, path)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        st.getPath.getName match {
+          case GenRe(id)
+            if fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")) =>
+            Some((id.toLong, st.getPath.toString))
+          case _ => None
+        }
+      }
+      .sortBy(_._1).lastOption
+  }
+
+  /** The fold's view of the current table: newest complete generation,
+    * else the flat layout when it holds data files, else absent. */
+  private def foldCurrent(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Option[DataFrame] =
+    newestGen(spark, path) match {
+      case Some((_, genPath)) => Some(spark.read.parquet(genPath))
+      case None =>
+        val (fs, p) = hadoopFs(spark, path)
+        val hasFlat = fs.exists(p) && fs.listStatus(p).exists { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+        if (hasFlat) Some(spark.read.parquet(path)) else None
+    }
+
+  /** Commit `merged` as generation `batchId` and prune older state. */
+  private def commitFoldGen(spark: org.apache.spark.sql.SparkSession,
+                            path: String, batchId: Long,
+                            merged: DataFrame): Unit = {
+    merged.write.mode("overwrite").parquet(s"$path/_gen-$batchId")
+    // best-effort prune: older generations + legacy flat data files
+    try {
+      val (fs, p) = hadoopFs(spark, path)
+      fs.listStatus(p).foreach { st =>
+        val n = st.getPath.getName
+        val staleGen = st.isDirectory && (n match {
+          case GenRe(id) => id.toLong < batchId
+          case _ => false
+        })
+        val flatData = st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        if (staleGen || flatData) fs.delete(st.getPath, true)
+      }
+    } catch { case _: Exception => () } // pruning never fails the fold
+  }
 
   private def hwmFilter(old: DataFrame, batch: DataFrame,
                         groupCols: Seq[String], batchId: Long)
@@ -294,21 +376,23 @@ object Sketch {
     val cols = groupCols.map(col) :+ col("bucket") :+ col("r")
     val stamped = registers.select(cols: _*)
       .withColumn("folded_batch", lit(batchId))
-    val merged = if (!pathExists(spark, path)) stamped else {
-      val df = spark.read.parquet(path)
-      val Seq(oldP) = readParams(df, path, Seq("p"))
-      require(oldP == p, s"sketch at $path has p=$oldP, fold has p=$p")
-      val old = withFoldMark(df).select((cols :+ col("folded_batch")): _*)
-      val (fresh, untouched, touchedOld) =
-        hwmFilter(old, stamped, groupCols, batchId)
-      untouched.unionByName(
-        hllMergeRegisters(touchedOld.select(cols: _*),
-          fresh.select(cols: _*), groupCols)
-          .withColumn("folded_batch", lit(batchId)))
+    val merged = foldCurrent(spark, path) match {
+      case None => stamped
+      case Some(df) =>
+        val Seq(oldP) = readParams(df, path, Seq("p"))
+        require(oldP == p, s"sketch at $path has p=$oldP, fold has p=$p")
+        val old = withFoldMark(df).select((cols :+ col("folded_batch")): _*)
+        val (fresh, untouched, touchedOld) =
+          hwmFilter(old, stamped, groupCols, batchId)
+        untouched.unionByName(
+          hllMergeRegisters(touchedOld.select(cols: _*),
+            fresh.select(cols: _*), groupCols)
+            .withColumn("folded_batch", lit(batchId)))
     }
-    withParams(merged.localCheckpoint(true)
-      .select((cols :+ col("folded_batch")): _*), Seq("p" -> p))
-      .write.mode("overwrite").parquet(path)
+    // localCheckpoint: a REPLAYED fold reads and rewrites the same gen dir
+    commitFoldGen(spark, path, batchId,
+      withParams(merged.localCheckpoint(true)
+        .select((cols :+ col("folded_batch")): _*), Seq("p" -> p)))
   }
 
   /** Fold one micro-batch's histogram into the persisted table at `path`
@@ -321,18 +405,19 @@ object Sketch {
     val cols = groupCols.map(col) :+ col("bucket") :+ col("cnt")
     val stamped = hist.select(cols: _*)
       .withColumn("folded_batch", lit(batchId))
-    val merged = if (!pathExists(spark, path)) stamped else {
-      val old = withFoldMark(spark.read.parquet(path))
-        .select((cols :+ col("folded_batch")): _*)
-      val (fresh, untouched, touchedOld) =
-        hwmFilter(old, stamped, groupCols, batchId)
-      untouched.unionByName(
-        histMerge(touchedOld.select(cols: _*), fresh.select(cols: _*),
-          groupCols)
-          .withColumn("folded_batch", lit(batchId)))
+    val merged = foldCurrent(spark, path) match {
+      case None => stamped
+      case Some(df) =>
+        val old = withFoldMark(df).select((cols :+ col("folded_batch")): _*)
+        val (fresh, untouched, touchedOld) =
+          hwmFilter(old, stamped, groupCols, batchId)
+        untouched.unionByName(
+          histMerge(touchedOld.select(cols: _*), fresh.select(cols: _*),
+            groupCols)
+            .withColumn("folded_batch", lit(batchId)))
     }
-    merged.localCheckpoint(true).select((cols :+ col("folded_batch")): _*)
-      .write.mode("overwrite").parquet(path)
+    commitFoldGen(spark, path, batchId,
+      merged.localCheckpoint(true).select((cols :+ col("folded_batch")): _*))
   }
 
   /** Group upsert for persisted histograms — same replace-groups
@@ -423,7 +508,7 @@ object Sketch {
 
   def loadHist(spark: org.apache.spark.sql.SparkSession,
                groupCols: Seq[String], path: String): DataFrame =
-    spark.read.parquet(path)
+    spark.read.parquet(newestGen(spark, path).map(_._2).getOrElse(path))
       .select((groupCols.map(col) :+ col("bucket") :+ col("cnt")): _*)
 
   // ---- two-level quantile sketch ----------------------------------------

@@ -145,6 +145,31 @@ class CurateJobSpec extends AnyFunSuite {
     assert(rep == Set("test://contam/1"))
   }
 
+  test("an empty funnel (every doc gated out) still completes and writes " +
+    "the funnel report — the 0-row partitioned curated dir must not " +
+    "crash the read-back") {
+    val tmp = java.nio.file.Files.createTempDirectory("curate0").toString
+    import spark.implicits._
+    val pages = (0 until 3).map(i => page(s"test://doc/$i", prose(i), i.toLong))
+    PageTableIO.write(spark.createDataset(pages).toDF(), s"$tmp/pages",
+      numBuckets = 2)
+    val funnel = CurateJob.run(spark, s"$tmp/pages", s"$tmp/out",
+      partitions = 4,
+      th = CurateJob.Thresholds(minQuality = 1.1, quotaPerLang = 10))
+    assert(funnel.contains("\"extracted\":3"))
+    assert(funnel.contains("\"after_quality\":0"))
+    assert(funnel.contains("\"curated\":0"), funnel)
+    // the funnel artifact was written (the job reached its last step)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$tmp/out/_funnel.json")))
+    // resume over the committed empty funnel is also a no-crash no-op
+    val funnel2 = CurateJob.run(spark, s"$tmp/pages", s"$tmp/out",
+      partitions = 4,
+      th = CurateJob.Thresholds(minQuality = 1.1, quotaPerLang = 10),
+      resume = true)
+    assert(funnel2 == funnel)
+  }
+
   test("quota caps per language; without an eval table decontamination " +
     "is skipped") {
     val tmp = java.nio.file.Files.createTempDirectory("curateq").toString

@@ -118,6 +118,37 @@ class SketchLifecycleSpec extends AnyFunSuite {
     }
   }
 
+  test("fold commits are generations: a crash mid-fold (partial gen, no " +
+    "_SUCCESS) leaves the previous state readable, and the replayed " +
+    "batch commits over it") {
+    val all = corpus(0 until 200)
+    val b0 = all.where(col("id") < 100)
+    val b1 = all.where(col("id") >= 100)
+    val path = tmp("foldgen")
+    Sketch.foldHist(spark, Seq("grp"),
+      Sketch.histBuild(b0, Seq("grp"), length(col("text"))), path, 0L)
+    val want01 = canon(Sketch.loadHist(spark, Seq("grp"), path))
+    // simulate batch 1 crashing mid-write: a partial generation dir with
+    // data but NO _SUCCESS — a flat-overwrite fold would have deleted
+    // the only copy of batch 0's counters at this point
+    val partial = new java.io.File(s"$path/_gen-1")
+    assert(partial.mkdirs())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/_gen-1/part-00000.parquet"),
+      Array[Byte](1, 2, 3)) // torn file: unreadable as parquet
+    assert(canon(Sketch.loadHist(spark, Seq("grp"), path)) == want01,
+      "a partial generation must be invisible to readers")
+    // the replayed batch 1 folds against the intact state and commits
+    Sketch.foldHist(spark, Seq("grp"),
+      Sketch.histBuild(b1, Seq("grp"), length(col("text"))), path, 1L)
+    assert(canon(Sketch.loadHist(spark, Seq("grp"), path)) ==
+      canon(Sketch.histBuild(all, Seq("grp"), length(col("text")))))
+    // older generations pruned after the commit
+    val gens = new java.io.File(path).listFiles
+      .filter(_.getName.startsWith("_gen-")).map(_.getName).toSet
+    assert(gens == Set("_gen-1"), s"gens=$gens")
+  }
+
   // ---- HLL --------------------------------------------------------------
 
   test("HLL: merge(build(A), build(B)) has register-identical state to " +
