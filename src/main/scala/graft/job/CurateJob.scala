@@ -27,6 +27,14 @@ import graft.pipeline.{Dedup, Sampling, TextOps}
  *                  (WindowGroupLimit partial top-n)
  *   7. write       curated rows + a per-stage funnel report
  *                  (<out>/_funnel.json) so every drop is accounted for
+ *   8. tokenizer   (--bpe-merges N) learn N BPE merges over the CURATED
+ *                  corpus via the batched learner (commuting merge
+ *                  batches per recount — TextOps.bpeLearnBatched) and
+ *                  write the tokenizer artifacts: `<out>/_bpe_merges`
+ *                  (the ordered merge table) and `<out>/_bpe_vocab`
+ *                  (piece, cnt, bpe_tokens under the learned merges) —
+ *                  the vocabulary-sized tables a training pipeline ships
+ *                  with the data
  *
  * Staging discipline (VERDICT r5 #2): every stage boundary is a DURABLE
  * parquet write under `<out>/stage_*` — the ExtractJob pattern — and the
@@ -41,7 +49,7 @@ import graft.pipeline.{Dedup, Sampling, TextOps}
  *
  * Usage: CurateJob <pagesDir> <outDir> [--eval <parquet with url,text>]
  *          [--quota N] [--min-quality Q] [--partitions N] [--warc]
- *          [--resume]
+ *          [--resume] [--bpe-merges N]
  */
 object CurateJob {
 
@@ -52,7 +60,8 @@ object CurateJob {
                               quotaPerLang: Int = 1000)
 
   def main(args: Array[String]): Unit = {
-    val valueFlags = Set("--quota", "--min-quality", "--partitions", "--eval")
+    val valueFlags = Set("--quota", "--min-quality", "--partitions", "--eval",
+      "--bpe-merges")
     // index-walking parse: a value-flag consumes exactly its next token,
     // so a flag VALUE that string-equals a positional can never swallow
     // the positional (indexOf-based filtering did)
@@ -70,7 +79,8 @@ object CurateJob {
     }
     require(pos.length >= 2,
       "usage: CurateJob <pagesDir> <outDir> [--eval <parquet>] [--quota N] " +
-        "[--min-quality Q] [--partitions N] [--warc] [--resume]")
+        "[--min-quality Q] [--partitions N] [--warc] [--resume] " +
+        "[--bpe-merges N]")
     val (pagesDir, outDir) = (pos(0), pos(1))
     def opt(flag: String): Option[String] =
       args.sliding(2).collectFirst { case Array(`flag`, v) => v }
@@ -93,7 +103,8 @@ object CurateJob {
     val funnel = run(spark, pagesDir, outDir, partitions, th,
       evalPath = opt("--eval"),
       warcInput = args.contains("--warc"),
-      resume = args.contains("--resume"))
+      resume = args.contains("--resume"),
+      bpeMerges = opt("--bpe-merges").map(_.toInt).getOrElse(0))
     println(funnel)
     spark.stop()
   }
@@ -164,7 +175,8 @@ object CurateJob {
           partitions: Int, th: Thresholds = Thresholds(),
           evalPath: Option[String] = None,
           warcInput: Boolean = false,
-          resume: Boolean = false): String = {
+          resume: Boolean = false,
+          bpeMerges: Int = 0): String = {
 
     // 1. extraction (the engine itself; durable, resumable, observed
     // metrics). On --resume a committed extraction stage is left
@@ -257,13 +269,34 @@ object CurateJob {
     }
 
     // 6. deterministic per-language stratified quota + 7. curated output
-    val (_, nFinal) = stage(spark, s"$outDir/curated", resume,
+    val (curated, nFinal) = stage(spark, s"$outDir/curated", resume,
       partitionCols = Seq("lang")) {
       Sampling.stratifiedQuota(decontamKeep,
         strataCols = Seq("lang"), idCol = "url", n = th.quotaPerLang)
         .withColumn("bpe_tokens", TextOps.bpeTokenCount(col("text")))
         .select(col("url"), col("warc_ts"), col("lang"), col("quality"),
           col("sample_rank"), col("bpe_tokens"), col("text"))
+    }
+
+    // 8. tokenizer artifacts over the CURATED corpus (what the model
+    // will actually train on): batched BPE learn (identical output to
+    // the sequential loop, O(merges/64) Spark rounds) + the segmented
+    // vocabulary. Both tables are vocabulary-sized; the merge list is
+    // the only driver-resident state.
+    if (bpeMerges > 0 && nFinal > 0) {
+      val pieces = curated
+        .select(explode(Dedup.tokens(col("text"))).as("piece"))
+        .where(col("piece").rlike("^[a-z]+$"))
+        .groupBy(col("piece")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true) // feeds the iterated learn AND the segment
+      val merges = TextOps.bpeLearnBatched(pieces, bpeMerges)
+      merges.write.mode(SaveMode.Overwrite).parquet(s"$outDir/_bpe_merges")
+      val ms = merges.orderBy(col("round")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextOps.bpeSegmentCounts(pieces.select(col("piece")), ms)
+        .join(pieces, Seq("piece"))
+        .select(col("piece"), col("cnt"), col("bpe_tokens"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/_bpe_vocab")
     }
 
     val funnel =

@@ -145,6 +145,46 @@ class CurateJobSpec extends AnyFunSuite {
     assert(rep == Set("test://contam/1"))
   }
 
+  test("--bpe-merges learns the tokenizer over the CURATED corpus via " +
+    "the batched learner and writes merge + segmented-vocab artifacts " +
+    "identical to the sequential loop") {
+    val tmp = java.nio.file.Files.createTempDirectory("curatebpe").toString
+    import spark.implicits._
+    val pages = (0 until 6).map(i => page(s"test://doc/$i", prose(i), i.toLong))
+    PageTableIO.write(spark.createDataset(pages).toDF(), s"$tmp/pages",
+      numBuckets = 2)
+    CurateJob.run(spark, s"$tmp/pages", s"$tmp/out", partitions = 4,
+      th = CurateJob.Thresholds(minQuality = 0.2, quotaPerLang = 10),
+      bpeMerges = 5)
+    val merges = spark.read.parquet(s"$tmp/out/_bpe_merges")
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(merges.size == 5)
+    assert(merges.map(_._1) == (1 to 5))
+    // the batched artifact equals the sequential learn over the same
+    // curated piece table
+    val pieces = spark.read.parquet(s"$tmp/out/curated")
+      .select(org.apache.spark.sql.functions.explode(
+        graft.pipeline.Dedup.tokens(col("text"))).as("piece"))
+      .where(col("piece").rlike("^[a-z]+$"))
+      .groupBy("piece").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("cnt"))
+    val sequential = graft.pipeline.TextOps.bpeLearn(pieces, 5)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(merges == sequential)
+    // segmented vocabulary: every piece present, counts carried, token
+    // counts within [1, piece length]
+    val vocab = spark.read.parquet(s"$tmp/out/_bpe_vocab")
+    assert(vocab.columns.toSet == Set("piece", "cnt", "bpe_tokens"))
+    assert(vocab.count() == pieces.count())
+    val bad = vocab.where(col("bpe_tokens") < 1 ||
+      col("bpe_tokens") > length(col("piece"))).count()
+    assert(bad == 0L)
+  }
+
   test("an empty funnel (every doc gated out) still completes and writes " +
     "the funnel report — the 0-row partitioned curated dir must not " +
     "crash the read-back") {
