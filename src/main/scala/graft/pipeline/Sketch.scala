@@ -235,6 +235,7 @@ object Sketch {
   def upsertHll(spark: org.apache.spark.sql.SparkSession,
                 groupCols: Seq[String], registers: DataFrame, p: Int,
                 path: String): Unit = {
+    requireNotFoldOwned(spark, path)
     val merged = if (!pathExists(spark, path)) registers else {
       val (old, oldP) = loadHll(spark, groupCols, path)
       require(oldP == p, s"sketch at $path has p=$oldP, ingest has p=$p")
@@ -360,6 +361,17 @@ object Sketch {
       old.join(touched, groupCols, "left_semi"))
   }
 
+  /** The batch-side upserts write FLAT overwrites; on a fold-owned
+    * (generation-layout) table that flat data would be INVISIBLE to
+    * readers (loads prefer the newest generation) — a silent no-op of a
+    * requested upsert. The ownership mix is a caller bug: fail loudly. */
+  private def requireNotFoldOwned(spark: org.apache.spark.sql.SparkSession,
+                                  path: String): Unit =
+    require(newestGen(spark, path).isEmpty,
+      s"sketch at $path is fold-owned (generation layout, written by " +
+        "foldHll/foldHist) — upserts would be invisible to readers; one " +
+        "table, one discipline")
+
   private def withFoldMark(df: DataFrame): DataFrame =
     if (df.columns.contains("folded_batch"))
       df.withColumn("folded_batch", coalesce(col("folded_batch"), lit(-1L)))
@@ -425,6 +437,7 @@ object Sketch {
   def upsertHist(spark: org.apache.spark.sql.SparkSession,
                  groupCols: Seq[String], hist: DataFrame,
                  path: String): Unit = {
+    requireNotFoldOwned(spark, path)
     val merged = if (!pathExists(spark, path)) hist else
       loadHist(spark, groupCols, path)
         .join(hist.select(groupCols.map(col): _*).distinct(),
@@ -552,6 +565,69 @@ object Sketch {
     a.unionByName(b)
       .groupBy((groupCols.map(col) :+ col("bucket") :+ col("sub")): _*)
       .agg(sum(col("cnt")).as("cnt"))
+
+  /** Persist a two-level histogram (+ sBits on every row — the read-off
+    * needs it, so a mismatched load must fail loudly, as p for HLL). */
+  def saveHist2(hist: DataFrame, groupCols: Seq[String], sBits: Int,
+                path: String): Unit =
+    withParams(hist.select((groupCols.map(col) :+ col("bucket") :+
+      col("sub") :+ col("cnt")): _*), Seq("sbits" -> sBits))
+      .write.mode("overwrite").parquet(path)
+
+  /** Load a persisted two-level histogram; returns (hist, sBits).
+    * Resolves the newest fold generation when fold-owned. */
+  def loadHist2(spark: org.apache.spark.sql.SparkSession,
+                groupCols: Seq[String], path: String): (DataFrame, Int) = {
+    val src = newestGen(spark, path).map(_._2).getOrElse(path)
+    val df = spark.read.parquet(src)
+    val Seq(s) = readParams(df, path, Seq("sbits"))
+    (df.select((groupCols.map(col) :+ col("bucket") :+ col("sub") :+
+      col("cnt")): _*), s)
+  }
+
+  /** Group upsert for persisted two-level histograms — the batch-side
+    * replace-groups discipline of upsertHist, with the sBits check. */
+  def upsertHist2(spark: org.apache.spark.sql.SparkSession,
+                  groupCols: Seq[String], hist: DataFrame, sBits: Int,
+                  path: String): Unit = {
+    requireNotFoldOwned(spark, path)
+    val cols = groupCols.map(col) :+ col("bucket") :+ col("sub") :+ col("cnt")
+    val merged = if (!pathExists(spark, path)) hist.select(cols: _*) else {
+      val (old, oldS) = loadHist2(spark, groupCols, path)
+      require(oldS == sBits,
+        s"sketch at $path has sbits=$oldS, ingest has sbits=$sBits")
+      old.join(hist.select(groupCols.map(col): _*).distinct(),
+        groupCols, "left_anti").unionByName(hist.select(cols: _*))
+    }
+    saveHist2(merged.localCheckpoint(true), groupCols, sBits, path)
+  }
+
+  /** Streaming fold for two-level histograms — counter-ADD behind the
+    * same per-group high-water mark and generation commit as foldHist. */
+  def foldHist2(spark: org.apache.spark.sql.SparkSession,
+                groupCols: Seq[String], hist: DataFrame, sBits: Int,
+                path: String, batchId: Long): Unit = {
+    val cols = groupCols.map(col) :+ col("bucket") :+ col("sub") :+ col("cnt")
+    val stamped = hist.select(cols: _*)
+      .withColumn("folded_batch", lit(batchId))
+    val merged = foldCurrent(spark, path) match {
+      case None => stamped
+      case Some(df) =>
+        val Seq(oldS) = readParams(df, path, Seq("sbits"))
+        require(oldS == sBits,
+          s"sketch at $path has sbits=$oldS, fold has sbits=$sBits")
+        val old = withFoldMark(df).select((cols :+ col("folded_batch")): _*)
+        val (fresh, untouched, touchedOld) =
+          hwmFilter(old, stamped, groupCols, batchId)
+        untouched.unionByName(
+          hist2Merge(touchedOld.select(cols: _*), fresh.select(cols: _*),
+            groupCols)
+            .withColumn("folded_batch", lit(batchId)))
+    }
+    commitFoldGen(spark, path, batchId,
+      withParams(merged.localCheckpoint(true)
+        .select((cols :+ col("folded_batch")): _*), Seq("sbits" -> sBits)))
+  }
 
   /** Quantile estimates from a (possibly merged) two-level histogram —
     * the (n−1)·q convention of histQuantiles over the finer

@@ -73,6 +73,46 @@ class SketchLifecycleSpec extends AnyFunSuite {
     }
   }
 
+  test("hist2 lifecycle: save/load round-trips counts and sBits, upsert " +
+    "replaces groups, fold accumulates behind the high-water mark, and " +
+    "parameter/ownership mixes fail loudly") {
+    import org.apache.spark.sql.functions.{col, length}
+    val all = corpus(0 until 300)
+    val h = Sketch.hist2Build(all, Seq("grp"), length(col("text")))
+    val upPath = tmp("h2up")
+    Sketch.saveHist2(h, Seq("grp"), 3, upPath)
+    val (loaded, s) = Sketch.loadHist2(spark, Seq("grp"), upPath)
+    assert(s == 3)
+    assert(canon(loaded) == canon(h))
+    // upsert: recomputing one group replaces only that group
+    val g0 = all.where(col("grp") === "g0")
+    Sketch.upsertHist2(spark, Seq("grp"),
+      Sketch.hist2Build(g0, Seq("grp"), length(col("text"))), 3, upPath)
+    assert(canon(Sketch.loadHist2(spark, Seq("grp"), upPath)._1) == canon(h))
+    intercept[IllegalArgumentException] {
+      Sketch.upsertHist2(spark, Seq("grp"),
+        Sketch.hist2Build(g0, Seq("grp"), length(col("text")), sBits = 4),
+        4, upPath)
+    }
+    // fold: batch halves accumulate to the full build; replay no-ops
+    val foldPath = tmp("h2fold")
+    val b0 = all.where(col("id") < 150)
+    val b1 = all.where(col("id") >= 150)
+    Sketch.foldHist2(spark, Seq("grp"),
+      Sketch.hist2Build(b0, Seq("grp"), length(col("text"))), 3, foldPath, 0L)
+    Sketch.foldHist2(spark, Seq("grp"),
+      Sketch.hist2Build(b1, Seq("grp"), length(col("text"))), 3, foldPath, 1L)
+    assert(canon(Sketch.loadHist2(spark, Seq("grp"), foldPath)._1) == canon(h))
+    Sketch.foldHist2(spark, Seq("grp"),
+      Sketch.hist2Build(b1, Seq("grp"), length(col("text"))), 3, foldPath, 1L)
+    assert(canon(Sketch.loadHist2(spark, Seq("grp"), foldPath)._1) == canon(h))
+    // an upsert against the fold-owned table is a loud error, not an
+    // invisible flat write
+    intercept[IllegalArgumentException] {
+      Sketch.upsertHist2(spark, Seq("grp"), h, 3, foldPath)
+    }
+  }
+
   // ---- streaming folds --------------------------------------------------
 
   test("foldHll/foldHist: batch-local folds accumulate to the full-corpus " +
