@@ -420,11 +420,8 @@ object SparkEntry {
       // the actual BPE merge loop (3 oracled rounds) over lowercase word
       // pieces: pair-count shuffle → deterministic top pair → greedy
       // leftmost merge, vocabulary-sized state per round
-      val pieces = docs(s, dir)
-        .select(explode(Dedup.tokens(col("text"))).as("piece"))
-        .where(col("piece").rlike("^[a-z]+$"))
-        .groupBy(col("piece")).agg(count(lit(1)).as("cnt"))
-      TextOps.bpeLearn(pieces, rounds = 3).orderBy(col("round"))
+      TextOps.bpeLearn(TextOps.bpePieces(docs(s, dir), col("text")),
+        rounds = 3).orderBy(col("round"))
     }),
 
     "q49_bpe_apply" -> ((s, dir) => {

@@ -278,34 +278,44 @@ object CurateJob {
           col("sample_rank"), col("bpe_tokens"), col("text"))
     }
 
-    // 8. tokenizer artifacts over the CURATED corpus (what the model
-    // will actually train on): batched BPE learn (identical output to
-    // the sequential loop, O(merges/64) Spark rounds) + the segmented
-    // vocabulary. Both tables are vocabulary-sized; the merge list is
-    // the only driver-resident state.
-    if (bpeMerges > 0 && nFinal > 0) {
-      val pieces = curated
-        .select(explode(Dedup.tokens(col("text"))).as("piece"))
-        .where(col("piece").rlike("^[a-z]+$"))
-        .groupBy(col("piece")).agg(count(lit(1)).as("cnt"))
-        .localCheckpoint(true) // feeds the iterated learn AND the segment
-      val merges = TextOps.bpeLearnBatched(pieces, bpeMerges)
-      merges.write.mode(SaveMode.Overwrite).parquet(s"$outDir/_bpe_merges")
-      val ms = merges.orderBy(col("round")).collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      TextOps.bpeSegmentCounts(pieces.select(col("piece")), ms)
-        .join(pieces, Seq("piece"))
-        .select(col("piece"), col("cnt"), col("bpe_tokens"))
-        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/_bpe_vocab")
-    }
-
+    // the funnel report commits BEFORE the (potentially long) tokenizer
+    // leg: a stage-8 failure must not lose the accounting artifact of an
+    // otherwise fully successful curation. Written through the output's
+    // Hadoop FileSystem (remote outDir-safe).
     val funnel =
       s"""{"extracted":$nExtracted,"after_exact_dedup":$nExact,""" +
         s""""after_near_dedup":$nNear,"after_quality":$nQuality,""" +
         s""""after_decontam":$nDecontam,"curated":$nFinal}"""
-    // through the output's Hadoop FileSystem: a remote outDir (hdfs://,
-    // s3a://) must not fail the funnel report at the very last step
     ExtractJob.writeTextFile(spark, s"$outDir/_funnel.json", funnel)
+
+    // 8. tokenizer artifacts over the CURATED corpus (what the model
+    // will actually train on): batched BPE learn (identical output to
+    // the sequential loop, O(merges/64) Spark rounds) + the segmented
+    // vocabulary. Both tables are vocabulary-sized; the merge list is
+    // the only driver-resident state. Same resume discipline as the
+    // funnel stages: both artifacts committed → skip the relearn
+    // (a crash between the two writes recomputes both, so they can
+    // never stay inconsistent with each other).
+    if (bpeMerges > 0) {
+      if (nFinal == 0)
+        System.err.println("curate: --bpe-merges requested but the " +
+          "curated corpus is empty — tokenizer artifacts skipped")
+      else if (resume && stageDone(spark, s"$outDir/_bpe_merges") &&
+        stageDone(spark, s"$outDir/_bpe_vocab"))
+        () // committed tokenizer artifacts survive the resume untouched
+      else {
+        val pieces = TextOps.bpePieces(curated, col("text"))
+          .localCheckpoint(true) // feeds the iterated learn AND the segment
+        val merges = TextOps.bpeLearnBatched(pieces, bpeMerges)
+        merges.write.mode(SaveMode.Overwrite).parquet(s"$outDir/_bpe_merges")
+        val ms = merges.orderBy(col("round")).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        TextOps.bpeSegmentCounts(pieces.select(col("piece")), ms)
+          .join(pieces, Seq("piece"))
+          .select(col("piece"), col("cnt"), col("bpe_tokens"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$outDir/_bpe_vocab")
+      }
+    }
     funnel
   }
 }

@@ -369,8 +369,8 @@ object Sketch {
                                   path: String): Unit =
     require(newestGen(spark, path).isEmpty,
       s"sketch at $path is fold-owned (generation layout, written by " +
-        "foldHll/foldHist) — upserts would be invisible to readers; one " +
-        "table, one discipline")
+        "foldHll/foldHist/foldHist2) — upserts would be invisible to " +
+        "readers; one table, one discipline")
 
   private def withFoldMark(df: DataFrame): DataFrame =
     if (df.columns.contains("folded_batch"))

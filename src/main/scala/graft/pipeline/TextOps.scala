@@ -76,6 +76,17 @@ object TextOps {
   private val BpeS = "\u0001"
   private val BpeE = "\u0002"
 
+  /** The canonical lowercase-word piece-count table the BPE learner and
+    * its oracled queries (q48/q49) start from: whitespace tokens
+    * filtered to ^[a-z]+$, collapsed to DISTINCT pieces with counts —
+    * the corpus-to-vocabulary collapse that keeps every learn round
+    * vocabulary-sized. One definition, so the learner, the production
+    * composition and the oracles cannot silently diverge. */
+  def bpePieces(df: DataFrame, textCol: Column): DataFrame =
+    df.select(explode(Dedup.tokens(textCol)).as("piece"))
+      .where(col("piece").rlike("^[a-z]+$"))
+      .groupBy(col("piece")).agg(count(lit(1)).as("cnt"))
+
   /** Delimiter-wrapped symbol sequences from the piece-count table. */
   private def bpeSeqs(pieces: DataFrame): DataFrame =
     pieces

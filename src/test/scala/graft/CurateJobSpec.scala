@@ -164,12 +164,8 @@ class CurateJobSpec extends AnyFunSuite {
     assert(merges.map(_._1) == (1 to 5))
     // the batched artifact equals the sequential learn over the same
     // curated piece table
-    val pieces = spark.read.parquet(s"$tmp/out/curated")
-      .select(org.apache.spark.sql.functions.explode(
-        graft.pipeline.Dedup.tokens(col("text"))).as("piece"))
-      .where(col("piece").rlike("^[a-z]+$"))
-      .groupBy("piece").agg(org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)).as("cnt"))
+    val pieces = graft.pipeline.TextOps.bpePieces(
+      spark.read.parquet(s"$tmp/out/curated"), col("text"))
     val sequential = graft.pipeline.TextOps.bpeLearn(pieces, 5)
       .orderBy("round").collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
