@@ -242,18 +242,36 @@ object TextOps {
    * segmentation table is computed once, not per document occurrence.
    */
   def bpeSegmentCounts(pieces: DataFrame,
-                       merges: Seq[(String, String)]): DataFrame = {
-    val S = "\u0001"
-    val E = "\u0002"
-    val wrapped = regexp_replace(col("piece"), "(.)", S + "$1" + E)
-    val applied = merges.foldLeft(wrapped) { case (c, (l, r)) =>
-      replace(c, lit(S + l + E + S + r + E), lit(S + l + r + E))
+                       merges: Seq[(String, String)],
+                       chunkSize: Int = 256): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    def cascade(c: Column, ms: Seq[(String, String)]): Column =
+      ms.foldLeft(c) { case (acc, (l, r)) =>
+        replace(acc, lit(BpeS + l + BpeE + BpeS + r + BpeE),
+          lit(BpeS + l + r + BpeE))
+      }
+    def finish(df: DataFrame, seqCol: Column): DataFrame =
+      df.select(col("piece"),
+        size(split(regexp_replace(seqCol, "^" + BpeS + "|" + BpeE + "$", ""),
+          BpeE + BpeS)).as("bpe_tokens"))
+    val base = pieces
+      .where(!col("piece").contains(BpeS) && !col("piece").contains(BpeE))
+    val wrapped = regexp_replace(col("piece"), "(.)", BpeS + "$1" + BpeE)
+    if (merges.length <= chunkSize)
+      finish(base, cascade(wrapped, merges)) // the lazy single-pass plan
+    else {
+      // a real tokenizer's 10k-50k merges folded into ONE expression
+      // would build a merge-count-deep Catalyst tree and overflow the
+      // analyzer around a few thousand nodes: apply in chunks with an
+      // eager vocabulary-sized materialization resetting plan depth
+      var cur = base.select(col("piece"), wrapped.as("__seq"))
+      merges.grouped(chunkSize).foreach { chunk =>
+        cur = cur
+          .select(col("piece"), cascade(col("__seq"), chunk).as("__seq"))
+          .localCheckpoint(true)
+      }
+      finish(cur, col("__seq"))
     }
-    pieces
-      .where(!col("piece").contains(S) && !col("piece").contains(E))
-      .select(col("piece"),
-        size(split(regexp_replace(applied, "^" + S + "|" + E + "$", ""),
-          E + S)).as("bpe_tokens"))
   }
 
   /**

@@ -177,6 +177,41 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeSegmentCounts applies LONG merge lists in chunks — no " +
+    "analyzer blow-up at tokenizer-scale cascades, semantics identical " +
+    "to the in-memory greedy replay") {
+    // in-memory reference: apply each merge once, greedy leftmost, in
+    // order (the same loop naive()'s merge step uses)
+    def naiveSeg(piece: String, merges: Seq[(String, String)]): Int = {
+      var syms = piece.map(_.toString).toVector
+      merges.foreach { case (l, r) =>
+        val merged = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            merged += (l + r); i += 2
+          } else { merged += syms(i); i += 1 }
+        }
+        syms = merged.result()
+      }
+      syms.length
+    }
+    val rnd = new scala.util.Random(13)
+    val pieceList = (0 until 50)
+      .map(_ => Seq.fill(1 + rnd.nextInt(10))(('a' + rnd.nextInt(3)).toChar)
+        .mkString).distinct
+    // 600 merges over an evolving symbol space — duplicates and no-ops
+    // included, exercising three chunk boundaries at chunkSize=100
+    val space = Seq("a", "b", "c", "ab", "bc", "aa", "abc", "ca", "bca")
+    val longMerges = (0 until 600).map { _ =>
+      (space(rnd.nextInt(space.length)), space(rnd.nextInt(space.length)))
+    }
+    val got = TextOps.bpeSegmentCounts(pieceList.toDF("piece"), longMerges,
+      chunkSize = 100)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == pieceList.map(p => p -> naiveSeg(p, longMerges)).toMap)
+  }
+
   test("bpeLearnBatched learns 100+ merges over a realistic vocabulary " +
     "in few Spark rounds, matching the sequential reference") {
     // ~hundreds of distinct word pieces with Zipf-ish counts — the shape
