@@ -181,6 +181,29 @@ class CurateJobSpec extends AnyFunSuite {
     assert(bad == 0L)
   }
 
+  test("TokenizerJob: standalone tokenizer training over any text table " +
+    "writes the same artifacts as CurateJob stage 8") {
+    val tmp = java.nio.file.Files.createTempDirectory("tokjob").toString
+    import spark.implicits._
+    (0 until 6).map(i => (s"doc$i", prose(i))).toDF("url", "text")
+      .write.parquet(s"$tmp/docs")
+    val json = graft.job.TokenizerJob.run(spark, s"$tmp/docs", s"$tmp/out",
+      merges = 5, batchK = 64)
+    assert(json.contains("\"merges_learned\":5"), json)
+    val merges = spark.read.parquet(s"$tmp/out/_bpe_merges")
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    val sequential = graft.pipeline.TextOps.bpeLearn(
+      graft.pipeline.TextOps.bpePieces(
+        spark.read.parquet(s"$tmp/docs"), col("text")), 5)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(merges == sequential)
+    assert(spark.read.parquet(s"$tmp/out/_bpe_vocab").count() > 0)
+  }
+
   test("an empty funnel (every doc gated out) still completes and writes " +
     "the funnel report — the 0-row partitioned curated dir must not " +
     "crash the read-back") {
