@@ -281,6 +281,16 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("inter"), col("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    "q53_prefix_jaccard" -> ((s, dir) =>
+      // prefix-filtering set-similarity join (ssjoin/PPJoin family):
+      // exact shingle-set Jaccard with the principled no-false-negative
+      // candidate bound — candidates key on each set's RAREST elements
+      // under a global (df, element) order, never an arbitrary df cap
+      // (q16's stop-shingle cap can drop qualifying pairs; this cannot)
+      Dedup.prefixJaccardJoin(docs(s, dir), "doc_id", "text",
+        threshold = 0.5, n = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+
     "q17_minhash_lsh" -> ((s, dir) => {
       // md5Hash60 shingle hashes so DuckDB reproduces the exact minhash
       // signatures (band-bucket equality is value-dependent)
@@ -1028,6 +1038,44 @@ object SparkEntry {
       s"""WITH $sqlJaccardCtes
          |SELECT id_a, id_b, inter, jaccard FROM jpairs
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // prefix filtering over 3-gram shingle sets: rank each doc's
+    // distinct shingles under the global (df asc, element asc) order;
+    // only ranks ≤ sz − ceil(t·sz) + 1 enter the candidate self-join
+    // (no false negatives at Jaccard ≥ t); verify = exact postings-join
+    // intersection. ceil over doubles is IEEE-identical cross-engine.
+    "q53_prefix_jaccard" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+        |    THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+        |    ELSE [array_to_string(t, ' ')] END) AS s
+        |  FROM t0),
+        |toks AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+        |tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        |dfc AS (SELECT tok, count(*) AS tdf FROM tk GROUP BY tok),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM tk GROUP BY doc_id),
+        |rk AS (SELECT tk.doc_id, tk.tok,
+        |         row_number() OVER (PARTITION BY tk.doc_id
+        |                            ORDER BY dfc.tdf ASC, tk.tok ASC) AS rk
+        |       FROM tk JOIN dfc USING (tok)),
+        |pre AS (SELECT rk.doc_id, rk.tok FROM rk JOIN sz USING (doc_id)
+        |        WHERE rk <= sz - ceil(0.5 * sz) + 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM pre a JOIN pre b
+        |           ON a.tok = b.tok AND a.doc_id < b.doc_id),
+        |iv AS (SELECT id_a, id_b, count(*) AS inter
+        |       FROM cand JOIN tk ta ON ta.doc_id = id_a
+        |                 JOIN tk tb ON tb.doc_id = id_b AND tb.tok = ta.tok
+        |       GROUP BY id_a, id_b),
+        |j AS (SELECT id_a, id_b, iv.inter,
+        |        iv.inter::DOUBLE / (sa.sz + sb.sz - iv.inter) AS jac
+        |      FROM iv JOIN sz sa ON sa.doc_id = id_a
+        |              JOIN sz sb ON sb.doc_id = id_b)
+        |SELECT id_a, id_b, inter::BIGINT AS inter, round(jac, 4) AS jaccard
+        |FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin,
 
     // The engine's own E1→E16 pipeline on synthesized single-article pages
     // reduces to whitespace normalization of the payload text (every doc is

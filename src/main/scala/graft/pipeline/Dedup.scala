@@ -593,6 +593,72 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  // ---- prefix-filtering set-similarity join (ssjoin / PPJoin family) ---
+
+  /**
+   * Exact token-set Jaccard self-join via PREFIX FILTERING (the
+   * ssjoin/PPJoin family): under a GLOBAL token order (document
+   * frequency ascending, then token — rarest first), two sets with
+   * J(A,B) ≥ t must share at least one token within their first
+   * |x| − ⌈t·|x|⌉ + 1 tokens under that order — if all of A's ≥ ⌈t·|A|⌉
+   * shared tokens sat past its prefix, they could not fit in the
+   * remaining ⌈t·|A|⌉ − 1 positions. Only those PREFIX tokens enter the
+   * candidate self-join. Versus ngramJaccard's stop-shingle df-cap this
+   * is the principled bound: NO false negatives at any threshold (the
+   * cap drops qualifying pairs whose only shared shingles are frequent),
+   * and the candidate join keys on each set's RAREST tokens — the
+   * shortest posting lists — instead of an arbitrary cutoff. Candidates
+   * carry ids only; the exact-Jaccard verify re-joins the token
+   * postings by id.
+   *
+   * Plan shape: one df-count shuffle, one per-doc window (rank under the
+   * global order), the prefix-postings self-join, and the postings-join
+   * verify — every join a bounded equi-join, no pairwise scan.
+   */
+  /** @param n set elements: 1 = word tokens, ≥2 = word n-gram shingles.
+    *          Pick the element space to match the corpus: a corpus with
+    *          a small shared vocabulary makes every token SET similar
+    *          (50%+ of all pairs qualify — a result-size explosion no
+    *          join strategy fixes), while n-grams keep sets
+    *          discriminative. */
+  def prefixJaccardJoin(df: DataFrame, idCol: String, textCol: String,
+                        threshold: Double = 0.6, n: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val elems =
+      if (n <= 1) tokens(col(textCol)) else shingles(col(textCol), n)
+    // distinct elements per doc (set semantics), materialized once: the
+    // df-count, the prefix ranking and the verify all consume them
+    val toks = df.select(col(idCol).as("id"),
+        explode(array_distinct(elems)).as("tok"))
+      .where(col("tok") =!= "")
+      .localCheckpoint(true)
+    val dfc = toks.groupBy(col("tok")).agg(count(lit(1)).as("tdf"))
+    val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val prefix = toks.join(dfc, Seq("tok"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("tdf").asc, col("tok").asc)))
+      .join(sizes, Seq("id"))
+      .where(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("tok"), col("id"))
+    val cand = prefix.select(col("tok"), col("id").as("id_a"))
+      .join(prefix.select(col("tok"), col("id").as("id_b")), Seq("tok"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(toks.select(col("id").as("id_a"), col("tok")), Seq("id_a"))
+      .join(toks.select(col("id").as("id_b"), col("tok")), Seq("id_b", "tok"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"),
+        round(col("jaccard"), 4).as("jaccard"))
+  }
+
   // ---- cross-doc repeated spans (exact-substring contamination) --------
 
   /**

@@ -95,6 +95,57 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(uncapped.exists(p => p._1 == 3L || p._2 == 3L)) // proves the cap did it
   }
 
+  test("prefix jaccard join: NO false negatives — agrees exactly with a " +
+    "brute-force all-pairs Jaccard on random corpora at every threshold, " +
+    "and finds the stop-shingle-only pair the df-cap drops") {
+    // the theorem under test: under the global (df, element) order, a
+    // pair with J >= t always shares a PREFIX element, so the candidate
+    // join misses nothing — unlike the q16 maxDf heuristic
+    def brute(rows: Seq[(Long, String)], t: Double, n: Int): Set[(Long, Long, Long, Double)] = {
+      def set(s: String): Set[String] = {
+        val toks = s.trim.toLowerCase.split("[ \t\n\f\r]+").toSeq.filter(_.nonEmpty)
+        val e =
+          if (n <= 1) toks
+          else if (toks.length >= n) toks.sliding(n).map(_.mkString(" ")).toSeq
+          else Seq(toks.mkString(" "))
+        e.filter(_.nonEmpty).toSet
+      }
+      (for {
+        (ia, ta) <- rows; (ib, tb) <- rows if ia < ib
+        sa = set(ta); sb = set(tb)
+        inter = (sa & sb).size if sa.nonEmpty && sb.nonEmpty
+        j = inter.toDouble / (sa.size + sb.size - inter) if j >= t
+      } yield (ia, ib, inter.toLong,
+        BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    }
+    val rnd = new scala.util.Random(29)
+    val words = (0 until 12).map(i => s"w$i")
+    (0 until 3).foreach { trial =>
+      val rows = (0L until 14L).map { i =>
+        (i, Seq.fill(3 + rnd.nextInt(12))(words(rnd.nextInt(words.length)))
+          .mkString(" "))
+      }
+      for (t <- Seq(0.3, 0.6, 0.9); n <- Seq(1, 3)) {
+        val got = Dedup.prefixJaccardJoin(docsDf(rows), "doc_id", "text",
+          threshold = t, n = n)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+          .toSet
+        assert(got == brute(rows, t, n),
+          s"trial $trial t=$t n=$n rows=$rows")
+      }
+    }
+    // the pair q16's df-cap drops (linked only by a corpus-wide stop
+    // shingle) IS found here: prefix filtering has no stop-element cap
+    val stop = "common common common"
+    val df = docsDf(Seq(
+      (3L, s"$stop aaa bbb ccc ddd"), (4L, s"$stop eee fff ggg hhh")))
+    val pairs = Dedup.prefixJaccardJoin(df, "doc_id", "text",
+      threshold = 0.05, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((3L, 4L)))
+  }
+
   test("simhash quarter-pair blocking (maxDist<=2) finds planted near-dup " +
     "with 32-bit keys") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
