@@ -1040,10 +1040,15 @@ object SparkEntry {
          |ORDER BY id_a, id_b""".stripMargin,
 
     // prefix filtering over 3-gram shingle sets: rank each doc's
-    // distinct shingles under the global (df asc, element asc) order;
-    // only ranks ≤ sz − ceil(t·sz) + 1 enter the candidate self-join
-    // (no false negatives at Jaccard ≥ t); verify = exact postings-join
-    // intersection. ceil over doubles is IEEE-identical cross-engine.
+    // distinct shingles under a global (df asc, element asc) order; only
+    // ranks ≤ sz − floor(t·sz) + 1 enter the candidate self-join (floor,
+    // not ceil: a float product landing epsilon above an integer makes
+    // ceil overshoot and the prefix one element too short — a silent
+    // false negative; floor errs only longer, which the exact verify
+    // absorbs). The Spark side ranks its own KERNEL HASH elements — the
+    // prefix lemma holds under ANY total order and the verified output
+    // is candidate-independent, so the engines may rank differently and
+    // still hash-match (the q16/q26 hash-equality precedent).
     "q53_prefix_jaccard" ->
       """WITH t0 AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
@@ -1053,8 +1058,7 @@ object SparkEntry {
         |    THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
         |    ELSE [array_to_string(t, ' ')] END) AS s
         |  FROM t0),
-        |toks AS (SELECT doc_id, unnest(s) AS tok FROM sh),
-        |tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        |tk AS (SELECT doc_id, unnest(s) AS tok FROM sh),
         |dfc AS (SELECT tok, count(*) AS tdf FROM tk GROUP BY tok),
         |sz AS (SELECT doc_id, count(*) AS sz FROM tk GROUP BY doc_id),
         |rk AS (SELECT tk.doc_id, tk.tok,
@@ -1062,7 +1066,7 @@ object SparkEntry {
         |                            ORDER BY dfc.tdf ASC, tk.tok ASC) AS rk
         |       FROM tk JOIN dfc USING (tok)),
         |pre AS (SELECT rk.doc_id, rk.tok FROM rk JOIN sz USING (doc_id)
-        |        WHERE rk <= sz - ceil(0.5 * sz) + 1),
+        |        WHERE rk <= sz - floor(0.5 * sz) + 1),
         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |         FROM pre a JOIN pre b
         |           ON a.tok = b.tok AND a.doc_id < b.doc_id),

@@ -60,23 +60,13 @@ object CurateJob {
                               quotaPerLang: Int = 1000)
 
   def main(args: Array[String]): Unit = {
-    val valueFlags = Set("--quota", "--min-quality", "--partitions", "--eval",
-      "--bpe-merges")
-    // index-walking parse: a value-flag consumes exactly its next token,
-    // so a flag VALUE that string-equals a positional can never swallow
-    // the positional (indexOf-based filtering did)
-    val pos = scala.collection.mutable.ArrayBuffer[String]()
-    var i = 0
-    while (i < args.length) {
-      if (valueFlags.contains(args(i))) {
-        require(i + 1 < args.length && !args(i + 1).startsWith("--"),
-          s"${args(i)} requires a value")
-        i += 2
-      } else {
-        if (!args(i).startsWith("--")) pos += args(i)
-        i += 1
-      }
-    }
+    val pos = JobArgs.parse(args,
+      valueFlags = Set("--quota", "--min-quality", "--partitions", "--eval",
+        "--bpe-merges"),
+      boolFlags = Set("--warc", "--resume"),
+      usage = "usage: CurateJob <pagesDir> <outDir> [--eval <parquet>] " +
+        "[--quota N] [--min-quality Q] [--partitions N] [--warc] " +
+        "[--resume] [--bpe-merges N]")
     require(pos.length >= 2,
       "usage: CurateJob <pagesDir> <outDir> [--eval <parquet>] [--quota N] " +
         "[--min-quality Q] [--partitions N] [--warc] [--resume] " +
@@ -306,14 +296,10 @@ object CurateJob {
       else {
         val pieces = TextOps.bpePieces(curated, col("text"))
           .localCheckpoint(true) // feeds the iterated learn AND the segment
-        val merges = TextOps.bpeLearnBatched(pieces, bpeMerges)
-        merges.write.mode(SaveMode.Overwrite).parquet(s"$outDir/_bpe_merges")
-        val ms = merges.orderBy(col("round")).collect()
-          .map(r => (r.getString(1), r.getString(2))).toSeq
-        TextOps.bpeSegmentCounts(pieces.select(col("piece")), ms)
-          .join(pieces, Seq("piece"))
-          .select(col("piece"), col("cnt"), col("bpe_tokens"))
-          .write.mode(SaveMode.Overwrite).parquet(s"$outDir/_bpe_vocab")
+        // artifact layout shared with the standalone TokenizerJob — one
+        // definition, the two entry points cannot drift apart
+        TokenizerJob.writeArtifacts(spark, pieces,
+          TextOps.bpeLearnBatched(pieces, bpeMerges), outDir)
       }
     }
     funnel

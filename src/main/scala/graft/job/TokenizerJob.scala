@@ -26,21 +26,11 @@ import graft.pipeline.TextOps
 object TokenizerJob {
 
   def main(args: Array[String]): Unit = {
-    // index-walking parse (the CurateJob discipline): a value-flag
-    // consumes exactly its next token
-    val valueFlags = Set("--merges", "--batch", "--text-col")
-    val pos = scala.collection.mutable.ArrayBuffer[String]()
-    var i = 0
-    while (i < args.length) {
-      if (valueFlags.contains(args(i))) {
-        require(i + 1 < args.length && !args(i + 1).startsWith("--"),
-          s"${args(i)} requires a value")
-        i += 2
-      } else {
-        if (!args(i).startsWith("--")) pos += args(i)
-        i += 1
-      }
-    }
+    val pos = JobArgs.parse(args,
+      valueFlags = Set("--merges", "--batch", "--text-col"),
+      boolFlags = Set.empty,
+      usage = "usage: TokenizerJob <docsParquet> <outDir> [--merges N] " +
+        "[--batch K] [--text-col c]")
     require(pos.length >= 2,
       "usage: TokenizerJob <docsParquet> <outDir> [--merges N] [--batch K] " +
         "[--text-col c]")
@@ -62,7 +52,11 @@ object TokenizerJob {
     spark.stop()
   }
 
-  /** Runs learn + segment, writes both artifacts, returns the JSON line. */
+  /** Runs learn + segment, writes both artifacts, returns the JSON line.
+    * Timing scope: `learn_sec` (and the merges/sec headline) covers the
+    * batched learn ALONE — bpeLearnBatched runs its rounds eagerly, so
+    * it is complete when the call returns; corpus tokenization +
+    * vocabulary materialization are reported separately as `prep_sec`. */
   def run(spark: SparkSession, docsPath: String, outDir: String,
           merges: Int, batchK: Int = 64, textCol: String = "text"): String = {
     val t0 = System.nanoTime()
@@ -70,16 +64,30 @@ object TokenizerJob {
       spark.read.parquet(docsPath).select(col(textCol)), col(textCol))
       .localCheckpoint(true) // feeds the iterated learn AND the segment
     val nPieces = pieces.count()
+    val tPrep = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
     val learned = TextOps.bpeLearnBatched(pieces, merges, batchK)
+    val nLearned = learned.count() // eager by construction; count is free
+    val tLearn = (System.nanoTime() - t1) / 1e9
+    writeArtifacts(spark, pieces, learned, outDir)
+    val tTotal = (System.nanoTime() - t0) / 1e9
+    f"""{"metric":"bpe_merges_per_sec","value":${nLearned / tLearn}%.1f,"unit":"merges/sec","pieces":$nPieces,"merges_learned":$nLearned,"batch_k":$batchK,"prep_sec":$tPrep%.2f,"learn_sec":$tLearn%.2f,"total_sec":$tTotal%.2f}"""
+  }
+
+  /** The ONE definition of the tokenizer artifact layout, shared by this
+    * job and CurateJob stage 8: `<out>/_bpe_merges` (ordered merge
+    * table) + `<out>/_bpe_vocab` (piece, cnt, bpe_tokens segmented once
+    * under the learned cascade). */
+  private[job] def writeArtifacts(spark: SparkSession,
+                                  pieces: org.apache.spark.sql.DataFrame,
+                                  learned: org.apache.spark.sql.DataFrame,
+                                  outDir: String): Unit = {
     learned.write.mode(SaveMode.Overwrite).parquet(s"$outDir/_bpe_merges")
     val ms = learned.orderBy(col("round")).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
-    val tLearn = (System.nanoTime() - t0) / 1e9
     TextOps.bpeSegmentCounts(pieces.select(col("piece")), ms)
       .join(pieces, Seq("piece"))
       .select(col("piece"), col("cnt"), col("bpe_tokens"))
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/_bpe_vocab")
-    val tTotal = (System.nanoTime() - t0) / 1e9
-    f"""{"metric":"bpe_merges_per_sec","value":${ms.size / tLearn}%.1f,"unit":"merges/sec","pieces":$nPieces,"merges_learned":${ms.size},"batch_k":$batchK,"learn_sec":$tLearn%.2f,"total_sec":$tTotal%.2f}"""
   }
 }

@@ -596,41 +596,61 @@ object Dedup {
   // ---- prefix-filtering set-similarity join (ssjoin / PPJoin family) ---
 
   /**
-   * Exact token-set Jaccard self-join via PREFIX FILTERING (the
-   * ssjoin/PPJoin family): under a GLOBAL token order (document
-   * frequency ascending, then token — rarest first), two sets with
-   * J(A,B) ≥ t must share at least one token within their first
-   * |x| − ⌈t·|x|⌉ + 1 tokens under that order — if all of A's ≥ ⌈t·|A|⌉
-   * shared tokens sat past its prefix, they could not fit in the
-   * remaining ⌈t·|A|⌉ − 1 positions. Only those PREFIX tokens enter the
-   * candidate self-join. Versus ngramJaccard's stop-shingle df-cap this
-   * is the principled bound: NO false negatives at any threshold (the
-   * cap drops qualifying pairs whose only shared shingles are frequent),
-   * and the candidate join keys on each set's RAREST tokens — the
-   * shortest posting lists — instead of an arbitrary cutoff. Candidates
-   * carry ids only; the exact-Jaccard verify re-joins the token
-   * postings by id.
+   * Exact set-similarity Jaccard self-join via PREFIX FILTERING (the
+   * ssjoin/PPJoin family): under a GLOBAL element order (document
+   * frequency ascending, then element — rarest first), two sets with
+   * J(A,B) ≥ t must share at least one element within their first
+   * |x| − ⌈t·|x|⌉ + 1 elements under that order — if all of A's
+   * ≥ ⌈t·|A|⌉ shared elements sat past its prefix, they could not fit
+   * in the remaining ⌈t·|A|⌉ − 1 positions. Only those PREFIX elements
+   * enter the candidate self-join. Versus ngramJaccard's stop-shingle
+   * df-cap this is the principled bound: NO false negatives at any
+   * threshold in (0, 1] (the cap drops qualifying pairs whose only
+   * shared shingles are frequent), and the candidate join keys on each
+   * set's RAREST elements — the shortest posting lists — instead of an
+   * arbitrary cutoff. Candidates carry ids only; the exact-Jaccard
+   * verify re-joins the element postings by id.
+   *
+   * Set elements are the KERNEL shingle hashes (8-byte postings through
+   * every shuffle, codegen shingling — never the interpreted HOF
+   * shingles or full n-gram strings), which is sound because every use
+   * is element EQUALITY: candidates, the intersection count, and the
+   * per-engine (df, element) order — the prefix lemma holds under ANY
+   * total order, so the q53 oracle may rank its own string elements and
+   * still produce the identical verified output (the q16/q26
+   * hash-EQUALITY precedent).
+   *
+   * The prefix length is computed as |x| − floor(t·|x|) + 1: under
+   * floating-point, ceil(t·|x|) can EXCEED the exact ceiling when the
+   * product lands epsilon above an integer (0.035·200 =
+   * 7.000000000000001 → ceil 8), silently shortening the prefix below
+   * the no-false-negative bound; floor errs only toward a LONGER prefix
+   * (at most one extra element per set) under any rounding, which the
+   * exact verify absorbs.
    *
    * Plan shape: one df-count shuffle, one per-doc window (rank under the
    * global order), the prefix-postings self-join, and the postings-join
    * verify — every join a bounded equi-join, no pairwise scan.
+   *
+   * @param n set elements: 1 = word tokens, ≥2 = word n-gram shingles.
+   *          Pick the element space to match the corpus: a corpus with
+   *          a small shared vocabulary makes every token SET similar
+   *          (50%+ of all pairs qualify — a result-size explosion no
+   *          join strategy fixes), while n-grams keep sets
+   *          discriminative.
    */
-  /** @param n set elements: 1 = word tokens, ≥2 = word n-gram shingles.
-    *          Pick the element space to match the corpus: a corpus with
-    *          a small shared vocabulary makes every token SET similar
-    *          (50%+ of all pairs qualify — a result-size explosion no
-    *          join strategy fixes), while n-grams keep sets
-    *          discriminative. */
   def prefixJaccardJoin(df: DataFrame, idCol: String, textCol: String,
-                        threshold: Double = 0.6, n: Int = 1): DataFrame = {
+                        threshold: Double = 0.6, n: Int = 1,
+                        algo: String = AlgoXx64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val elems =
-      if (n <= 1) tokens(col(textCol)) else shingles(col(textCol), n)
-    // distinct elements per doc (set semantics), materialized once: the
-    // df-count, the prefix ranking and the verify all consume them
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold=$threshold outside (0, 1]: at 0 every disjoint pair " +
+        "qualifies by definition and no postings join can produce it")
+    // distinct element hashes per doc (set semantics), materialized
+    // once: the df-count, the prefix ranking and the verify all consume
+    // them
     val toks = df.select(col(idCol).as("id"),
-        explode(array_distinct(elems)).as("tok"))
-      .where(col("tok") =!= "")
+        explode(shingleHashes(col(textCol), n, algo)).as("tok"))
       .localCheckpoint(true)
     val dfc = toks.groupBy(col("tok")).agg(count(lit(1)).as("tdf"))
     val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("sz"))
@@ -638,7 +658,7 @@ object Dedup {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("tdf").asc, col("tok").asc)))
       .join(sizes, Seq("id"))
-      .where(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .where(col("rk") <= col("sz") - floor(lit(threshold) * col("sz")) + 1)
       .select(col("tok"), col("id"))
     val cand = prefix.select(col("tok"), col("id").as("id_a"))
       .join(prefix.select(col("tok"), col("id").as("id_b")), Seq("tok"))

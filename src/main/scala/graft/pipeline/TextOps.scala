@@ -113,13 +113,18 @@ object TextOps {
 
   /** Apply a set of (involved-symbol-disjoint) merges in one replace
     * cascade and re-aggregate. */
-  private def bpeApplyMerges(seqs: DataFrame,
-                             ms: Seq[(String, String)]): DataFrame = {
-    val applied = ms.foldLeft(col("seq")) { case (c, (l, r)) =>
-      replace(c, lit(BpeS + l + BpeE + BpeS + r + BpeE),
+  /** The ONE definition of the greedy-leftmost merge cascade (literal
+    * replace over delimiter-wrapped symbols — CLAUDE.md pins these
+    * semantics as load-bearing); learn and apply both fold through it. */
+  private def bpeCascade(c: Column, ms: Seq[(String, String)]): Column =
+    ms.foldLeft(c) { case (acc, (l, r)) =>
+      replace(acc, lit(BpeS + l + BpeE + BpeS + r + BpeE),
         lit(BpeS + l + r + BpeE))
     }
-    seqs.select(applied.as("seq"), col("cnt"))
+
+  private def bpeApplyMerges(seqs: DataFrame,
+                             ms: Seq[(String, String)]): DataFrame = {
+    seqs.select(bpeCascade(col("seq"), ms).as("seq"), col("cnt"))
       .groupBy(col("seq")).agg(sum(col("cnt")).as("cnt"))
       .localCheckpoint(true)
   }
@@ -245,11 +250,6 @@ object TextOps {
                        merges: Seq[(String, String)],
                        chunkSize: Int = 256): DataFrame = {
     require(chunkSize > 0, "chunkSize must be positive")
-    def cascade(c: Column, ms: Seq[(String, String)]): Column =
-      ms.foldLeft(c) { case (acc, (l, r)) =>
-        replace(acc, lit(BpeS + l + BpeE + BpeS + r + BpeE),
-          lit(BpeS + l + r + BpeE))
-      }
     def finish(df: DataFrame, seqCol: Column): DataFrame =
       df.select(col("piece"),
         size(split(regexp_replace(seqCol, "^" + BpeS + "|" + BpeE + "$", ""),
@@ -258,19 +258,22 @@ object TextOps {
       .where(!col("piece").contains(BpeS) && !col("piece").contains(BpeE))
     val wrapped = regexp_replace(col("piece"), "(.)", BpeS + "$1" + BpeE)
     if (merges.length <= chunkSize)
-      finish(base, cascade(wrapped, merges)) // the lazy single-pass plan
+      finish(base, bpeCascade(wrapped, merges)) // the lazy single-pass plan
     else {
       // a real tokenizer's 10k-50k merges folded into ONE expression
       // would build a merge-count-deep Catalyst tree and overflow the
       // analyzer around a few thousand nodes: apply in chunks with an
-      // eager vocabulary-sized materialization resetting plan depth
+      // eager vocabulary-sized materialization BETWEEN chunks resetting
+      // plan depth (the final chunk rides the lazy finish pass — a
+      // trailing checkpoint would buy no depth reset)
+      val chunks = merges.grouped(chunkSize).toSeq
       var cur = base.select(col("piece"), wrapped.as("__seq"))
-      merges.grouped(chunkSize).foreach { chunk =>
+      chunks.dropRight(1).foreach { chunk =>
         cur = cur
-          .select(col("piece"), cascade(col("__seq"), chunk).as("__seq"))
+          .select(col("piece"), bpeCascade(col("__seq"), chunk).as("__seq"))
           .localCheckpoint(true)
       }
-      finish(cur, col("__seq"))
+      finish(cur, bpeCascade(col("__seq"), chunks.last))
     }
   }
 

@@ -102,18 +102,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     // pair with J >= t always shares a PREFIX element, so the candidate
     // join misses nothing — unlike the q16 maxDf heuristic
     def brute(rows: Seq[(Long, String)], t: Double, n: Int): Set[(Long, Long, Long, Double)] = {
+      // element sets exactly as Dedup.shingles produces them (the kernel
+      // hashes these strings; hash equality ≡ string equality at 64-bit
+      // collision odds): space-trim, lowercase, ws-class split keeping
+      // empties, n-windows with the <n concat fallback, distinct
       def set(s: String): Set[String] = {
-        val toks = s.trim.toLowerCase.split("[ \t\n\f\r]+").toSeq.filter(_.nonEmpty)
+        val toks = s.toLowerCase
+          .replaceAll("^ +| +$", "").split("[ \t\n\f\r]+", -1).toSeq
         val e =
-          if (n <= 1) toks
-          else if (toks.length >= n) toks.sliding(n).map(_.mkString(" ")).toSeq
+          if (toks.length >= n) toks.sliding(n).map(_.mkString(" ")).toSeq
           else Seq(toks.mkString(" "))
-        e.filter(_.nonEmpty).toSet
+        e.toSet
       }
       (for {
         (ia, ta) <- rows; (ib, tb) <- rows if ia < ib
         sa = set(ta); sb = set(tb)
-        inter = (sa & sb).size if sa.nonEmpty && sb.nonEmpty
+        inter = (sa & sb).size
         j = inter.toDouble / (sa.size + sb.size - inter) if j >= t
       } yield (ia, ib, inter.toLong,
         BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
