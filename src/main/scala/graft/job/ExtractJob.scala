@@ -45,23 +45,12 @@ import graft.extract.{Extracted, Extractor, Page}
 object ExtractJob {
 
   def main(args: Array[String]): Unit = {
-    val valueFlags = Set("--partitions", "--dedup-index", "--profile-sketches")
-    // index-walking parse: each value flag consumes exactly its next
-    // token (indexOf-based filtering dropped a genuine positional when a
-    // flag VALUE string-equalled it), and a trailing valueless flag is a
-    // loud error, not a no-op
-    val pos = scala.collection.mutable.ArrayBuffer[String]()
-    var argI = 0
-    while (argI < args.length) {
-      if (valueFlags.contains(args(argI))) {
-        require(argI + 1 < args.length && !args(argI + 1).startsWith("--"),
-          s"${args(argI)} requires a value")
-        argI += 2
-      } else {
-        if (!args(argI).startsWith("--")) pos += args(argI)
-        argI += 1
-      }
-    }
+    val pos = JobArgs.parse(args,
+      valueFlags = Set("--partitions", "--dedup-index", "--profile-sketches"),
+      boolFlags = Set("--resume", "--warc", "--warc-splits"),
+      usage = "usage: ExtractJob <pagesDir|warcGlob> <outDir> [--resume] " +
+        "[--warc|--warc-splits] [--partitions N] [--dedup-index <path>] " +
+        "[--profile-sketches <path>]")
     require(pos.length >= 2,
       "usage: ExtractJob <pagesDir|warcGlob> <outDir> [flags]")
     val (pagesDir, outDir) = (pos(0), pos(1))
