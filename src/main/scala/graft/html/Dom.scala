@@ -12,9 +12,15 @@ final class AttrMap {
   private var ks: Array[String] = _
   private var vs: Array[String] = _
   private var n = 0
-  // cached slots of the two keys the scoring phases probe repeatedly
-  // (class/id lookups run several times per node per phase — JFR r5 put
-  // the linear scan at ~6% of self-time); -1 = not present / unknown
+  // AUTHORITATIVE slots of the two keys the scoring phases probe
+  // repeatedly (class/id lookups run several times per node per phase):
+  // update() is the only insert path and always records the slot, and
+  // remove() maintains it, so -1 means DEFINITELY ABSENT — the probe
+  // returns without any scan. The r5 version treated -1 as "unknown"
+  // and fell through to the linear scan, which made every class/id
+  // probe on the (majority) attribute-less/class-less nodes walk the
+  // whole map — JFR r6 measured that fallback at ~8% of single-core
+  // self-time.
   private var classIdx = -1
   private var idIdx = -1
 
@@ -24,9 +30,9 @@ final class AttrMap {
 
   private def indexOf(k: String): Int = {
     if (k.length == 5) {
-      if (classIdx >= 0 && "class" == k) return classIdx
+      if ("class" == k) return classIdx
     } else if (k.length == 2) {
-      if (idIdx >= 0 && "id" == k) return idIdx
+      if ("id" == k) return idIdx
     }
     var i = 0
     while (i < n) { if (ks(i) == k) return i; i += 1 }
