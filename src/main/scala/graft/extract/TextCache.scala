@@ -1,7 +1,6 @@
 package graft.extract
 
 import graft.html.{Node, PyText}
-import java.util.IdentityHashMap
 
 /**
  * Per-phase text index over a *static* tree — the engine's fix for the
@@ -22,6 +21,12 @@ import java.util.IdentityHashMap
  * batch-collect-then-drop phase builds one cache and discards it.
  */
 object TextCache {
+  /** Generation counter backing the per-node memo slots (Node.tc*):
+    * every cache instance gets a unique gen, so a stale slot from an
+    * earlier cache can never read as valid. Long: wrap-around is
+    * unreachable (a node would have to outlive 2^63 cache creations). */
+  private val genCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** A cache indexing only `n`'s subtree — for per-sibling probes
     * (readable.py:113-166) where indexing from the document root would be
     * O(doc) per sibling. Only `n` and its descendants may be queried. */
@@ -37,11 +42,10 @@ final class TextCache {
   private[extract] var subtreeScope: Node = null
 
   private val buf = new java.lang.StringBuilder(1 << 12)
-  // one packed (start<<32|end) entry per node instead of two maps —
-  // IdentityHashMap traffic was a measured leaf cost (JFR round 7)
-  private val segIdx = new IdentityHashMap[Node, java.lang.Long](512)
-  private val normLenMemo = new IdentityHashMap[Node, Integer](256)
-  private val videoMemo = new IdentityHashMap[Node, java.lang.Boolean](64)
+  // memo state lives ON the nodes as generation-stamped slots (Node.tc*)
+  // — the former IdentityHashMaps' put/get/resize traffic was ~6% of
+  // single-core self-time (JFR r6); a slot is valid iff its gen matches
+  private val gen = TextCache.genCounter.incrementAndGet()
 
   // ---- prefix sums over the text stream --------------------------------
   // One O(n) pass makes every per-node metric O(1) + short boundary scans
@@ -206,11 +210,11 @@ final class TextCache {
   }
 
   private def ensure(n: Node): Unit =
-    if (!segIdx.containsKey(n))
+    if (n.tcSegGen != gen)
       index(if (subtreeScope != null) subtreeScope else n.root)
 
   private def index(n: Node): Unit = {
-    if (segIdx.containsKey(n)) return
+    if (n.tcSegGen == gen) return
     val start = buf.length
     if (n.text != null) buf.append(n.text)
     var i = 0
@@ -220,13 +224,14 @@ final class TextCache {
       if (c.tail != null) buf.append(c.tail)
       i += 1
     }
-    segIdx.put(n, java.lang.Long.valueOf((start.toLong << 32) | buf.length))
+    n.tcSeg = (start.toLong << 32) | buf.length
+    n.tcSegGen = gen
   }
 
   /** node.text_content() as a string (allocates; prefer the metric APIs). */
   def textContent(n: Node): String = {
     ensure(n)
-    val seg = segIdx.get(n).longValue()
+    val seg = n.tcSeg
     buf.substring((seg >>> 32).toInt, (seg & 0xFFFFFFFFL).toInt)
   }
 
@@ -235,7 +240,7 @@ final class TextCache {
     * Commas/quotes are whitespace-free so stripping cannot change them. */
   def innerTextMetrics(n: Node): (Int, Int, Int) = {
     ensure(n)
-    val seg = segIdx.get(n).longValue()
+    val seg = n.tcSeg
     val from = (seg >>> 32).toInt
     val to = (seg & 0xFFFFFFFFL).toInt
     val fast = ensureArrays()
@@ -264,7 +269,7 @@ final class TextCache {
   /** Python len(text_content()) — raw code points. */
   def rawPyLen(n: Node): Int = {
     ensure(n)
-    val seg = segIdx.get(n).longValue()
+    val seg = n.tcSeg
     val from = (seg >>> 32).toInt
     val to = (seg & 0xFFFFFFFFL).toInt
     if (ensureArrays()) totalAt(to) - totalAt(from)
@@ -275,7 +280,7 @@ final class TextCache {
   def commaCount(n: Node): Int = {
     ensure(n)
     val fast = ensureArrays()
-    val seg = segIdx.get(n).longValue()
+    val seg = n.tcSeg
     val from = (seg >>> 32).toInt
     val to = (seg & 0xFFFFFFFFL).toInt
     if (fast) return commasAt(to) - commasAt(from)
@@ -290,10 +295,9 @@ final class TextCache {
     * each run contributes exactly one output char; with the bounds sitting
     * on non-ws code points, every overlapping run starts inside them. */
   def normStrippedLen(n: Node): Int = {
-    val hit = normLenMemo.get(n)
-    if (hit != null) return hit.intValue()
+    if (n.tcNormGen == gen) return n.tcNormLen
     ensure(n)
-    val seg = segIdx.get(n).longValue()
+    val seg = n.tcSeg
     val from = (seg >>> 32).toInt
     val to = (seg & 0xFFFFFFFFL).toInt
     val cnt =
@@ -323,7 +327,8 @@ final class TextCache {
         }
         c
       }
-    normLenMemo.put(n, Integer.valueOf(cnt))
+    n.tcNormLen = cnt
+    n.tcNormGen = gen
     cnt
   }
 
@@ -332,11 +337,8 @@ final class TextCache {
   // entry (linksLen<<32 | imgs; both < 2^31 — text length is bounded by
   // the 16 MiB oversize guard) halves the recursion and map traffic of
   // two separate passes.
-  private val densityMemo = new IdentityHashMap[Node, java.lang.Long](512)
-
   private def densitySums(n: Node): Long = {
-    val hit = densityMemo.get(n)
-    if (hit != null) return hit.longValue()
+    if (n.tcDensGen == gen) return n.tcDens
     var links = 0L
     var imgs = 0L
     var i = 0
@@ -350,7 +352,8 @@ final class TextCache {
       i += 1
     }
     val packed = (links << 32) | imgs
-    densityMemo.put(n, java.lang.Long.valueOf(packed))
+    n.tcDens = packed
+    n.tcDensGen = gen
     packed
   }
 
@@ -410,8 +413,7 @@ final class TextCache {
    * rewrites &, <, >, " which no keyword contains.
    */
   def containsVideoKeyword(n: Node): Boolean = {
-    val hit = videoMemo.get(n)
-    if (hit != null) return hit.booleanValue()
+    if (n.tcVideoGen == gen) return n.tcVideo
     def part(s: String): Boolean =
       s != null && (s.contains("youtube") || s.contains("blip.tv") || s.contains("vimeo"))
     var found = part(n.tag) || part(n.text)
@@ -428,7 +430,8 @@ final class TextCache {
       found = containsVideoKeyword(c) || part(c.tail)
       i += 1
     }
-    videoMemo.put(n, java.lang.Boolean.valueOf(found))
+    n.tcVideo = found
+    n.tcVideoGen = gen
     found
   }
 

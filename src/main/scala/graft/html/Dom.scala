@@ -120,6 +120,22 @@ final class Node(var tag: String) {
   val attrs: AttrMap = new AttrMap
   val children: mutable.ArrayBuffer[Node] = mutable.ArrayBuffer.empty
 
+  // TextCache per-node memo slots, generation-stamped (a slot is valid
+  // only when its gen equals the probing cache's gen — see
+  // TextCache.gen). Fields instead of IdentityHashMaps: the map
+  // put/get/resize traffic was ~6% of single-core self-time (JFR r6),
+  // and nodes are per-document/per-thread so the slots need no
+  // synchronization. Caches are used strictly sequentially within a
+  // document, so a single slot per concern never thrashes.
+  private[graft] var tcSegGen: Long = 0L
+  private[graft] var tcSeg: Long = 0L
+  private[graft] var tcNormGen: Long = 0L
+  private[graft] var tcNormLen: Int = 0
+  private[graft] var tcVideoGen: Long = 0L
+  private[graft] var tcVideo: Boolean = false
+  private[graft] var tcDensGen: Long = 0L
+  private[graft] var tcDens: Long = 0L
+
   def get(name: String): Option[String] = attrs.get(name)
   def getOrNull(name: String): String = attrs.getOrElse(name, null)
   def set(name: String, value: String): Unit = attrs(name) = value
