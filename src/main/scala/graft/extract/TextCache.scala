@@ -210,8 +210,16 @@ final class TextCache {
   }
 
   private def ensure(n: Node): Unit =
-    if (n.tcSegGen != gen)
+    if (n.tcSegGen != gen) {
       index(if (subtreeScope != null) subtreeScope else n.root)
+      // the map-based memo made an out-of-scope query a loud NPE; the
+      // per-node slot would silently read stale/zero bounds — keep the
+      // contract violation LOUD (forSubtree: only the subtree may be
+      // queried)
+      if (n.tcSegGen != gen)
+        throw new IllegalStateException(
+          s"<${n.tag}> is outside this TextCache's indexed scope")
+    }
 
   private def index(n: Node): Unit = {
     if (n.tcSegGen == gen) return
