@@ -1,5 +1,7 @@
 package graft.extract
 
+import java.util.IdentityHashMap
+
 import graft.html.{Node, PyText}
 
 /**
@@ -42,10 +44,25 @@ final class TextCache {
   private[extract] var subtreeScope: Node = null
 
   private val buf = new java.lang.StringBuilder(1 << 12)
-  // memo state lives ON the nodes as generation-stamped slots (Node.tc*)
-  // — the former IdentityHashMaps' put/get/resize traffic was ~6% of
-  // single-core self-time (JFR r6); a slot is valid iff its gen matches
+  // Two-layer memos: a generation-stamped slot ON each node (Node.tc*)
+  // is the fast layer — a slot is valid iff its gen matches this cache's
+  // — over cache-local IdentityHashMaps as the AUTHORITATIVE layer. The
+  // slots eliminate the dominant map-GET traffic (~8 lookups per node
+  // per phase; the maps' put/get/resize was ~6% of single-core
+  // self-time, JFR r6) for the sequential one-live-cache case, while
+  // the maps keep TWO live caches over the same tree correct AND cheap:
+  // with slots alone, every cache switch found the other cache's gen
+  // and re-walked (and re-appended!) the whole document — a measured
+  // 735× cliff on the fast-vs-fallback parity test, plus unbounded
+  // buffer growth. A slot stamped by another cache simply falls through
+  // to this cache's own map. NOT thread-safe ACROSS CACHES on a shared
+  // tree (slot stores race) — trees and their caches are per-document,
+  // single-threaded everywhere in the engine.
   private val gen = TextCache.genCounter.incrementAndGet()
+  private val segIdx = new IdentityHashMap[Node, java.lang.Long](512)
+  private val normLenMemo = new IdentityHashMap[Node, Integer](256)
+  private val videoMemo = new IdentityHashMap[Node, java.lang.Boolean](64)
+  private val densityMemo = new IdentityHashMap[Node, java.lang.Long](512)
 
   // ---- prefix sums over the text stream --------------------------------
   // One O(n) pass makes every per-node metric O(1) + short boundary scans
@@ -74,6 +91,12 @@ final class TextCache {
   private def ensureArrays(): Boolean = {
     if (snap != null && snap.length == buf.length) return cpPacked != null
     snap = buf.toString // (re)take — a new root may have been indexed
+    // null BEFORE the threshold check: a retake that falls back must not
+    // leave arrays built over an earlier, shorter snapshot — the next
+    // stable-length call would return them as valid and index out of
+    // their bounds
+    cpPacked = null
+    cpPunct = null
     val len = snap.length
     // STRICTLY below the threshold: at len == 2^21 exactly a count can
     // reach 2^21, which overflows the 21-bit checkpoint fields (and would
@@ -209,20 +232,34 @@ final class TextCache {
     (a.toLong << 32) | b.toLong
   }
 
-  private def ensure(n: Node): Unit =
-    if (n.tcSegGen != gen) {
-      index(if (subtreeScope != null) subtreeScope else n.root)
-      // the map-based memo made an out-of-scope query a loud NPE; the
-      // per-node slot would silently read stale/zero bounds — keep the
-      // contract violation LOUD (forSubtree: only the subtree may be
-      // queried)
-      if (n.tcSegGen != gen)
-        throw new IllegalStateException(
-          s"<${n.tag}> is outside this TextCache's indexed scope")
+  /** This cache's segment for `n`, indexing on first touch. The slot is
+    * checked first; a slot stamped by ANOTHER live cache falls through
+    * to this cache's own map (which re-stamps the slot — alternating
+    * caches each keep their own memo, as the map-only design did). An
+    * out-of-scope query stays a loud error, never a stale/zero read
+    * (forSubtree: only the subtree may be queried). */
+  private def segOf(n: Node): Long = {
+    if (n.tcSegGen == gen) return n.tcSeg
+    val hit = segIdx.get(n)
+    if (hit != null) {
+      val seg = hit.longValue()
+      n.tcSeg = seg
+      n.tcSegGen = gen
+      return seg
     }
+    index(if (subtreeScope != null) subtreeScope else n.root)
+    val after = segIdx.get(n)
+    if (after == null)
+      throw new IllegalStateException(
+        s"<${n.tag}> is outside this TextCache's indexed scope")
+    val seg = after.longValue()
+    n.tcSeg = seg
+    n.tcSegGen = gen
+    seg
+  }
 
   private def index(n: Node): Unit = {
-    if (n.tcSegGen == gen) return
+    if (segIdx.containsKey(n)) return
     val start = buf.length
     if (n.text != null) buf.append(n.text)
     var i = 0
@@ -232,14 +269,15 @@ final class TextCache {
       if (c.tail != null) buf.append(c.tail)
       i += 1
     }
-    n.tcSeg = (start.toLong << 32) | buf.length
+    val seg = (start.toLong << 32) | buf.length
+    segIdx.put(n, java.lang.Long.valueOf(seg))
+    n.tcSeg = seg
     n.tcSegGen = gen
   }
 
   /** node.text_content() as a string (allocates; prefer the metric APIs). */
   def textContent(n: Node): String = {
-    ensure(n)
-    val seg = n.tcSeg
+    val seg = segOf(n)
     buf.substring((seg >>> 32).toInt, (seg & 0xFFFFFFFFL).toInt)
   }
 
@@ -247,8 +285,7 @@ final class TextCache {
     * everything score_candidates needs per scorable (scoring.py:161-196).
     * Commas/quotes are whitespace-free so stripping cannot change them. */
   def innerTextMetrics(n: Node): (Int, Int, Int) = {
-    ensure(n)
-    val seg = n.tcSeg
+    val seg = segOf(n)
     val from = (seg >>> 32).toInt
     val to = (seg & 0xFFFFFFFFL).toInt
     val fast = ensureArrays()
@@ -276,8 +313,7 @@ final class TextCache {
 
   /** Python len(text_content()) — raw code points. */
   def rawPyLen(n: Node): Int = {
-    ensure(n)
-    val seg = n.tcSeg
+    val seg = segOf(n)
     val from = (seg >>> 32).toInt
     val to = (seg & 0xFFFFFFFFL).toInt
     if (ensureArrays()) totalAt(to) - totalAt(from)
@@ -286,9 +322,8 @@ final class TextCache {
 
   /** Python text_content().count(','). */
   def commaCount(n: Node): Int = {
-    ensure(n)
+    val seg = segOf(n)
     val fast = ensureArrays()
-    val seg = n.tcSeg
     val from = (seg >>> 32).toInt
     val to = (seg & 0xFFFFFFFFL).toInt
     if (fast) return commasAt(to) - commasAt(from)
@@ -304,8 +339,13 @@ final class TextCache {
     * on non-ws code points, every overlapping run starts inside them. */
   def normStrippedLen(n: Node): Int = {
     if (n.tcNormGen == gen) return n.tcNormLen
-    ensure(n)
-    val seg = n.tcSeg
+    val memoHit = normLenMemo.get(n)
+    if (memoHit != null) {
+      val v = memoHit.intValue()
+      n.tcNormLen = v; n.tcNormGen = gen
+      return v
+    }
+    val seg = segOf(n)
     val from = (seg >>> 32).toInt
     val to = (seg & 0xFFFFFFFFL).toInt
     val cnt =
@@ -335,6 +375,7 @@ final class TextCache {
         }
         c
       }
+    normLenMemo.put(n, Integer.valueOf(cnt))
     n.tcNormLen = cnt
     n.tcNormGen = gen
     cnt
@@ -347,6 +388,12 @@ final class TextCache {
   // two separate passes.
   private def densitySums(n: Node): Long = {
     if (n.tcDensGen == gen) return n.tcDens
+    val memoHit = densityMemo.get(n)
+    if (memoHit != null) {
+      val v = memoHit.longValue()
+      n.tcDens = v; n.tcDensGen = gen
+      return v
+    }
     var links = 0L
     var imgs = 0L
     var i = 0
@@ -360,6 +407,7 @@ final class TextCache {
       i += 1
     }
     val packed = (links << 32) | imgs
+    densityMemo.put(n, java.lang.Long.valueOf(packed))
     n.tcDens = packed
     n.tcDensGen = gen
     packed
@@ -422,6 +470,12 @@ final class TextCache {
    */
   def containsVideoKeyword(n: Node): Boolean = {
     if (n.tcVideoGen == gen) return n.tcVideo
+    val memoHit = videoMemo.get(n)
+    if (memoHit != null) {
+      val v = memoHit.booleanValue()
+      n.tcVideo = v; n.tcVideoGen = gen
+      return v
+    }
     def part(s: String): Boolean =
       s != null && (s.contains("youtube") || s.contains("blip.tv") || s.contains("vimeo"))
     var found = part(n.tag) || part(n.text)
@@ -438,6 +492,7 @@ final class TextCache {
       found = containsVideoKeyword(c) || part(c.tail)
       i += 1
     }
+    videoMemo.put(n, java.lang.Boolean.valueOf(found))
     n.tcVideo = found
     n.tcVideoGen = gen
     found
