@@ -19,7 +19,12 @@ import graft.extract.{Extractor, Page}
  *    20–29× artifacts when both attempts shared one window);
  *  - a query that fails EVERY attempt is reported in a `failed` array and
  *    its `queries` value is the NEGATED worst elapsed — never confusable
- *    with a successful timing — and is excluded from total_sec.
+ *    with a successful timing — and is excluded from total_sec;
+ *  - an extraction headline whose EVERY attempt was wall-capped is a
+ *    ≤-bound, not a measurement: `value` is NEGATED (same convention)
+ *    and `extract_timed_out` is true; per-attempt
+ *    tasks_started/tasks_completed counters distinguish host starvation
+ *    (≈0 started over a full window) from tasks-ran-but-couldn't-finish.
  *
  * Self-calibration (VERDICT r5 #1): the wall_vs_cpu ratio alone cannot
  * flag a host whose memory-bandwidth contention inflates CPU time itself
@@ -51,6 +56,53 @@ object Bench {
     * property — re-commit it when an extraction change moves the floor
     * (ScalingBench's interleaved protocol is the measurement to trust). */
   val ReferenceCpuSecPerKdoc: Double = 7.0
+
+  /** One extraction attempt's evidence: wall clock, executor CPU,
+    * whether the wall-cap watchdog cancelled it, and how many tasks
+    * started/completed inside its window. The task counters attribute a
+    * 0.00-cpu capped attempt (BENCH_r06 attempts 2–4): started ≈ 0 means
+    * the scheduler never ran tasks (host starvation or a post-cancel
+    * scheduler wedge on the PREVIOUS attempt's group), started ≫
+    * completed means tasks ran but could not finish inside the cap. */
+  final case class Attempt(wallSec: Double, cpuSec: Double, timedOut: Boolean,
+                           tasksStarted: Long, tasksCompleted: Long)
+
+  /** Headline sign convention (pure, pinned by BenchSpec): on a run where
+    * EVERY attempt hit the wall cap, the rate is a fabricated ≤-bound
+    * (docs / cap-wall), not a measurement — NEGATE it (the convention
+    * failed queries already use) so no consumer can read it as a timing
+    * without noticing; `extract_timed_out` carries the same fact for
+    * structured readers. */
+  def headlineDocsPerSec(attempts: Seq[Attempt], okDocs: Long,
+                         benchDocs: Long): Double = {
+    val valid = attempts.filterNot(_.timedOut)
+    val allCapped = valid.isEmpty
+    val best = (if (valid.nonEmpty) valid else attempts).minBy(_.wallSec)
+    // all-capped ⟹ no attempt ever produced a count (okDocs still 0):
+    // the bound substitutes the intended corpus size; a COMPLETED attempt
+    // that extracted zero ok docs keeps its honest 0.0
+    val docs = if (allCapped && okDocs == 0) benchDocs else okDocs
+    val rate = docs / best.wallSec
+    if (allCapped) -rate else rate
+  }
+
+  /** True when `e`'s cause chain is the job-group cancellation our wall
+    * cap issues — the ONLY failure the watchdog may classify as a
+    * timeout. Any other failure racing the timer (OOM, corrupt input)
+    * must surface, not be recorded as a plausible capped attempt. */
+  def isCancellation(e: Throwable): Boolean = {
+    var t: Throwable = e
+    var depth = 0
+    while (t != null && depth < 16) {
+      val msg = Option(t.getMessage).getOrElse("")
+      if (t.isInstanceOf[InterruptedException] ||
+        msg.contains("cancelled") || msg.contains("canceled") ||
+        msg.contains("SparkContext was shut down")) return true
+      t = if (t.getCause eq t) null else t.getCause
+      depth += 1
+    }
+    false
+  }
 
   /** One timed attempt per query, best-of over `attempts` SUCCESSFUL runs.
     * Attempts run ROUND-ROBIN (all queries' attempt 1, then all attempt 2,
@@ -115,14 +167,13 @@ object Bench {
     var docsPerSec = 0.0
     var mbPerSec = 0.0
     var extractSec = 0.0
-    // (wall, executorCpu, timedOut) per attempt. Executor CPU time per
-    // doc is the noise-immune signal the wall clock lacks: a
-    // noisy-neighbor host inflates wall while cpu_sec/doc stays flat
-    // (rounds 2–4 all saw the driver's wall-clock headline misread a
+    // Executor CPU time per doc is the noise-immune signal the wall clock
+    // lacks: a noisy-neighbor host inflates wall while cpu_sec/doc stays
+    // flat (rounds 2–4 all saw the driver's wall-clock headline misread a
     // ~3,500 docs/sec engine as ~100; flat CPU with inflated wall is
     // machine-checkable evidence). timedOut marks an attempt cancelled at
     // the wall cap — it never enters the best-of pool.
-    var extractAttempts = List.empty[(Double, Double, Boolean)]
+    var extractAttempts = List.empty[Attempt]
     // wall cap per attempt: 10× the floor-predicted wall, never under 30 s
     // (the floor prediction assumes perfect 32-way scaling the host can't
     // deliver — BENCH.md §2's DRAM ceiling — so the healthy band is ~2–6×
@@ -130,9 +181,15 @@ object Bench {
     val attemptCapSec = math.max(30.0,
       10.0 * (benchDocs / 1000.0) * ReferenceCpuSecPerKdoc / cpus.toDouble)
     val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val tasksStarted = new java.util.concurrent.atomic.AtomicLong(0L)
+    val tasksEnded = new java.util.concurrent.atomic.AtomicLong(0L)
     val cpuListener = new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      override def onTaskStart(e: org.apache.spark.scheduler.SparkListenerTaskStart): Unit =
+        tasksStarted.incrementAndGet()
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        tasksEnded.incrementAndGet()
         if (e.taskMetrics != null) cpuNs.addAndGet(e.taskMetrics.executorCpuTime)
+      }
     }
     spark.sparkContext.addSparkListener(cpuListener)
     // waitUntilEmpty throws TimeoutException after 10 s — on a squeezed
@@ -144,11 +201,13 @@ object Bench {
         System.err.println(s"bench: listener bus drain timed out ($e) — " +
           "cpu attribution may smear across attempts")
       }
-    def extractAttempt(corpus: => org.apache.spark.sql.Dataset[Page]): ((Double, Double, Boolean), Long) = {
+    def extractAttempt(corpus: => org.apache.spark.sql.Dataset[Page]): (Attempt, Long) = {
       // listener events are posted asynchronously: drain the bus so the
-      // cpu snapshot brackets exactly this attempt's tasks
+      // cpu/task snapshots bracket exactly this attempt's tasks
       drainBus()
       val cpu0 = cpuNs.get
+      val ts0 = tasksStarted.get
+      val te0 = tasksEnded.get
       val t0 = System.nanoTime()
       val group = s"graft-extract-attempt-$t0"
       @volatile var timedOut = false
@@ -167,7 +226,12 @@ object Bench {
         corpus.map(Extractor.extract)
           .select("status").where($"status" === "ok").count()
       } catch {
-        case _: Throwable if timedOut => -1L // cancelled at the cap
+        // ONLY our own cancellation reads as a wall-cap timeout; a
+        // genuine failure (OOM, corrupt input) racing the watchdog must
+        // surface, not be recorded as a plausible capped attempt —
+        // otherwise a persistently failing corpus reads as "capped" and
+        // the headline fabricates a ≤-bound (ADVICE r6 #3)
+        case e: Throwable if timedOut && isCancellation(e) => -1L
       } finally {
         watchdog.cancel()
         spark.sparkContext.clearJobGroup()
@@ -178,7 +242,8 @@ object Bench {
       val aborted = timedOut && n == -1L
       val wall = if (aborted) attemptCapSec else (System.nanoTime() - t0) / 1e9
       drainBus()
-      ((wall, (cpuNs.get - cpu0) / 1e9, aborted), n)
+      (Attempt(wall, (cpuNs.get - cpu0) / 1e9, aborted,
+        tasksStarted.get - ts0, tasksEnded.get - te0), n)
     }
 
     val corpusOpt: Option[() => org.apache.spark.sql.Dataset[Page]] =
@@ -217,12 +282,12 @@ object Bench {
       val (wc2, n2) = extractAttempt(corpus())
       extractAttempts ::= wc2; if (n2 >= 0) okDocs = n2
       var extra = 0
-      def valid = extractAttempts.filterNot(_._3)
+      def valid = extractAttempts.filterNot(_.timedOut)
       def suspect: Boolean =
         if (valid.size < 2) true
-        else { val ws = valid.map(_._1); ws.max / ws.min > 3.0 }
+        else { val ws = valid.map(_.wallSec); ws.max / ws.min > 3.0 }
       while (extra < 2 && suspect) {
-        val ws = extractAttempts.map(_._1)
+        val ws = extractAttempts.map(_.wallSec)
         System.err.println(f"bench: extraction window suspect " +
           f"(${ws.min}%.2f..${ws.max}%.2f s, ${valid.size} uncapped) — retrying")
         val (wcE, nE) = extractAttempt(corpus())
@@ -230,21 +295,17 @@ object Bench {
         extra += 1
       }
       // best over uncapped attempts; if EVERY attempt hit the cap the
-      // headline is a ≤-bound at the cap wall and the artifact says so
+      // headline is a NEGATED ≤-bound at the cap wall (never confusable
+      // with a measured rate) and extract_timed_out says why
       extractTimedOut = valid.isEmpty
-      val best = (if (valid.nonEmpty) valid else extractAttempts).minBy(_._1)
-      extractSec = best._1
-      // benchDocs substitutes ONLY when no attempt ever finished (count
-      // unknown, headline is a ≤-bound at the cap); a completed attempt
-      // that extracted zero ok docs must report an honest 0.0
-      docsPerSec =
-        (if (extractTimedOut && okDocs == 0) benchDocs.toLong else okDocs) /
-          extractSec
+      val best = (if (valid.nonEmpty) valid else extractAttempts).minBy(_.wallSec)
+      extractSec = best.wallSec
+      docsPerSec = headlineDocsPerSec(extractAttempts, okDocs, benchDocs.toLong)
       mbPerSec = totalBytes / 1e6 / extractSec
       // CPU evidence from the best attempt: flat cpu_sec/kdoc across
       // rounds + wall ≫ cpu/cores = loaded host, not a slow engine
-      cpuSecPerKdoc = best._2 / (benchDocs / 1000.0)
-      val idealWall = best._2 / cpus.toDouble
+      cpuSecPerKdoc = best.cpuSec / (benchDocs / 1000.0)
+      val idealWall = best.cpuSec / cpus.toDouble
       wallVsCpuRatio = if (idealWall > 0) extractSec / idealWall else 0.0
     }
 
@@ -252,8 +313,10 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failedQs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val attemptsJson = extractAttempts.reverse
-      .map { case (w, c, t) =>
-        f"""{"wall_sec":$w%.2f,"cpu_sec":$c%.2f,"timed_out":$t}""" }
+      .map { a =>
+        f"""{"wall_sec":${a.wallSec}%.2f,"cpu_sec":${a.cpuSec}%.2f,""" +
+          f""""timed_out":${a.timedOut},"tasks_started":${a.tasksStarted},""" +
+          f""""tasks_completed":${a.tasksCompleted}}""" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ > 0).sum + extractSec
     // host_inflation: measured cpu-sec/kdoc over the committed floor.

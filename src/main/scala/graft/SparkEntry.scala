@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.extract.{Extractor, Page}
-import graft.pipeline.{AsOf, Dedup, Multimodal, Sampling, Search, Similarity, TextOps}
+import graft.pipeline.{AsOf, Dedup, Mat, Multimodal, Sampling, Search, Similarity, TextOps}
 
 /**
  * Driver contract (SURVEY.md §7): `entry` = flagship extraction over a
@@ -92,16 +92,16 @@ object SparkEntry {
     val sub = docs(s, dir).where(pmod(col("doc_id"), lit(5)) === 0)
     val sh = sub.select(col("doc_id").as("id"), col("lang"),
       Dedup.shingleHashes(col("text")).as("sh"))
-    val postings = sh.select(col("id"), col("lang"), explode(col("sh")).as("s"))
-      .localCheckpoint(true) // shingling runs once, not per consumer
+    val postings = Mat.corpus(
+      sh.select(col("id"), col("lang"), explode(col("sh")).as("s")))
+      // shingling runs once, not per consumer
     val rare = postings.groupBy(col("s"), col("lang"))
       .agg(count(lit(1)).as("df"))
       .where(col("df") <= JaccardMaxDf)
       .select(col("s"), col("lang"))
     // materialize once: kept feeds three consumers (both self-join sides +
     // the post-cap sizes) and its lineage includes the df-count semi-join
-    val kept = postings.join(rare, Seq("s", "lang"), "left_semi")
-      .localCheckpoint(true)
+    val kept = Mat.corpus(postings.join(rare, Seq("s", "lang"), "left_semi"))
     val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val a = kept.select(col("s"), col("lang"), col("id").as("id_a"))
     val b = kept.select(col("s"), col("lang"), col("id").as("id_b"))

@@ -282,9 +282,8 @@ object Dedup {
     * over the batch text. */
   def shingleTable(df: DataFrame, idCol: String, textCol: String,
                    shingleAlgo: String = AlgoXx64): DataFrame =
-    df.select(col(idCol).as("id"),
-      shingleHashes(col(textCol), algo = shingleAlgo).as("sh"))
-      .localCheckpoint(true)
+    Mat.corpus(df.select(col(idCol).as("id"),
+      shingleHashes(col(textCol), algo = shingleAlgo).as("sh")))
 
   private def prepShingles(df: DataFrame, idCol: String, textCol: String,
                            shingleAlgo: String): DataFrame =
@@ -568,15 +567,14 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"), shingleHashes(col(textCol)).as("sh"))
     // materialize the exploded postings ONCE: df-count, semi-join and the
     // self-join all consume them, and shingling is the expensive step
-    val postings = sh.select(col("id"), explode(col("sh")).as("s"))
-      .localCheckpoint(true)
+    val postings = Mat.corpus(sh.select(col("id"), explode(col("sh")).as("s")))
     val rare = postings.groupBy(col("s"))
       .agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf)
       .select(col("s"))
     // materialized once (eager): three consumers (self-join sides + sizes)
     // would otherwise each re-run the shingling + df-count semi-join
-    val kept = postings.join(rare, Seq("s"), "left_semi").localCheckpoint(true)
+    val kept = Mat.corpus(postings.join(rare, Seq("s"), "left_semi"))
     val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val a = kept.select(col("s"), col("id").as("id_a"))
     val b = kept.select(col("s"), col("id").as("id_b"))
@@ -628,9 +626,43 @@ object Dedup {
    * (at most one extra element per set) under any rounding, which the
    * exact verify absorbs.
    *
+   * Two further PPJoin prunes run BETWEEN candidate generation and the
+   * full-postings verify (the verify joins dominate the query's cost —
+   * every candidate they never see is a shuffle row saved), both
+   * sound — they drop only pairs that provably cannot reach t:
+   *
+   *  - LENGTH filter: J(A,B) ≥ t ⟹ |A∩B| ≥ t·|B| (from i ≥ t(a+b−i)
+   *    and b ≥ i) and |A| ≥ |A∩B|, so |A| ≥ t·|B| and symmetrically
+   *    |B| ≥ t·|A|. Sizes ride the prefix rows (already joined for the
+   *    prefix length), so the filter costs zero extra joins.
+   *  - POSITIONAL filter: for the FIRST common element under the global
+   *    order, at ranks (r_a, r_b), every other common element sits
+   *    strictly after it in BOTH sets, so |A∩B| ≤ 1 + min(|A|−r_a,
+   *    |B|−r_b); J ≥ t ⟺ (1+t)·|A∩B| ≥ t·(|A|+|B|), so a row failing
+   *    (1+t)·(1+min(…)) ≥ t·(|A|+|B|) cannot be the first common
+   *    element of a qualifying pair. The first common element of a
+   *    qualifying pair is ALWAYS inside both prefixes (if it weren't,
+   *    all ≥ ⌈t|A|⌉ shared elements would sit in A's last ⌈t|A|⌉ − 1
+   *    positions), so keeping a pair when ANY of its matching prefix
+   *    rows passes (the row-filter → dropDuplicates shape below) never
+   *    drops a qualifying pair — rows for non-first matches may use an
+   *    under-estimate of the remaining overlap, which can only let
+   *    EXTRA candidates through to the exact verify, never block real
+   *    ones.
+   *
+   * Both filters compare in doubles with a multiplicative 1e−9 slack on
+   * the t-product side (t·|B|, t·(|A|+|B|)): the exact comparisons hold
+   * at integer boundaries (a containment pair at J = t exactly meets
+   * |A| = t·|B|), and a double product can land a few ulps ABOVE the
+   * exact value — the slack (≫ the ~3e−16 relative rounding of two
+   * flops, ≪ the 1/|x| gap to the next integer at any realistic set
+   * size) errs only toward admitting a boundary candidate, which the
+   * exact verify absorbs (pinned by boundary tests in PipelineOpsSpec).
+   *
    * Plan shape: one df-count shuffle, one per-doc window (rank under the
-   * global order), the prefix-postings self-join, and the postings-join
-   * verify — every join a bounded equi-join, no pairwise scan.
+   * global order), the prefix-postings self-join with the two prunes,
+   * and the postings-join verify — every join a bounded equi-join, no
+   * pairwise scan.
    *
    * @param n set elements: 1 = word tokens, ≥2 = word n-gram shingles.
    *          Pick the element space to match the corpus: a corpus with
@@ -649,9 +681,8 @@ object Dedup {
     // distinct element hashes per doc (set semantics), materialized
     // once: the df-count, the prefix ranking and the verify all consume
     // them
-    val toks = df.select(col(idCol).as("id"),
-        explode(shingleHashes(col(textCol), n, algo)).as("tok"))
-      .localCheckpoint(true)
+    val toks = Mat.corpus(df.select(col(idCol).as("id"),
+      explode(shingleHashes(col(textCol), n, algo)).as("tok")))
     val dfc = toks.groupBy(col("tok")).agg(count(lit(1)).as("tdf"))
     val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val prefix = toks.join(dfc, Seq("tok"))
@@ -659,10 +690,23 @@ object Dedup {
         Window.partitionBy(col("id")).orderBy(col("tdf").asc, col("tok").asc)))
       .join(sizes, Seq("id"))
       .where(col("rk") <= col("sz") - floor(lit(threshold) * col("sz")) + 1)
-      .select(col("tok"), col("id"))
-    val cand = prefix.select(col("tok"), col("id").as("id_a"))
-      .join(prefix.select(col("tok"), col("id").as("id_b")), Seq("tok"))
+      .select(col("tok"), col("id"), col("rk"), col("sz"))
+    // slack errs only toward keeping a boundary candidate (see scaladoc)
+    val tSlack = lit(threshold * (1.0 - 1e-9))
+    val remBound = (lit(1L) +
+      least(col("sz_a") - col("rk_a"), col("sz_b") - col("rk_b"))) *
+      lit(1.0 + threshold)
+    val cand = prefix.select(col("tok"), col("id").as("id_a"),
+        col("rk").as("rk_a"), col("sz").as("sz_a"))
+      .join(prefix.select(col("tok"), col("id").as("id_b"),
+        col("rk").as("rk_b"), col("sz").as("sz_b")), Seq("tok"))
       .where(col("id_a") < col("id_b"))
+      // length filter: |A| ≥ t·|B| and |B| ≥ t·|A|
+      .where(col("sz_a") >= tSlack * col("sz_b") &&
+        col("sz_b") >= tSlack * col("sz_a"))
+      // positional filter: a first-common-element match at (rk_a, rk_b)
+      // caps the intersection at 1 + min(sz_a − rk_a, sz_b − rk_b)
+      .where(remBound >= tSlack * (col("sz_a") + col("sz_b")))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
     cand
@@ -701,9 +745,9 @@ object Dedup {
                    algo: String = AlgoXx64): DataFrame = {
     // distinct span hashes per doc, so a span's count(*) over postings IS
     // its document frequency
-    val spans = df.select(col(idCol).as("id"),
-      explode(shingleHashes(col(textCol), n, algo)).as("h"))
-      .localCheckpoint(true) // shingling feeds the df-count AND the join-back
+    val spans = Mat.corpus(df.select(col(idCol).as("id"),
+      explode(shingleHashes(col(textCol), n, algo)).as("h")))
+      // shingling feeds the df-count AND the join-back
     val dfh = spans.groupBy(col("h")).agg(count(lit(1)).as("hdf"))
     spans.join(dfh, Seq("h"))
       .groupBy(col("id"))
@@ -779,13 +823,12 @@ object Dedup {
    * min id in the node's component.
    */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint(true)
+    val edges = Mat.corpus(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .distinct())
+    var labels = Mat.corpus(edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")))
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -801,22 +844,21 @@ object Dedup {
           least(labels("component"),
             coalesce(col("neighbor_component"), labels("component")))
             .as("component"))
-        .localCheckpoint(true)
+      val propM = Mat.corpus(prop)
       // pointer doubling: component ← label(component); labels only ever
       // decrease (label(x) <= x invariant), so changed ⟺ new < old.
       // The changed-count rides the checkpoint job as an observed metric
       // (fresh Observation per round — listener is per-query).
       val obs = new org.apache.spark.sql.Observation(s"cc_changed_$iter")
-      val shortcut = prop.alias("p")
-        .join(prop.select(col("id").as("cid"), col("component").as("cc")).alias("c"),
+      val shortcut = Mat.corpus(propM.alias("p")
+        .join(propM.select(col("id").as("cid"), col("component").as("cc")).alias("c"),
           col("p.component") === col("c.cid"), "left")
         .select(col("p.id").as("id"),
           coalesce(col("c.cc"), col("p.component")).as("component"),
           (coalesce(col("c.cc"), col("p.component")) < col("p.old_component"))
             .as("changed"))
         .observe(obs, coalesce(sum(col("changed").cast("long")), lit(0L)).as("n"))
-        .select(col("id"), col("component"))
-        .localCheckpoint(true)
+        .select(col("id"), col("component")))
       // metric is available once the eager checkpoint job finishes
       converged = obs.getAsJava.get("n").asInstanceOf[Long] == 0L
       labels = shortcut

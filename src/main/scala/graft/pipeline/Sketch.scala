@@ -327,11 +327,28 @@ object Sketch {
         if (hasFlat) Some(spark.read.parquet(path)) else None
     }
 
-  /** Commit `merged` as generation `batchId` and prune older state. */
+  /** Commit `merged` as generation `batchId` and prune older state.
+    * `merged` is BY-NAME: when `_gen-<batchId>` is already COMPLETE (has
+    * _SUCCESS — a replayed fold whose first run committed and then
+    * crashed before/after pruning), the high-water mark has made the
+    * replay's merge a content no-op, and rewriting the dir in place
+    * would first DELETE the only complete generation (overwrite
+    * semantics; older gens were pruned after the first commit) — a
+    * crash mid-rewrite would then lose the accumulated sketch state,
+    * which is unrebuildable by design (folds never re-read history). So
+    * a committed gen is never rewritten: skip straight to pruning (and
+    * skip computing `merged` at all). A PARTIAL gen dir (no _SUCCESS —
+    * crash mid-first-write) is overwritten normally; the previous
+    * complete generation still exists because pruning only runs after a
+    * successful commit. Pinned by SketchLifecycleSpec's replay test. */
   private def commitFoldGen(spark: org.apache.spark.sql.SparkSession,
                             path: String, batchId: Long,
-                            merged: DataFrame): Unit = {
-    merged.write.mode("overwrite").parquet(s"$path/_gen-$batchId")
+                            merged: => DataFrame): Unit = {
+    val (fsg, _) = hadoopFs(spark, path)
+    val committed = fsg.exists(
+      new org.apache.hadoop.fs.Path(s"$path/_gen-$batchId/_SUCCESS"))
+    if (!committed)
+      merged.write.mode("overwrite").parquet(s"$path/_gen-$batchId")
     // best-effort prune: older generations + legacy flat data files
     try {
       val (fs, p) = hadoopFs(spark, path)

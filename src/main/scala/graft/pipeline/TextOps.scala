@@ -157,30 +157,57 @@ object TextOps {
    * instead of one driver round-trip per merge (VERDICT r5 #4).
    *
    * Which batch is safe? Walk the sorted pair list (count desc, pair asc
-   * - bpeLearn's exact order) and greedily take a PREFIX whose pairs are
-   * pairwise disjoint on their INVOLVED-symbol sets {left, right,
-   * left+right}; stop at the first pair that overlaps the selection (or
-   * at `batchK`), then truncate the selection to pairs whose count is
-   * STRICTLY greater than the stopping pair's count (when the collected
-   * list may be incomplete, the last collected count bounds every unseen
-   * pair the same way). Why this equals sequential:
+   * - bpeLearn's exact order) and greedily take a PREFIX whose pairs
+   * (a) are pairwise disjoint on their INVOLVED-symbol sets {left,
+   * right, left+right}, (b) are NOT self-pairs (left ≠ right), and
+   * (c) have a created symbol left+right that does NOT already exist in
+   * the current sequences; stop at the first pair that violates any
+   * condition (or at `batchK`), then truncate the selection to pairs
+   * whose count is STRICTLY greater than the stopping pair's count
+   * (when the collected list may be incomplete, the last collected
+   * count bounds every unseen pair the same way). Why this equals
+   * sequential:
    *  - merging p never changes the count of a pair sharing no involved
    *    symbol with p (the merged occurrences are disjoint from that
    *    pair's adjacencies, and p's created symbol is not one of its
    *    sides);
-   *  - every pair a merge CREATES or MUTATES involves one of p's
-   *    involved symbols, so it overlaps the selection and its count is
-   *    bounded by an old overlapping pair's count - which ranks at or
-   *    below the stopping row; after the strict truncation no new or
-   *    unselected pair can outrank (or tie into) the remaining selection
-   *    under the (count desc, pair asc) order.
+   *  - for a selected p = (l, r) with l ≠ r and l+r absent, every pair
+   *    a merge touches that involves l+r is CREATED fresh, and its
+   *    occurrences transfer from an old pair overlapping p that is NOT
+   *    p itself ((lr, x) transfers from (r, x), (x, lr) from (x, l);
+   *    those equal (l, r) only when l = r) - an overlapping non-p pair
+   *    was unselected, so it ranks at or below the stopping row: count
+   *    ≤ c0. Old pairs overlapping p only LOSE occurrences. After the
+   *    strict truncation (> c0) no new or unselected pair can outrank
+   *    (or tie into) the remaining selection under the (count desc,
+   *    pair asc) order.
+   * Conditions (b) and (c) are load-bearing, not belt-and-braces -
+   * each blocks a transfer that is NOT bounded by c0:
+   *  - (b) self-pairs: merging (a, a) over symbol runs creates
+   *    (aa, aa)/(aa, a) pairs whose counts transfer from (a, a)'s OWN
+   *    occurrences - bounded by the SELECTED count, not by c0 - so they
+   *    can outrank later batch members (planted in BpeSpec: (a,a)·199
+   *    creates (aa,aa)·64, which the sequential loop picks before the
+   *    batched (b,b)·32). A self-pair therefore always ends the batch;
+   *    the top-1 fallback still applies a top-ranked self-pair ALONE,
+   *    which is exactly the sequential step.
+   *  - (c) pre-existing created symbol: the merge then ADDS transferred
+   *    occurrences (≤ c0) to a pre-existing overlapping pair's count
+   *    (≤ c0) - post-merge up to 2·c0, outranking batch members in
+   *    (c0, 2·c0] ('the' = t+he with a 'th'+'e'-made 'the' already in
+   *    the vocabulary - ADVICE r6). Existence is checked against a
+   *    driver-side OVER-APPROXIMATION of the symbol alphabet - the
+   *    initial symbol set (one vocabulary-sized distinct at learn
+   *    start) plus every created symbol so far; a symbol merged out of
+   *    existence stays in the set, and over-rejection only shortens a
+   *    batch, never breaks the equivalence.
    * Hence the sequential loop, stepped one merge at a time, picks exactly
    * the selected pairs in selection order with the same reported counts.
    * If truncation empties the batch, fall back to the top-1 pair: that
-   * IS the sequential step, always safe. The created symbol lives in the
-   * involved set precisely for the (a,b)-then-(ab,c) case: "ab" may
-   * already exist as a symbol, and the first merge mints new copies of
-   * it, coupling the two counts.
+   * IS the sequential step, always safe. The full rule survives a 650k-
+   * random-corpus differential sweep against the in-memory sequential
+   * reference (runs, ties, multi-letter alphabets); BpeSpec pins planted
+   * counterexamples for (b) plus random sweeps.
    *
    * Pinned equal to bpeLearn on planted and random vocabularies
    * (BpeSpec); q48's 3-round oracle stays on bpeLearn itself.
@@ -194,6 +221,13 @@ object TextOps {
     val spark = pieces.sparkSession
     import spark.implicits._
     var seqs = bpeSeqs(pieces)
+    // over-approximate symbol alphabet (see scaladoc): initial symbols +
+    // every created symbol; never shrinks
+    val alphabet = scala.collection.mutable.Set[String]()
+    alphabet ++= seqs.select(explode(split(
+        regexp_replace(col("seq"), "^" + BpeS + "|" + BpeE + "$", ""),
+        BpeE + BpeS)).as("s"))
+      .distinct().collect().map(_.getString(0))
     val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var done = false
     while (out.size < merges && !done) {
@@ -212,7 +246,13 @@ object TextOps {
         while (i < top.length && cut.isEmpty && selected.size < want) {
           val (l, r, c) = top(i)
           val inv = Seq(l, r, l + r)
-          if (inv.exists(used)) cut = Some(c)
+          // batch boundaries beyond involved-symbol conflicts (scaladoc
+          // conditions b/c): a SELF-PAIR's run-collapse creates pairs
+          // bounded by its own count, and a pair whose created symbol
+          // already exists BOOSTS a pre-existing pair to up to 2·c —
+          // either can outrank later batch members; the single-merge
+          // fallback still applies a top-ranked one alone (= sequential)
+          if (inv.exists(used) || l == r || alphabet(l + r)) cut = Some(c)
           else { selected += ((l, r, c)); inv.foreach(used += _) }
           i += 1
         }
@@ -230,6 +270,7 @@ object TextOps {
         out ++= take.zipWithIndex.map { case ((l, r, c), j) =>
           (base + 1 + j, l, r, c)
         }
+        alphabet ++= take.map(t => t._1 + t._2)
         seqs = bpeApplyMerges(seqs, take.map(t => (t._1, t._2)))
       }
     }

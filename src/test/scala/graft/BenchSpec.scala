@@ -31,6 +31,34 @@ class BenchSpec extends AnyFunSuite {
     assert(results.map(_._2).count(_ > 0) == 1)
   }
 
+  test("headlineDocsPerSec: an all-capped run emits a NEGATIVE ≤-bound " +
+    "(never confusable with a measured rate); any valid attempt emits " +
+    "the positive measured rate; a completed zero-doc attempt stays 0.0") {
+    val capped = Bench.Attempt(30.0, 0.0, timedOut = true,
+      tasksStarted = 5, tasksCompleted = 0)
+    val ok = Bench.Attempt(3.0, 90.0, timedOut = false,
+      tasksStarted = 100, tasksCompleted = 100)
+    // every attempt capped → docs unknown → bound at benchDocs/cap, NEGATED
+    assert(Bench.headlineDocsPerSec(Seq(capped, capped), 0L, 12000L) == -400.0)
+    // one valid attempt → measured rate from its wall, positive
+    assert(Bench.headlineDocsPerSec(Seq(capped, ok), 11000L, 12000L) > 0.0)
+    assert(Bench.headlineDocsPerSec(Seq(ok), 12000L, 12000L) == 4000.0)
+    // a COMPLETED attempt that extracted zero ok docs reports honest 0.0,
+    // not a substituted bound
+    assert(Bench.headlineDocsPerSec(Seq(ok), 0L, 12000L) == 0.0)
+  }
+
+  test("isCancellation matches only the job-group-cancellation family — " +
+    "a genuine failure racing the watchdog must surface (ADVICE r6)") {
+    assert(Bench.isCancellation(new org.apache.spark.SparkException(
+      "Job 7 cancelled because of a job group cancellation")))
+    assert(Bench.isCancellation(
+      new RuntimeException("wrapper", new InterruptedException())))
+    assert(!Bench.isCancellation(new OutOfMemoryError("heap")))
+    assert(!Bench.isCancellation(new RuntimeException(
+      "FileNotFoundException: corrupt input split")))
+  }
+
   test("benchQueries with no failures returns an empty failed list") {
     val qs: Map[String, (SparkSession, String) => DataFrame] =
       Map("only" -> ((s, _) => s.range(3).toDF("n")))

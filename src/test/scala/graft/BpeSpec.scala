@@ -159,6 +159,26 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeLearnBatched ≡ sequential on corpora where a batched " +
+    "SELF-PAIR's run-collapse mints pairs that outrank later batch " +
+    "members (the counterexamples a 650k-corpus differential search " +
+    "found against the r5 selection rule)") {
+    // (a,a)·199 and (b,b)·32 are involved-set-disjoint, so the old rule
+    // batched them — but merging (a,a) over the a-runs creates
+    // (aa,aa)·64 > 32, which the sequential loop picks SECOND; the
+    // self-pair batch boundary forces (a,a) to apply alone
+    val selfPairBoost = Seq(
+      ("a", 30L), ("aaaa", 10L), ("aaaaaaa", 27L), ("aaba", 7L),
+      ("b", 27L), ("bbba", 16L))
+    // same mode later in the learn: (b,b)·18 creates (bb,bb)·6 > (a,a)·1
+    val lateBoost = Seq(
+      ("aa", 1L), ("abb", 2L), ("baabbab", 19L), ("bbbb", 6L))
+    for (pieces <- Seq(selfPairBoost, lateBoost); k <- Seq(2, 4, 6)) {
+      assert(learnBatched(pieces, 7, k) == naive(pieces, 7),
+        s"pieces=$pieces batchK=$k")
+    }
+  }
+
   test("property: bpeLearnBatched ≡ the naive sequential BPE on random " +
     "vocabularies at every batch size") {
     val rnd = new scala.util.Random(41)

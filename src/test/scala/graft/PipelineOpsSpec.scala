@@ -129,7 +129,7 @@ class PipelineOpsSpec extends AnyFunSuite {
         (i, Seq.fill(3 + rnd.nextInt(12))(words(rnd.nextInt(words.length)))
           .mkString(" "))
       }
-      for (t <- Seq(0.3, 0.6, 0.9); n <- Seq(1, 3)) {
+      for (t <- Seq(0.3, 0.6, 1.0); n <- Seq(1, 3)) {
         val got = Dedup.prefixJaccardJoin(docsDf(rows), "doc_id", "text",
           threshold = t, n = n)
           .collect()
@@ -139,6 +139,26 @@ class PipelineOpsSpec extends AnyFunSuite {
           s"trial $trial t=$t n=$n rows=$rows")
       }
     }
+    // BOUNDARY pins for the PPJoin length/positional prunes (r7): a
+    // containment pair at J exactly t sits ON the length-filter boundary
+    // (|A| = t·|B|), and its first common element sits ON the positional
+    // boundary ((1+t)·(1+min(sz−rk)) = t·(sz_a+sz_b) exactly) — a prune
+    // whose float slack errs the wrong way drops them
+    val bdf = docsDf(Seq(
+      (11L, "w1 w2 w3"), (12L, "w1 w2 w3 w4 w5"), // J = 3/5 = 0.6 exactly
+      (13L, "x1 x2 x3 x4"), (14L, "x1 x2 x3 x4"), // J = 1.0
+      (15L, "z1 z2 z3 z4 z5 z6 z7 z8 z9")))
+    val b06 = Dedup.prefixJaccardJoin(bdf, "doc_id", "text",
+      threshold = 0.6, n = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(b06 == Set((11L, 12L, 0.6), (13L, 14L, 1.0)), s"got $b06")
+    // t = 1.0: prefixes shrink to the single rarest element; identical
+    // sets still share it and the positional bound holds with equality
+    val b10 = Dedup.prefixJaccardJoin(bdf, "doc_id", "text",
+      threshold = 1.0, n = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(b10 == Set((13L, 14L)), s"got $b10")
+
     // the pair q16's df-cap drops (linked only by a corpus-wide stop
     // shingle) IS found here: prefix filtering has no stop-element cap
     val stop = "common common common"

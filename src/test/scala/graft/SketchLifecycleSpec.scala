@@ -189,6 +189,30 @@ class SketchLifecycleSpec extends AnyFunSuite {
     assert(gens == Set("_gen-1"), s"gens=$gens")
   }
 
+  test("a REPLAYED fold over an already-committed generation never " +
+    "rewrites the gen dir: at that point it is the ONLY complete " +
+    "generation, and an in-place overwrite would first delete it — a " +
+    "crash mid-rewrite would lose unrebuildable sketch state (ADVICE r6)") {
+    val all = corpus(0 until 200)
+    val b0 = all.where(col("id") < 100)
+    val b1 = all.where(col("id") >= 100)
+    val path = tmp("foldreplay")
+    def fold(b: DataFrame, id: Long): Unit =
+      Sketch.foldHist(spark, Seq("grp"),
+        Sketch.histBuild(b, Seq("grp"), length(col("text"))), path, id)
+    fold(b0, 0L)
+    fold(b1, 1L) // prunes _gen-0: _gen-1 is now the only complete state
+    // sentinel INSIDE the committed gen dir: any rewrite (overwrite mode
+    // deletes the dir first) would remove it
+    val sentinel = java.nio.file.Paths.get(s"$path/_gen-1/_sentinel")
+    java.nio.file.Files.write(sentinel, Array[Byte](7))
+    fold(b1, 1L) // replay: HWM makes the merge a content no-op
+    assert(java.nio.file.Files.exists(sentinel),
+      "replayed fold rewrote the committed generation in place")
+    assert(canon(Sketch.loadHist(spark, Seq("grp"), path)) ==
+      canon(Sketch.histBuild(all, Seq("grp"), length(col("text")))))
+  }
+
   // ---- HLL --------------------------------------------------------------
 
   test("HLL: merge(build(A), build(B)) has register-identical state to " +
