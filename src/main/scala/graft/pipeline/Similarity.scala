@@ -240,6 +240,72 @@ object Similarity {
     ivfSearch(buildIvfIndex(corpus, idCol, vecCol, nlist, iters),
       corpus, queries, idCol, vecCol, qidCol, k, nprobe)
 
+  /**
+   * SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+   * "SemDeDup: Data-efficient learning at web-scale through semantic
+   * deduplication"): cluster the embedding space with the k-means coarse
+   * quantizer, compare pairs only WITHIN a cluster, and for every pair
+   * with cosine ≥ `eps` keep the member closer to its cluster centroid —
+   * the embedding-level dedup a multimodal/LLM corpus runs that MinHash
+   * cannot express (paraphrases share no shingles).
+   *
+   * Scale shape: the quadratic step is per-cluster (SemDeDup's own
+   * design premise — nlist is chosen so clusters stay small); the
+   * pair join keys on the cluster id and carries IDS ONLY (vectors
+   * re-join by id for the cosine verify — the Dedup candidate-shuffle
+   * discipline); assignment and centroid affinity are one codegen pass.
+   *
+   * Determinism/oracle shape: centroid affinity (`cdot` — dot product
+   * with the unit-normalized centroid of the assigned cluster) is
+   * rounded to 6 decimals BEFORE the keep/drop comparison, so the
+   * comparison is reproducible cross-engine (raw float compares of
+   * distributed dot products are ulp-fragile); the drop rule is
+   * "x is dropped iff some within-cluster neighbor y with
+   * cos(x,y) ≥ eps has (cdot_y, -id_y) > (cdot_x, -id_x)" — a strict
+   * total order, so every near-dup group keeps at least its best
+   * member. With iters=0 the quantizer is the deterministic init
+   * (nlist lowest-id vectors, unit-normalized) — the q55 oracle's gate
+   * shape, exactly the q28 precedent; iters>0 is pinned by the planted
+   * paraphrase-cluster test in PipelineOpsSpec.
+   *
+   * Output: (id, cl, cdot, dropped) over the full corpus.
+   */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+               eps: Double = 0.95, nlist: Int = 16,
+               iters: Int = 0): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val centroids = trainIvfCentroids(corpus, idCol, vecCol, nlist, iters)
+    val assigned = Mat.corpus(c.select(col("id"), col("v"),
+        assignCol(col("v"), centroids).as("cl"))
+      .withColumn("cdot", round(element_at(
+        simsCol(col("v"), centroids), col("cl") + 1), 6))
+      .select(col("id"), col("cl"), col("cdot")))
+    // ids-only within-cluster candidate pairs; vectors re-join by id
+    val slim = assigned.select(col("cl"), col("id"))
+    val pairs = slim.select(col("cl"), col("id").as("id_a"))
+      .join(slim.select(col("cl"), col("id").as("id_b")), Seq("cl"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val sim = pairs
+      .join(c.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(c.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .withColumn("cos", graft.plans.VectorKernels.cosine(col("v_a"), col("v_b")))
+      .where(col("cos") >= eps)
+      .select(col("id_a"), col("id_b"))
+    val aff = assigned.select(col("id"), col("cdot"))
+    val dropped = sim.select(col("id_a").as("id"), col("id_b").as("nb"))
+      .union(sim.select(col("id_b").as("id"), col("id_a").as("nb")))
+      .join(aff, Seq("id"))
+      .join(aff.select(col("id").as("nb"), col("cdot").as("nb_cdot")), Seq("nb"))
+      .where(col("nb_cdot") > col("cdot") ||
+        (col("nb_cdot") === col("cdot") && col("nb") < col("id")))
+      .select(col("id")).distinct()
+    assigned
+      .join(dropped.withColumn("__d", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cl"), col("cdot"),
+        coalesce(col("__d"), lit(false)).as("dropped"))
+  }
+
   // ---- hyperplane-LSH variant (k-means-free) ----------------------------
 
   /** Hyperplane bucket table (id, t, bucket) — ids only, the vector is
