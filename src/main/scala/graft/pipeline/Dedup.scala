@@ -131,8 +131,16 @@ object Dedup {
   // ---- minhash + LSH --------------------------------------------------
 
   /** Deterministic affine hash family over a base xxhash64 (Carter-Wegman
-    * style): h_i(x) = (a_i*x + b_i) mod 2^61-1. */
-  val MersennePrime: Long = (1L << 61) - 1
+    * style): h_i(x) = (a_i*x + b_i) mod 2^31-1 with x first reduced mod
+    * 2^31-1 — the Spark MLlib MinHashLSH construction. The modulus MUST
+    * be ~the domain size: an earlier build used mod 2^61-1 with a,x <
+    * 2^31, making a·x+b wrap at most twice over the domain, so every
+    * h_i was near-monotone in x and the k orderings were heavily
+    * correlated — measured 9% LSH false-negatives at J=0.93 where
+    * independent bands promise 0.001%. With the modulus at 2^31-1 the
+    * map wraps ~a times and the measured miss rate matches the
+    * (1-J^r)^b theory (LshRecallSpec pins both). */
+  val MersennePrime: Long = (1L << 31) - 1
   /** Public so oracle SQL generators can embed the identical constants. */
   def hashParams(k: Int): Seq[(Long, Long)] = {
     // splitmix64 stream from seed 42 — deterministic, no RNG object

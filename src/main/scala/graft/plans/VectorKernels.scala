@@ -96,14 +96,16 @@ object VectorKernels {
     sig
   }
 
-  /** k minhash mins over h' = pmod(h, 2^31-1), v_i = (a_i*h' + b_i) mod M —
-    * identical to Dedup.minhashSignatureFromHashes' transform+array_min.
+  /** k minhash mins over h' = pmod(h, 2^31-1), v_i = (a_i*h' + b_i) mod M
+    * with M = 2^31-1 (modulus ≈ domain size — see Dedup.MersennePrime for
+    * why a larger M breaks band independence) — identical to
+    * Dedup.minhashSignatureFromHashes' transform+array_min.
     * Empty input ⇒ array of nulls (array_min(empty) = null). */
   def minhashSig(hs: ArrayData, a: Array[Long], b: Array[Long]): ArrayData = {
     val k = a.length
     val n = hs.numElements()
     if (n == 0) return new GenericArrayData(new Array[Any](k))
-    val M = (1L << 61) - 1
+    val M = (1L << 31) - 1
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < n) {
