@@ -2,7 +2,7 @@ package graft.job
 
 import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Dedup, Sampling, TextOps}
+import graft.pipeline.{Dedup, Quality, Sampling, TextOps}
 
 /**
  * The COMPLETE crawl-to-training-set pipeline as one spark-submit job —
@@ -13,12 +13,20 @@ import graft.pipeline.{Dedup, Sampling, TextOps}
  *                  shuffle, map-only extraction, resumable, metrics)
  *   2. exact dedup fingerprint (md5 of normalized text) keep-first —
  *                  one shuffle on a 16-byte key
- *   3. near dedup  MinHash-LSH pairs → connected components → keep each
+ *   3. near dedup  candidate pairs → connected components → keep each
  *                  cluster's min url (bucketed equi-joins + O(log d)
- *                  pointer doubling; ids only through every shuffle)
+ *                  pointer doubling; ids only through every shuffle).
+ *                  `--near minhash` (default) banded MinHash-LSH;
+ *                  `--near exact` the prefix-filtering set-similarity
+ *                  join (PPJoin-family) — no false negatives at the
+ *                  same threshold, for high-stakes corpora
  *   4. quality     qualityScore ≥ minQuality AND repetition gates
  *                  (dup_3gram_frac / top_2gram_frac below thresholds —
- *                  the Gopher-style degenerate-text drop)
+ *                  the Gopher-style degenerate-text drop); with
+ *                  `--quality-model <labels>` additionally the LEARNED
+ *                  gate: logistic regression over hashed token features
+ *                  trained on the labeled (url, y) sample, drop below
+ *                  minModelProb (scores ride stage_quality for audit)
  *   5. decontam    drop docs whose 8-gram span containment against a
  *                  held-out eval set exceeds maxContamination (skipped
  *                  when no eval table is given); the dropped set's
@@ -49,7 +57,8 @@ import graft.pipeline.{Dedup, Sampling, TextOps}
  *
  * Usage: CurateJob <pagesDir> <outDir> [--eval <parquet with url,text>]
  *          [--quota N] [--min-quality Q] [--partitions N] [--warc]
- *          [--resume] [--bpe-merges N]
+ *          [--resume] [--bpe-merges N] [--near minhash|exact]
+ *          [--quality-model <parquet with url,y>]
  */
 object CurateJob {
 
@@ -57,20 +66,31 @@ object CurateJob {
                               maxDup3Gram: Double = 0.5,
                               maxTop2Gram: Double = 0.2,
                               maxContamination: Double = 0.2,
-                              quotaPerLang: Int = 1000)
+                              quotaPerLang: Int = 1000,
+                              nearThreshold: Double = 0.8,
+                              minModelProb: Double = 0.5)
+
+  /** Hashed-feature space and GD rounds for the optional learned quality
+    * gate (`--quality-model`): fastText-shaped defaults — the weight
+    * table stays a 64k-row broadcast, the gradient rounds iterate the
+    * sample-sized labeled postings, never the corpus. */
+  val QualityModelDim: Int = 1 << 16
+  val QualityModelIters: Int = 5
 
   def main(args: Array[String]): Unit = {
     val pos = JobArgs.parse(args,
       valueFlags = Set("--quota", "--min-quality", "--partitions", "--eval",
-        "--bpe-merges"),
+        "--bpe-merges", "--near", "--quality-model"),
       boolFlags = Set("--warc", "--resume"),
       usage = "usage: CurateJob <pagesDir> <outDir> [--eval <parquet>] " +
         "[--quota N] [--min-quality Q] [--partitions N] [--warc] " +
-        "[--resume] [--bpe-merges N]")
+        "[--resume] [--bpe-merges N] [--near minhash|exact] " +
+        "[--quality-model <labels parquet with url,y>]")
     require(pos.length >= 2,
       "usage: CurateJob <pagesDir> <outDir> [--eval <parquet>] [--quota N] " +
         "[--min-quality Q] [--partitions N] [--warc] [--resume] " +
-        "[--bpe-merges N]")
+        "[--bpe-merges N] [--near minhash|exact] " +
+        "[--quality-model <labels parquet>]")
     val (pagesDir, outDir) = (pos(0), pos(1))
     def opt(flag: String): Option[String] =
       args.sliding(2).collectFirst { case Array(`flag`, v) => v }
@@ -94,7 +114,9 @@ object CurateJob {
       evalPath = opt("--eval"),
       warcInput = args.contains("--warc"),
       resume = args.contains("--resume"),
-      bpeMerges = opt("--bpe-merges").map(_.toInt).getOrElse(0))
+      bpeMerges = opt("--bpe-merges").map(_.toInt).getOrElse(0),
+      nearAlgo = opt("--near").getOrElse("minhash"),
+      qualityModelPath = opt("--quality-model"))
     println(funnel)
     spark.stop()
   }
@@ -166,7 +188,12 @@ object CurateJob {
           evalPath: Option[String] = None,
           warcInput: Boolean = false,
           resume: Boolean = false,
-          bpeMerges: Int = 0): String = {
+          bpeMerges: Int = 0,
+          nearAlgo: String = "minhash",
+          qualityModelPath: Option[String] = None): String = {
+    require(nearAlgo == "minhash" || nearAlgo == "exact",
+      s"--near $nearAlgo: expected 'minhash' (LSH, probabilistic recall) " +
+        "or 'exact' (prefix-filtering set-similarity, NO false negatives)")
 
     // 1. extraction (the engine itself; durable, resumable, observed
     // metrics). On --resume a committed extraction stage is left
@@ -195,11 +222,23 @@ object CurateJob {
     val nExtracted =
       if (exactResumed) extracted.count() else observedRows(obsIn)
 
-    // 3. near dedup: LSH pairs → clusters → keep each cluster's min url.
-    // Both consumers of the exact-dedup output (shingling and the keep
+    // 3. near dedup: candidate pairs → clusters → keep each cluster's
+    // min url. `--near minhash` (default) banded MinHash-LSH —
+    // probabilistic recall, cheapest at web scale; `--near exact` the
+    // prefix-filtering set-similarity join — NO false negatives at the
+    // same verify threshold, for high-stakes corpora where a missed
+    // near-dup costs more than the extra prefix-postings shuffle. Both
+    // consumers of the exact-dedup output (shingling and the keep
     // anti-join) read the durable stage_exact files.
     val (nearKeep, nNear) = stage(spark, s"$outDir/stage_near", resume) {
-      val pairs = Dedup.minhashLsh(exactKeep, "url", "text")
+      val pairs = nearAlgo match {
+        case "minhash" =>
+          Dedup.minhashLsh(exactKeep, "url", "text",
+            threshold = th.nearThreshold)
+        case "exact" =>
+          Dedup.prefixJaccardJoin(exactKeep, "url", "text",
+            threshold = th.nearThreshold, n = 3)
+      }
       val clusters = Dedup.duplicateClusters(pairs.select("id_a", "id_b"))
       exactKeep.join(
         clusters.where(col("id") =!= col("component"))
@@ -207,11 +246,16 @@ object CurateJob {
         Seq("url"), "left_anti")
     }
 
-    // 4. quality + repetition gates
+    // 4. quality + repetition gates; with `--quality-model <labels>` an
+    // additional LEARNED gate — logistic regression over hashed token
+    // features trained on the caller's labeled sample (url, y) — scores
+    // every surviving doc and drops below minModelProb. The score rides
+    // the stage output (`quality_model_prob`) so operators can audit
+    // model drops the way they audit decontamination drops.
     val (qualityKeep, nQuality) = stage(spark, s"$outDir/stage_quality", resume) {
       val rep = TextOps.repetitionStats(nearKeep, "url", "text")
         .select(col("id").as("url"), col("dup_3gram_frac"), col("top_2gram_frac"))
-      nearKeep
+      val base = nearKeep
         .withColumn("quality", TextOps.qualityScore(col("text")))
         .withColumn("lang", TextOps.langId(col("text")))
         .join(rep, Seq("url"), "left") // single-token docs carry no stats
@@ -220,6 +264,23 @@ object CurateJob {
             coalesce(col("dup_3gram_frac") <= th.maxDup3Gram, lit(true)) &&
             coalesce(col("top_2gram_frac") <= th.maxTop2Gram, lit(true)))
         .drop("dup_3gram_frac", "top_2gram_frac")
+      qualityModelPath match {
+        case None => base
+        case Some(p) =>
+          val labels = spark.read.parquet(p)
+            .select(col("url").as("id"), col("y"))
+          val feats = Quality.hashedFeatures(nearKeep, "url", "text",
+            QualityModelDim, bias = true)
+          val w = Quality.trainLogReg(feats, labels, QualityModelDim,
+            iters = QualityModelIters)
+          // bias posting ⇒ every doc is scored; inner join is total
+          base.join(
+            Quality.scoreLogReg(feats, w)
+              .select(col("id").as("url"),
+                col("score").as("quality_model_prob")),
+            Seq("url"))
+            .where(col("quality_model_prob") >= th.minModelProb)
+      }
     }
 
     // 5. decontamination vs a held-out eval set. The fraction is
@@ -274,7 +335,9 @@ object CurateJob {
     // Hadoop FileSystem (remote outDir-safe).
     val funnel =
       s"""{"extracted":$nExtracted,"after_exact_dedup":$nExact,""" +
-        s""""after_near_dedup":$nNear,"after_quality":$nQuality,""" +
+        s""""near_algo":"$nearAlgo","after_near_dedup":$nNear,""" +
+        s""""quality_model":${qualityModelPath.isDefined},""" +
+        s""""after_quality":$nQuality,""" +
         s""""after_decontam":$nDecontam,"curated":$nFinal}"""
     ExtractJob.writeTextFile(spark, s"$outDir/_funnel.json", funnel)
 

@@ -229,6 +229,86 @@ class CurateJobSpec extends AnyFunSuite {
     assert(funnel2 == funnel)
   }
 
+  test("--near exact catches the planted near-dup pair that MinHash-LSH " +
+    "deterministically misses; the funnel records which algorithm ran") {
+    val tmp = java.nio.file.Files.createTempDirectory("curatenear").toString
+    import spark.implicits._
+    // seed 244: a J≈0.84 pair in the banding theory's ~0.4% miss band —
+    // a deterministic LSH miss under the committed hashParams constants
+    // (LshRecallSpec pins the miss on the raw text; this test pins it
+    // through the real extraction path)
+    val (base, variant) = TestCorpus.prosePair(244, 6)
+    val pages = Seq(
+      page("test://keep/1", prose(1), 0),
+      page("test://pair/a", base, 1),
+      page("test://pair/b", variant, 2))
+    PageTableIO.write(spark.createDataset(pages).toDF(), s"$tmp/pages",
+      numBuckets = 2)
+    val th = CurateJob.Thresholds(minQuality = 0.2, quotaPerLang = 10)
+
+    val fMinhash = CurateJob.run(spark, s"$tmp/pages", s"$tmp/out_mh",
+      partitions = 4, th = th, nearAlgo = "minhash")
+    assert(fMinhash.contains("\"near_algo\":\"minhash\""))
+    assert(fMinhash.contains("\"after_near_dedup\":3"),
+      s"LSH should miss the planted J≈0.84 pair: $fMinhash")
+
+    val fExact = CurateJob.run(spark, s"$tmp/pages", s"$tmp/out_ex",
+      partitions = 4, th = th, nearAlgo = "exact")
+    assert(fExact.contains("\"near_algo\":\"exact\""))
+    assert(fExact.contains("\"after_near_dedup\":2"),
+      s"prefixJaccardJoin must catch the pair LSH missed: $fExact")
+    val urls = spark.read.parquet(s"$tmp/out_ex/curated")
+      .select("url").collect().map(_.getString(0)).toSet
+    // the cluster keeps its min url
+    assert(urls == Set("test://keep/1", "test://pair/a"), urls.toString)
+  }
+
+  test("--quality-model drops the unlabeled spam doc the heuristic gates " +
+    "wave through; scores ride stage_quality for audit") {
+    val tmp = java.nio.file.Files.createTempDirectory("curateqm").toString
+    import spark.implicits._
+    // good docs share `good$j` unigrams, spam docs share `spam$j` —
+    // never a 3-gram, so near-dedup can't collapse either class
+    val pages = Seq(
+      page("test://good/1", TestCorpus.signalProse(1, "good"), 0),
+      page("test://good/2", TestCorpus.signalProse(2, "good"), 1),
+      page("test://good/3", TestCorpus.signalProse(3, "good"), 2),
+      page("test://spam/1", TestCorpus.signalProse(101, "spam"), 3),
+      page("test://spam/2", TestCorpus.signalProse(102, "spam"), 4),
+      page("test://spam/3", TestCorpus.signalProse(103, "spam"), 5))
+    PageTableIO.write(spark.createDataset(pages).toDF(), s"$tmp/pages",
+      numBuckets = 2)
+    val th = CurateJob.Thresholds(minQuality = 0.2, quotaPerLang = 10)
+
+    // without the model every doc passes the heuristic gates — the spam
+    // is prose-shaped by construction, so its drop below is attributable
+    // to the LEARNED gate alone
+    val fHeuristic = CurateJob.run(spark, s"$tmp/pages", s"$tmp/out_h",
+      partitions = 4, th = th)
+    assert(fHeuristic.contains("\"quality_model\":false"))
+    assert(fHeuristic.contains("\"after_quality\":6"), fHeuristic)
+
+    // label good/1+2 positive and spam/1+2 negative; good/3 and spam/3
+    // are HELD OUT — the model must generalize via the shared unigrams
+    Seq(("test://good/1", 1L), ("test://good/2", 1L),
+      ("test://spam/1", 0L), ("test://spam/2", 0L))
+      .toDF("url", "y").write.parquet(s"$tmp/labels")
+    val fModel = CurateJob.run(spark, s"$tmp/pages", s"$tmp/out_m",
+      partitions = 4, th = th, qualityModelPath = Some(s"$tmp/labels"))
+    assert(fModel.contains("\"quality_model\":true"))
+    assert(fModel.contains("\"after_quality\":3"), fModel)
+    val urls = spark.read.parquet(s"$tmp/out_m/curated")
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(urls == Set("test://good/1", "test://good/2", "test://good/3"),
+      urls.toString)
+    // the survivors' model scores ride the stage output for audit
+    val probs = spark.read.parquet(s"$tmp/out_m/stage_quality")
+      .select("url", "quality_model_prob").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(probs.keySet == urls)
+    assert(probs.values.forall(_ >= 0.5), probs.toString)
+  }
+
   test("quota caps per language; without an eval table decontamination " +
     "is skipped") {
     val tmp = java.nio.file.Files.createTempDirectory("curateq").toString

@@ -840,4 +840,59 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(pairs.contains((12L, 1L, 3L)))
     assert(!pairs.exists(_._1 == 11L))
   }
+
+  test("semDedup: planted paraphrase pairs lose exactly their centroid-" +
+    "farther member; distinct vectors survive (iters=0 and Lloyd iters=1)") {
+    import spark.implicits._
+    // ids 0 and 1 are the iters=0 init centroids (lowest-id vectors) —
+    // one per axis, so both gate shapes cluster identically
+    val vecs = Seq(
+      (0L, Array(1f, 0f)),          // cluster around x-axis
+      (1L, Array(0f, 1f)),          // cluster around y-axis
+      (2L, Array(0.999f, 0.045f)),  // paraphrase of 0 (cos ≈ 0.999)
+      (3L, Array(0.8f, 0.6f)),      // x-cluster, cos 0.8 < eps → kept
+      (4L, Array(0.045f, 0.999f)),  // paraphrase of 1
+      (5L, Array(-0.6f, 0.8f)))     // distinct, kept
+    val df = vecs.toDF("vec_id", "embedding")
+    for (iters <- Seq(0, 1)) {
+      val out = Similarity.semDedup(df, "vec_id", "embedding",
+        eps = 0.95, nlist = 2, iters = iters).collect()
+        .map(r => r.getAs[Long]("id") ->
+          (r.getAs[Double]("cdot"), r.getAs[Boolean]("dropped"))).toMap
+      assert(out.size == 6)
+      // each paraphrase pair loses exactly one member — the one with the
+      // smaller (cdot, -id); singletons survive
+      for (Seq(a, b) <- Seq(Seq(0L, 2L), Seq(1L, 4L))) {
+        assert(out(a)._2 != out(b)._2, s"pair ($a,$b) at iters=$iters")
+        val dropped = if (out(a)._2) a else b
+        val kept = if (out(a)._2) b else a
+        assert(out(dropped)._1 < out(kept)._1 ||
+          (out(dropped)._1 == out(kept)._1 && dropped > kept))
+      }
+      assert(!out(3L)._2 && !out(5L)._2)
+    }
+  }
+
+  test("semDedup: a mutual near-dup triple keeps exactly its best member " +
+    "(strict total order — no empty groups, no double-keeps)") {
+    import spark.implicits._
+    // ids 0/1 are the init centroids (axes); the triple sits at ~26° off
+    // the x-axis (cos 0.9 to the axis — not ITS near-dup) with pairwise
+    // cos > 0.999, all assigned to the x cluster
+    val df = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (2L, Array(0.9f, 0.436f)), (3L, Array(0.895f, 0.446f)),
+      (4L, Array(0.905f, 0.426f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(df, "vec_id", "embedding",
+      eps = 0.99, nlist = 2, iters = 1).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Double]("cdot"), r.getAs[Boolean]("dropped"))).toMap
+    val triple = Seq(2L, 3L, 4L)
+    val kept = triple.filterNot(out(_)._2)
+    assert(kept.size == 1, s"exactly one survivor, got $kept")
+    // the survivor is the (cdot desc, id asc) max of the triple
+    assert(kept.head == triple.maxBy(id => (out(id)._1, -id)))
+    assert(!out(0L)._2 && !out(1L)._2)
+  }
 }
