@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.extract.{Extractor, Page}
-import graft.pipeline.{AsOf, Dedup, Mat, Multimodal, Quality, Sampling, Search, Similarity, TextOps}
+import graft.pipeline.{AsOf, Dedup, LangModel, Mat, Multimodal, Quality, Sampling, Search, Similarity, TextOps}
 
 /**
  * Driver contract (SURVEY.md §7): `entry` = flagship extraction over a
@@ -330,6 +330,22 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cl"), col("cdot"),
           col("dropped"))
         .orderBy(col("vec_id"))
+    }),
+
+    "q56_lm_perplexity" -> ((s, dir) => {
+      // CCNet-style perplexity filter: a bigram stupid-backoff LM
+      // trained on the doc_id % 2 = 0 reference half scores EVERY doc
+      // (held-out docs exercise the backoff path — unseen bigrams AND
+      // unseen words). Every probability is a ratio of exact integer
+      // counts; ln/sum ulps absorbed by round(·, 4) on the per-doc
+      // mean (the q37 precedent).
+      val d = docs(s, dir)
+      val m = LangModel.train(
+        d.where(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text")
+      LangModel.perplexity(d, m, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("pairs"),
+          col("avg_logp"), col("ppl"))
+        .orderBy(col("doc_id"))
     }),
 
     "q17_minhash_lsh" -> ((s, dir) => {
@@ -1220,6 +1236,42 @@ object SparkEntry {
         |  (drp.id IS NOT NULL) AS dropped
         |FROM a LEFT JOIN drp ON drp.id = a.id
         |ORDER BY vec_id""".stripMargin,
+
+    // Bigram stupid-backoff LM: train on the doc_id % 2 = 0 half, score
+    // every document. Probabilities are exact integer-count ratios;
+    // (0.4 · x) / nv mirrors the Spark expression's operation order.
+    "q56_lm_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+        |    SELECT doc_id,
+        |      unnest([{'w1': t[i], 'w2': t[i+1]} for i in range(1, len(t))]) AS u
+        |    FROM toks)
+        |  WHERE len(u.w1) > 0 AND len(u.w2) > 0),
+        |uni AS (
+        |  SELECT tok AS w, count(*)::BIGINT AS c1
+        |  FROM (SELECT unnest(t) AS tok FROM toks WHERE doc_id % 2 = 0)
+        |  WHERE len(tok) > 0 GROUP BY tok),
+        |big AS (
+        |  SELECT w1, w2, count(*)::BIGINT AS c2
+        |  FROM pairs WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+        |stats AS (SELECT (sum(c1) + count(*))::DOUBLE AS nv FROM uni),
+        |lp AS (
+        |  SELECT p.doc_id,
+        |    ln(CASE WHEN b.c2 IS NOT NULL
+        |         THEN b.c2::DOUBLE / u1.c1::DOUBLE
+        |         ELSE (0.4 * (coalesce(u2.c1, 0) + 1)::DOUBLE) / nv END) AS lp
+        |  FROM pairs p
+        |  LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+        |  LEFT JOIN uni u1 ON p.w1 = u1.w
+        |  LEFT JOIN uni u2 ON p.w2 = u2.w
+        |  CROSS JOIN stats)
+        |SELECT doc_id, count(*)::BIGINT AS pairs,
+        |  round(sum(lp) / count(*), 4) AS avg_logp,
+        |  round(exp(-(sum(lp) / count(*))), 4) AS ppl
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // The engine's own E1→E16 pipeline on synthesized single-article pages
     // reduces to whitespace normalization of the payload text (every doc is

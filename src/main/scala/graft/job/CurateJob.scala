@@ -2,7 +2,7 @@ package graft.job
 
 import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Dedup, Quality, Sampling, TextOps}
+import graft.pipeline.{Dedup, LangModel, Quality, Sampling, TextOps}
 
 /**
  * The COMPLETE crawl-to-training-set pipeline as one spark-submit job —
@@ -27,6 +27,13 @@ import graft.pipeline.{Dedup, Quality, Sampling, TextOps}
  *                  gate: logistic regression over hashed token features
  *                  trained on the labeled (url, y) sample, drop below
  *                  minModelProb (scores ride stage_quality for audit)
+ *   4b. perplexity (--lm-ref <parquet with url,text>) the CCNet-style
+ *                  LM filter: a bigram stupid-backoff model trained on
+ *                  the TRUSTED reference corpus scores every surviving
+ *                  doc (LangModel.perplexity); drop above maxPerplexity.
+ *                  Scores ride stage_ppl as `lm_ppl` for audit; the
+ *                  trained model ships as `<out>/_lm` (count tables with
+ *                  params stamped) the way tokenizer artifacts do
  *   5. decontam    drop docs whose 8-gram span containment against a
  *                  held-out eval set exceeds maxContamination (skipped
  *                  when no eval table is given); the dropped set's
@@ -59,6 +66,7 @@ import graft.pipeline.{Dedup, Quality, Sampling, TextOps}
  *          [--quota N] [--min-quality Q] [--partitions N] [--warc]
  *          [--resume] [--bpe-merges N] [--near minhash|exact]
  *          [--quality-model <parquet with url,y>]
+ *          [--lm-ref <parquet with url,text>] [--max-ppl X]
  */
 object CurateJob {
 
@@ -68,7 +76,8 @@ object CurateJob {
                               maxContamination: Double = 0.2,
                               quotaPerLang: Int = 1000,
                               nearThreshold: Double = 0.8,
-                              minModelProb: Double = 0.5)
+                              minModelProb: Double = 0.5,
+                              maxPerplexity: Double = 2000.0)
 
   /** Hashed-feature space and GD rounds for the optional learned quality
     * gate (`--quality-model`): fastText-shaped defaults — the weight
@@ -80,17 +89,19 @@ object CurateJob {
   def main(args: Array[String]): Unit = {
     val pos = JobArgs.parse(args,
       valueFlags = Set("--quota", "--min-quality", "--partitions", "--eval",
-        "--bpe-merges", "--near", "--quality-model"),
+        "--bpe-merges", "--near", "--quality-model", "--lm-ref", "--max-ppl"),
       boolFlags = Set("--warc", "--resume"),
       usage = "usage: CurateJob <pagesDir> <outDir> [--eval <parquet>] " +
         "[--quota N] [--min-quality Q] [--partitions N] [--warc] " +
         "[--resume] [--bpe-merges N] [--near minhash|exact] " +
-        "[--quality-model <labels parquet with url,y>]")
+        "[--quality-model <labels parquet with url,y>] " +
+        "[--lm-ref <parquet with url,text>] [--max-ppl X]")
     require(pos.length >= 2,
       "usage: CurateJob <pagesDir> <outDir> [--eval <parquet>] [--quota N] " +
         "[--min-quality Q] [--partitions N] [--warc] [--resume] " +
         "[--bpe-merges N] [--near minhash|exact] " +
-        "[--quality-model <labels parquet>]")
+        "[--quality-model <labels parquet>] [--lm-ref <parquet>] " +
+        "[--max-ppl X]")
     val (pagesDir, outDir) = (pos(0), pos(1))
     def opt(flag: String): Option[String] =
       args.sliding(2).collectFirst { case Array(`flag`, v) => v }
@@ -108,7 +119,8 @@ object CurateJob {
 
     val th = Thresholds(
       minQuality = opt("--min-quality").map(_.toDouble).getOrElse(0.3),
-      quotaPerLang = opt("--quota").map(_.toInt).getOrElse(1000))
+      quotaPerLang = opt("--quota").map(_.toInt).getOrElse(1000),
+      maxPerplexity = opt("--max-ppl").map(_.toDouble).getOrElse(2000.0))
     val partitions = opt("--partitions").map(_.toInt).getOrElse(cpus.toInt * 2)
     val funnel = run(spark, pagesDir, outDir, partitions, th,
       evalPath = opt("--eval"),
@@ -116,7 +128,8 @@ object CurateJob {
       resume = args.contains("--resume"),
       bpeMerges = opt("--bpe-merges").map(_.toInt).getOrElse(0),
       nearAlgo = opt("--near").getOrElse("minhash"),
-      qualityModelPath = opt("--quality-model"))
+      qualityModelPath = opt("--quality-model"),
+      lmRefPath = opt("--lm-ref"))
     println(funnel)
     spark.stop()
   }
@@ -190,7 +203,8 @@ object CurateJob {
           resume: Boolean = false,
           bpeMerges: Int = 0,
           nearAlgo: String = "minhash",
-          qualityModelPath: Option[String] = None): String = {
+          qualityModelPath: Option[String] = None,
+          lmRefPath: Option[String] = None): String = {
     require(nearAlgo == "minhash" || nearAlgo == "exact",
       s"--near $nearAlgo: expected 'minhash' (LSH, probabilistic recall) " +
         "or 'exact' (prefix-filtering set-similarity, NO false negatives)")
@@ -283,6 +297,30 @@ object CurateJob {
       }
     }
 
+    // 4b. perplexity gate (CCNet-style, --lm-ref): a bigram
+    // stupid-backoff LM trained on the TRUSTED reference corpus scores
+    // every surviving doc; drop above maxPerplexity. Training is one
+    // reference pass + two aggregations; scoring is the doc pair stream
+    // joined against the two vocabulary-keyed count tables — nothing
+    // corpus-sized reaches the driver. Docs with < 2 tokens carry no
+    // score and are kept (the repetition-gate null convention). The
+    // model ships as `<out>/_lm` BEFORE the stage commits, so a crash
+    // between the two writes recomputes both on resume.
+    val (pplKeep, nPpl) = lmRefPath match {
+      case None => (qualityKeep, nQuality)
+      case Some(p) =>
+        stage(spark, s"$outDir/stage_ppl", resume) {
+          val ref = spark.read.parquet(p).select(col("url"), col("text"))
+          val m = LangModel.train(ref, "url", "text")
+          LangModel.saveLm(m, s"$outDir/_lm")
+          qualityKeep
+            .join(LangModel.perplexity(qualityKeep, m, "url", "text")
+              .select(col("id").as("url"), col("ppl").as("lm_ppl")),
+              Seq("url"), "left")
+            .where(coalesce(col("lm_ppl") <= th.maxPerplexity, lit(true)))
+        }
+    }
+
     // 5. decontamination vs a held-out eval set. The fraction is
     // normalized by the BENCHMARK doc's span count — "does this training
     // candidate contain ≥ X of some eval doc" — NOT by the candidate's
@@ -294,7 +332,7 @@ object CurateJob {
     // was dropped, so the report is written first and the drop list is
     // derived FROM it — one corpus-scale span join total.
     val (decontamKeep, nDecontam) = evalPath match {
-      case None => (qualityKeep, nQuality)
+      case None => (pplKeep, nPpl)
       case Some(p) =>
         val reportDir = s"$outDir/_decontam_report"
         if (!(resume && stageDone(spark, s"$outDir/stage_decontam"))) {
@@ -303,7 +341,7 @@ object CurateJob {
             size(Dedup.shingleHashes(col("text"), n = 8)).as("bench_spans"))
           // pairs: (eval_id = benchmark id, train_id = candidate id, shared)
           val shared = Dedup.spanContaminationPairs(
-            train = qualityKeep, eval = eval, idCol = "url", textCol = "text")
+            train = pplKeep, eval = eval, idCol = "url", textCol = "text")
           shared
             .join(benchSpanCounts, shared("eval_id") === benchSpanCounts("bench_id"))
             .where(col("shared_spans").cast("double") / col("bench_spans")
@@ -315,7 +353,7 @@ object CurateJob {
         val contaminated = spark.read.parquet(reportDir)
           .select(col("train_id").as("url")).distinct()
         stage(spark, s"$outDir/stage_decontam", resume) {
-          qualityKeep.join(contaminated, Seq("url"), "left_anti")
+          pplKeep.join(contaminated, Seq("url"), "left_anti")
         }
     }
 
@@ -338,6 +376,7 @@ object CurateJob {
         s""""near_algo":"$nearAlgo","after_near_dedup":$nNear,""" +
         s""""quality_model":${qualityModelPath.isDefined},""" +
         s""""after_quality":$nQuality,""" +
+        s""""lm_ref":${lmRefPath.isDefined},"after_ppl":$nPpl,""" +
         s""""after_decontam":$nDecontam,"curated":$nFinal}"""
     ExtractJob.writeTextFile(spark, s"$outDir/_funnel.json", funnel)
 

@@ -309,6 +309,61 @@ class CurateJobSpec extends AnyFunSuite {
     assert(probs.values.forall(_ >= 0.5), probs.toString)
   }
 
+  test("--lm-ref drops the out-of-distribution doc the heuristic gates " +
+    "wave through; lm_ppl rides stage_ppl and the model ships as _lm") {
+    val tmp = java.nio.file.Files.createTempDirectory("curatelm").toString
+    import spark.implicits._
+    // trusted reference corpus: 10 docs sharing the `common` vocabulary
+    val ref = (0 until 10).map(i =>
+      (s"ref://doc/$i", TestCorpus.signalProse(i, "common")))
+      .toDF("url", "text")
+    ref.write.parquet(s"$tmp/ref")
+    // in-distribution pages reuse reference seeds (their transitions are
+    // SEEN bigrams); the OOV doc is prose-shaped — stopwords every 3rd
+    // word, commas — so every heuristic gate waves it through, but its
+    // seed-unique words never appeared in the reference: 2/3 of its
+    // transitions hit the OOV backoff and its perplexity explodes
+    val pages = Seq(
+      page("test://indist/1", TestCorpus.signalProse(0, "common"), 0),
+      page("test://indist/2", TestCorpus.signalProse(1, "common"), 1),
+      page("test://indist/3", TestCorpus.signalProse(2, "common"), 2),
+      page("test://oov/1", TestCorpus.signalProse(999, "zzqx"), 3))
+    PageTableIO.write(spark.createDataset(pages).toDF(), s"$tmp/pages",
+      numBuckets = 2)
+    val th = CurateJob.Thresholds(minQuality = 0.2, quotaPerLang = 10,
+      maxPerplexity = 100.0)
+
+    // without --lm-ref nothing is ppl-gated: after_ppl mirrors quality
+    val fOff = CurateJob.run(spark, s"$tmp/pages", s"$tmp/out_off",
+      partitions = 4, th = th)
+    assert(fOff.contains("\"lm_ref\":false"))
+    assert(fOff.contains("\"after_quality\":4"), fOff)
+    assert(fOff.contains("\"after_ppl\":4"), fOff)
+
+    val fOn = CurateJob.run(spark, s"$tmp/pages", s"$tmp/out_on",
+      partitions = 4, th = th, lmRefPath = Some(s"$tmp/ref"))
+    assert(fOn.contains("\"lm_ref\":true"))
+    assert(fOn.contains("\"after_quality\":4"), fOn)
+    assert(fOn.contains("\"after_ppl\":3"), fOn)
+    val urls = spark.read.parquet(s"$tmp/out_on/curated")
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(urls == Set("test://indist/1", "test://indist/2",
+      "test://indist/3"), urls.toString)
+    // survivors' scores ride the stage output for audit
+    val ppls = spark.read.parquet(s"$tmp/out_on/stage_ppl")
+      .select("url", "lm_ppl").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ppls.keySet == urls)
+    assert(ppls.values.forall(_ <= 100.0), ppls.toString)
+    // the trained model is a shipped, loadable artifact: scoring the OOV
+    // text through it reproduces the drop decision
+    val m = graft.pipeline.LangModel.loadLm(spark, s"$tmp/out_on/_lm")
+    val oovPpl = graft.pipeline.LangModel.perplexity(
+      Seq((1L, TestCorpus.signalProse(999, "zzqx"))).toDF("doc_id", "text"),
+      m, "doc_id", "text").select("ppl").head.getDouble(0)
+    assert(oovPpl > 100.0, s"OOV doc must score above the gate: $oovPpl")
+  }
+
   test("quota caps per language; without an eval table decontamination " +
     "is skipped") {
     val tmp = java.nio.file.Files.createTempDirectory("curateq").toString
