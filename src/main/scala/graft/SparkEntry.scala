@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.extract.{Extractor, Page}
-import graft.pipeline.{AsOf, Dedup, LangModel, Mat, Multimodal, Quality, Sampling, Search, Similarity, TextOps}
+import graft.pipeline.{AsOf, Dedup, Dsir, LangModel, Mat, Multimodal, Quality, Sampling, Search, Similarity, TextOps}
 
 /**
  * Driver contract (SURVEY.md §7): `entry` = flagship extraction over a
@@ -346,6 +346,22 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("pairs"),
           col("avg_logp"), col("ppl"))
         .orderBy(col("doc_id"))
+    }),
+
+    "q57_dsir_resample" -> ((s, dir) => {
+      // DSIR domain matching (Xie et al. 2023): resample the crawl
+      // toward the trusted doc_id % 4 = 1 slice by hashed-n-gram
+      // importance weights + deterministic Gumbel top-k. Counts are
+      // exact integers; the Gumbel key is rounded to 6 BEFORE ranking
+      // (the q55 precedent) so the (key desc, id asc) order is
+      // cross-engine total; logw rounds to 4 for display (q37).
+      val d = docs(s, dir)
+      val target = d.where(pmod(col("doc_id"), lit(4)) === 1)
+      Dsir.resample(d, target, "doc_id", "text", dim = 512, n = 100,
+        algo = Dedup.AlgoMd5)
+        .select(col("id").as("doc_id"),
+          round(col("logw"), 4).as("logw"), col("key"), col("rank"))
+        .orderBy(col("rank"))
     }),
 
     "q17_minhash_lsh" -> ((s, dir) => {
@@ -1272,6 +1288,56 @@ object SparkEntry {
         |  round(sum(lp) / count(*), 4) AS avg_logp,
         |  round(exp(-(sum(lp) / count(*))), 4) AS ppl
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // DSIR: hashed unigram+bigram multinomials (add-one smoothed over
+    // the 512 buckets), per-doc log importance weight toward the
+    // doc_id % 4 = 1 target slice, Gumbel top-100 on the md5-derived
+    // uniform (the q42 key idiom). Feature hashing is md5-60 so DuckDB
+    // lands every n-gram in the same bucket.
+    "q57_dsir_resample" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, tok AS g
+        |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+        |  WHERE len(tok) > 0
+        |  UNION ALL
+        |  SELECT doc_id, u.w1 || ' ' || u.w2 AS g FROM (
+        |    SELECT doc_id,
+        |      unnest([{'w1': t[i], 'w2': t[i+1]} for i in range(1, len(t))]) AS u
+        |    FROM toks)
+        |  WHERE len(u.w1) > 0 AND len(u.w2) > 0),
+        |feats AS (
+        |  SELECT doc_id,
+        |    ((('0x' || substring(md5(g), 1, 15))::UBIGINT::BIGINT) % 512)::INT AS f,
+        |    count(*)::BIGINT AS tf
+        |  FROM grams GROUP BY 1, 2),
+        |tgt AS (SELECT f, sum(tf)::BIGINT AS ctgt
+        |        FROM feats WHERE doc_id % 4 = 1 GROUP BY f),
+        |raw AS (SELECT f, sum(tf)::BIGINT AS craw FROM feats GROUP BY f),
+        |stats AS (SELECT
+        |    (SELECT coalesce(sum(ctgt), 0) FROM tgt)::BIGINT AS ntgt,
+        |    (SELECT coalesce(sum(craw), 0) FROM raw)::BIGINT AS nraw),
+        |lr AS (
+        |  SELECT raw.f,
+        |    ln((coalesce(ctgt, 0) + 1)::DOUBLE / (ntgt + 512)::DOUBLE)
+        |    - ln((craw + 1)::DOUBLE / (nraw + 512)::DOUBLE) AS lr
+        |  FROM raw LEFT JOIN tgt USING (f) CROSS JOIN stats),
+        |lw AS (
+        |  SELECT feats.doc_id, sum(feats.tf * lr.lr) AS logw
+        |  FROM feats JOIN lr USING (f) GROUP BY feats.doc_id),
+        |keyed AS (
+        |  SELECT doc_id, logw,
+        |    round(logw - ln(-ln(
+        |      (('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT::DOUBLE + 1)
+        |        / pow(2.0, 60))), 6) AS key
+        |  FROM lw),
+        |top AS (SELECT doc_id, logw, key,
+        |          row_number() OVER (ORDER BY key DESC, doc_id ASC) AS rank
+        |        FROM keyed)
+        |SELECT doc_id, round(logw, 4) AS logw, key, rank::INTEGER AS rank
+        |FROM top WHERE rank <= 100 ORDER BY rank""".stripMargin,
 
     // The engine's own E1→E16 pipeline on synthesized single-article pages
     // reduces to whitespace normalization of the payload text (every doc is
