@@ -2,7 +2,7 @@ package graft.job
 
 import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Dedup, LangModel, Quality, Sampling, TextOps}
+import graft.pipeline.{Dedup, Dsir, LangModel, Quality, Sampling, TextOps}
 
 /**
  * The COMPLETE crawl-to-training-set pipeline as one spark-submit job —
@@ -38,6 +38,14 @@ import graft.pipeline.{Dedup, LangModel, Quality, Sampling, TextOps}
  *                  held-out eval set exceeds maxContamination (skipped
  *                  when no eval table is given); the dropped set's
  *                  attribution lands in `<out>/_decontam_report`
+ *   5b. DSIR       (--dsir-ref <parquet with url,text> --dsir-n N)
+ *                  importance-resample the survivors toward the trusted
+ *                  reference corpus (Dsir.resample: hashed-n-gram
+ *                  multinomials + deterministic Gumbel top-N) — the
+ *                  domain-matching draw a pretraining pipeline runs when
+ *                  it wants "more data shaped like the reference" out of
+ *                  the crawl; each kept doc carries its `dsir_logw` for
+ *                  audit
  *   6. sample      deterministic per-language stratified quota
  *                  (WindowGroupLimit partial top-n)
  *   7. write       curated rows + a per-stage funnel report
@@ -67,6 +75,7 @@ import graft.pipeline.{Dedup, LangModel, Quality, Sampling, TextOps}
  *          [--resume] [--bpe-merges N] [--near minhash|exact]
  *          [--quality-model <parquet with url,y>]
  *          [--lm-ref <parquet with url,text>] [--max-ppl X]
+ *          [--dsir-ref <parquet with url,text>] [--dsir-n N]
  */
 object CurateJob {
 
@@ -86,22 +95,28 @@ object CurateJob {
   val QualityModelDim: Int = 1 << 16
   val QualityModelIters: Int = 5
 
+  /** Feature-hash width for the optional DSIR stage: the two count
+    * tables and the log-ratio table stay dim-bounded broadcasts. */
+  val DsirDim: Int = 1 << 16
+
   def main(args: Array[String]): Unit = {
     val pos = JobArgs.parse(args,
       valueFlags = Set("--quota", "--min-quality", "--partitions", "--eval",
-        "--bpe-merges", "--near", "--quality-model", "--lm-ref", "--max-ppl"),
+        "--bpe-merges", "--near", "--quality-model", "--lm-ref", "--max-ppl",
+        "--dsir-ref", "--dsir-n"),
       boolFlags = Set("--warc", "--resume"),
       usage = "usage: CurateJob <pagesDir> <outDir> [--eval <parquet>] " +
         "[--quota N] [--min-quality Q] [--partitions N] [--warc] " +
         "[--resume] [--bpe-merges N] [--near minhash|exact] " +
         "[--quality-model <labels parquet with url,y>] " +
-        "[--lm-ref <parquet with url,text>] [--max-ppl X]")
+        "[--lm-ref <parquet with url,text>] [--max-ppl X] " +
+        "[--dsir-ref <parquet with url,text>] [--dsir-n N]")
     require(pos.length >= 2,
       "usage: CurateJob <pagesDir> <outDir> [--eval <parquet>] [--quota N] " +
         "[--min-quality Q] [--partitions N] [--warc] [--resume] " +
         "[--bpe-merges N] [--near minhash|exact] " +
         "[--quality-model <labels parquet>] [--lm-ref <parquet>] " +
-        "[--max-ppl X]")
+        "[--max-ppl X] [--dsir-ref <parquet>] [--dsir-n N]")
     val (pagesDir, outDir) = (pos(0), pos(1))
     def opt(flag: String): Option[String] =
       args.sliding(2).collectFirst { case Array(`flag`, v) => v }
@@ -129,7 +144,9 @@ object CurateJob {
       bpeMerges = opt("--bpe-merges").map(_.toInt).getOrElse(0),
       nearAlgo = opt("--near").getOrElse("minhash"),
       qualityModelPath = opt("--quality-model"),
-      lmRefPath = opt("--lm-ref"))
+      lmRefPath = opt("--lm-ref"),
+      dsirRefPath = opt("--dsir-ref"),
+      dsirN = opt("--dsir-n").map(_.toInt).getOrElse(0))
     println(funnel)
     spark.stop()
   }
@@ -204,10 +221,14 @@ object CurateJob {
           bpeMerges: Int = 0,
           nearAlgo: String = "minhash",
           qualityModelPath: Option[String] = None,
-          lmRefPath: Option[String] = None): String = {
+          lmRefPath: Option[String] = None,
+          dsirRefPath: Option[String] = None,
+          dsirN: Int = 0): String = {
     require(nearAlgo == "minhash" || nearAlgo == "exact",
       s"--near $nearAlgo: expected 'minhash' (LSH, probabilistic recall) " +
         "or 'exact' (prefix-filtering set-similarity, NO false negatives)")
+    require(dsirRefPath.isEmpty || dsirN > 0,
+      "--dsir-ref requires --dsir-n > 0 (the resample size)")
 
     // 1. extraction (the engine itself; durable, resumable, observed
     // metrics). On --resume a committed extraction stage is left
@@ -357,10 +378,30 @@ object CurateJob {
         }
     }
 
+    // 5b. DSIR importance resampling toward a trusted reference corpus
+    // (--dsir-ref/--dsir-n): the domain-matching draw — keep the dsirN
+    // survivors maximizing logw + Gumbel(u) ≡ sampling ∝ importance
+    // weight without replacement, deterministically. Feature/count
+    // tables are dim-bounded; the draw is a distributed TakeOrdered.
+    // Each kept doc carries `dsir_logw` (audit: WHY it was drawn).
+    val (dsirKeep, nDsir) = dsirRefPath match {
+      case None => (decontamKeep, nDecontam)
+      case Some(p) =>
+        stage(spark, s"$outDir/stage_dsir", resume) {
+          val ref = spark.read.parquet(p).select(col("url"), col("text"))
+          decontamKeep.join(
+            Dsir.resample(decontamKeep, ref, "url", "text",
+              dim = DsirDim, n = dsirN)
+              .select(col("id").as("url"),
+                round(col("logw"), 6).as("dsir_logw")),
+            Seq("url"))
+        }
+    }
+
     // 6. deterministic per-language stratified quota + 7. curated output
     val (curated, nFinal) = stage(spark, s"$outDir/curated", resume,
       partitionCols = Seq("lang")) {
-      Sampling.stratifiedQuota(decontamKeep,
+      Sampling.stratifiedQuota(dsirKeep.drop("dsir_logw"),
         strataCols = Seq("lang"), idCol = "url", n = th.quotaPerLang)
         .withColumn("bpe_tokens", TextOps.bpeTokenCount(col("text")))
         .select(col("url"), col("warc_ts"), col("lang"), col("quality"),
@@ -377,7 +418,9 @@ object CurateJob {
         s""""quality_model":${qualityModelPath.isDefined},""" +
         s""""after_quality":$nQuality,""" +
         s""""lm_ref":${lmRefPath.isDefined},"after_ppl":$nPpl,""" +
-        s""""after_decontam":$nDecontam,"curated":$nFinal}"""
+        s""""after_decontam":$nDecontam,""" +
+        s""""dsir":${dsirRefPath.isDefined},"after_dsir":$nDsir,""" +
+        s""""curated":$nFinal}"""
     ExtractJob.writeTextFile(spark, s"$outDir/_funnel.json", funnel)
 
     // 8. tokenizer artifacts over the CURATED corpus (what the model

@@ -364,6 +364,48 @@ class CurateJobSpec extends AnyFunSuite {
     assert(oovPpl > 100.0, s"OOV doc must score above the gate: $oovPpl")
   }
 
+  test("--dsir-ref/--dsir-n resamples toward the trusted reference " +
+    "corpus: the domain-matched docs are drawn, with dsir_logw audit") {
+    val tmp = java.nio.file.Files.createTempDirectory("curatedsir").toString
+    import spark.implicits._
+    // phys docs share `phys$j` unigrams with the reference corpus; off
+    // docs share only stopwords — the importance-weight gap (~12 nats)
+    // dwarfs the Gumbel noise, so the draw is effectively deterministic
+    val pages = Seq(
+      page("test://phys/1", TestCorpus.signalProse(1, "phys"), 0),
+      page("test://phys/2", TestCorpus.signalProse(2, "phys"), 1),
+      page("test://off/1", TestCorpus.signalProse(101, "off"), 2),
+      page("test://off/2", TestCorpus.signalProse(102, "off"), 3))
+    PageTableIO.write(spark.createDataset(pages).toDF(), s"$tmp/pages",
+      numBuckets = 2)
+    Seq.tabulate(4)(i =>
+      (s"ref://doc/$i", TestCorpus.signalProse(900 + i, "phys")))
+      .toDF("url", "text").write.parquet(s"$tmp/ref")
+    val th = CurateJob.Thresholds(minQuality = 0.2, quotaPerLang = 10)
+
+    val funnel = CurateJob.run(spark, s"$tmp/pages", s"$tmp/out",
+      partitions = 4, th = th,
+      dsirRefPath = Some(s"$tmp/ref"), dsirN = 2)
+    assert(funnel.contains("\"after_decontam\":4"), funnel)
+    assert(funnel.contains("\"dsir\":true"))
+    assert(funnel.contains("\"after_dsir\":2"), funnel)
+    assert(funnel.contains("\"curated\":2"))
+    val sel = spark.read.parquet(s"$tmp/out/stage_dsir")
+    assert(sel.columns.contains("dsir_logw"))
+    val urls = sel.select("url").collect().map(_.getString(0)).toSet
+    assert(urls == Set("test://phys/1", "test://phys/2"),
+      s"urls=$urls funnel=$funnel")
+    val curated = spark.read.parquet(s"$tmp/out/curated")
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(curated == urls)
+
+    // without the flag the stage is skipped and the funnel says so
+    val f2 = CurateJob.run(spark, s"$tmp/pages", s"$tmp/out2",
+      partitions = 4, th = th)
+    assert(f2.contains("\"dsir\":false"))
+    assert(f2.contains("\"after_dsir\":4"), f2)
+  }
+
   test("quota caps per language; without an eval table decontamination " +
     "is skipped") {
     val tmp = java.nio.file.Files.createTempDirectory("curateq").toString
