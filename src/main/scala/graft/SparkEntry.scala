@@ -364,6 +364,27 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    "q58_substring_spans" -> ((s, dir) =>
+      // substring-level exact dedup (Lee et al. 2022): maximal token
+      // spans whose every 8-gram occurs ≥ 2 times corpus-wide — the
+      // boilerplate/license/quote pass doc-level dedup cannot see.
+      // Gram hashes only need EQUALITY (the q16/q26 convention), so the
+      // engine keeps the fast xx64 kernel; the oracle groups by the
+      // gram string itself.
+      Dedup.substringDupSpans(docs(s, dir), "doc_id", "text", k = 8)
+        .select(col("id").as("doc_id"), col("span_start"),
+          col("span_grams"), col("span_tokens"))
+        .orderBy(col("doc_id"), col("span_start"))),
+
+    "q59_substring_strip" -> ((s, dir) =>
+      // the apply side of q58: rebuild each doc with every token covered
+      // by a duplicated span removed (single-space rejoin); per-doc
+      // kept/removed accounting rides the same aggregation
+      Dedup.stripDupSpans(docs(s, dir), "doc_id", "text", k = 8)
+        .select(col("id").as("doc_id"), col("kept_tokens"),
+          col("removed_tokens"), col("text_clean"))
+        .orderBy(col("doc_id"))),
+
     "q17_minhash_lsh" -> ((s, dir) => {
       // md5Hash60 shingle hashes so DuckDB reproduces the exact minhash
       // signatures (band-bucket equality is value-dependent)
@@ -1338,6 +1359,70 @@ object SparkEntry {
         |        FROM keyed)
         |SELECT doc_id, round(logw, 4) AS logw, key, rank::INTEGER AS rank
         |FROM top WHERE rank <= 100 ORDER BY rank""".stripMargin,
+
+    // Substring-level exact dedup: positional 8-grams, corpus-wide df,
+    // gaps-and-islands merge of consecutive duplicated positions. The
+    // oracle groups by the gram STRING (hash equality only — the
+    // q16/q26 convention), so the engine's xx64 kernel needs no md5
+    // mirror here.
+    "q58_substring_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+        |    SELECT doc_id,
+        |      unnest([{'pos': i-1, 'g': array_to_string(t[i:i+7], ' ')}
+        |              for i in range(1, len(t) - 6)]) AS u
+        |    FROM toks WHERE len(t) >= 8)),
+        |dfh AS (SELECT g, count(*)::BIGINT AS hdf FROM grams GROUP BY g),
+        |dup AS (SELECT doc_id, pos FROM grams JOIN dfh USING (g)
+        |        WHERE hdf >= 2),
+        |runs AS (SELECT doc_id, pos,
+        |           pos - row_number() OVER (PARTITION BY doc_id
+        |                                    ORDER BY pos) AS grp
+        |         FROM dup)
+        |SELECT doc_id, min(pos)::INTEGER AS span_start,
+        |  count(*)::BIGINT AS span_grams,
+        |  (count(*) + 7)::BIGINT AS span_tokens
+        |FROM runs GROUP BY doc_id, grp
+        |ORDER BY doc_id, span_start""".stripMargin,
+
+    "q59_substring_strip" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+        |    SELECT doc_id,
+        |      unnest([{'pos': i-1, 'g': array_to_string(t[i:i+7], ' ')}
+        |              for i in range(1, len(t) - 6)]) AS u
+        |    FROM toks WHERE len(t) >= 8)),
+        |dfh AS (SELECT g, count(*)::BIGINT AS hdf FROM grams GROUP BY g),
+        |dup AS (SELECT doc_id, pos FROM grams JOIN dfh USING (g)
+        |        WHERE hdf >= 2),
+        |runs AS (SELECT doc_id, pos,
+        |           pos - row_number() OVER (PARTITION BY doc_id
+        |                                    ORDER BY pos) AS grp
+        |         FROM dup),
+        |spans AS (SELECT doc_id, min(pos) AS s, count(*) + 7 AS st
+        |          FROM runs GROUP BY doc_id, grp),
+        |cov AS (SELECT DISTINCT doc_id, pos FROM (
+        |          SELECT doc_id, unnest(range(s, s + st)) AS pos FROM spans)),
+        |tk AS (
+        |  SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+        |    SELECT doc_id,
+        |      unnest([{'pos': i-1, 'tok': t[i]}
+        |              for i in range(1, len(t) + 1)]) AS u
+        |    FROM toks)
+        |  WHERE len(u.tok) > 0)
+        |SELECT tk.doc_id,
+        |  sum(CASE WHEN cov.pos IS NULL THEN 1 ELSE 0 END)::BIGINT AS kept_tokens,
+        |  sum(CASE WHEN cov.pos IS NULL THEN 0 ELSE 1 END)::BIGINT AS removed_tokens,
+        |  coalesce(string_agg(CASE WHEN cov.pos IS NULL THEN tk.tok END,
+        |    ' ' ORDER BY tk.pos), '') AS text_clean
+        |FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.pos = cov.pos
+        |GROUP BY tk.doc_id ORDER BY tk.doc_id""".stripMargin,
 
     // The engine's own E1→E16 pipeline on synthesized single-article pages
     // reduces to whitespace normalization of the payload text (every doc is

@@ -811,6 +811,99 @@ object Dedup {
       .where(col("shared_spans") >= minShared)
   }
 
+  /**
+   * SUBSTRING-level exact dedup (the ExactSubstr recipe of Lee et al.
+   * 2022, "Deduplicating Training Data Makes Language Models Better"):
+   * find, per document, the MAXIMAL token spans every k-gram of which
+   * occurs ≥ `minDf` times corpus-wide. Doc- and near-dup passes keep
+   * whole documents; this is the pass that catches boilerplate,
+   * licenses, and quoted passages duplicated INSIDE otherwise-unique
+   * documents. The reference implementation builds a corpus suffix
+   * array; the Spark-native shape is the positional k-gram postings
+   * table — one corpus pass for the grams (positional ShingleHash
+   * kernel), one bounded shuffle on the gram hash for the df count,
+   * one join back, one per-doc window for the gaps-and-islands merge
+   * of consecutive duplicated positions. No pairwise joins anywhere;
+   * a gram shared by d docs costs d posting rows.
+   *
+   * A run of `g` consecutive duplicated gram positions starting at
+   * `span_start` covers `span_tokens` = g + k − 1 tokens (0-based token
+   * positions [span_start, span_start + span_tokens)). Spans shorter
+   * than `minSpanTokens` are dropped — Lee et al. use 50; the default
+   * keeps every duplicated k-gram (minSpanTokens = k). Documents with
+   * fewer than k tokens carry no k-gram span and are absent (the
+   * kernel would emit a single whole-doc gram for them, which has no
+   * positional span semantics).
+   *
+   * `keepFirst = true` exempts each gram's globally FIRST occurrence
+   * (min (id, pos)) — "remove all but one copy"; the default marks
+   * every occurrence ("drop duplicated text everywhere").
+   */
+  def substringDupSpans(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 8, minSpanTokens: Int = 0,
+                        minDf: Int = 2, keepFirst: Boolean = false,
+                        algo: String = AlgoXx64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = Mat.corpus(df
+      .where(size(tokens(col(textCol))) >= k)
+      .select(col(idCol).as("id"),
+        posexplode(graft.plans.VectorKernels.shingleHash(
+          col(textCol), k, algoIsMd5(algo), distinct = false)))
+      .select(col("id"), col("pos"), col("col").as("h")))
+    val dfh =
+      if (keepFirst)
+        grams.groupBy(col("h")).agg(count(lit(1)).as("hdf"),
+          min(struct(col("id"), col("pos"))).as("first"))
+      else grams.groupBy(col("h")).agg(count(lit(1)).as("hdf"))
+    val dup0 = grams.join(dfh, Seq("h")).where(col("hdf") >= minDf)
+    val dup =
+      if (keepFirst)
+        dup0.where(!(col("first.id") === col("id") &&
+          col("first.pos") === col("pos")))
+      else dup0
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    dup.select(col("id"), col("pos"))
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        count(lit(1)).as("span_grams"))
+      .select(col("id"), col("span_start"), col("span_grams"),
+        (col("span_grams") + lit(k - 1)).as("span_tokens"))
+      .where(col("span_tokens") >= math.max(minSpanTokens, k))
+  }
+
+  /** Apply substring dedup: rebuild each document's text with every
+    * token covered by a qualifying duplicated span REMOVED (single-space
+    * rejoin — substring dedup is lossy on original whitespace by
+    * design). Output (id, kept_tokens, removed_tokens, text_clean) for
+    * every doc with ≥ 1 token; a doc whose every token is covered keeps
+    * an empty string. Coverage expansion is span-sized (sequence
+    * explode), the rebuild one per-doc sorted aggregation — the only
+    * corpus-scale shuffles are the gram-df count and the final group
+    * by id. */
+  def stripDupSpans(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 8, minSpanTokens: Int = 0,
+                    minDf: Int = 2, keepFirst: Boolean = false,
+                    algo: String = AlgoXx64): DataFrame = {
+    val covered = substringDupSpans(df, idCol, textCol, k, minSpanTokens,
+      minDf, keepFirst, algo)
+      .select(col("id"), explode(sequence(col("span_start"),
+        col("span_start") + col("span_tokens").cast("int") - 1)).as("pos"))
+      .distinct()
+    val toks = df.select(col(idCol).as("id"),
+        posexplode(tokens(col(textCol))))
+      .where(length(col("col")) > 0)
+    toks.join(covered.withColumn("__cov", lit(1)), Seq("id", "pos"), "left")
+      .groupBy(col("id"))
+      .agg(
+        sum(when(col("__cov").isNull, 1L).otherwise(0L)).as("kept_tokens"),
+        sum(when(col("__cov").isNull, 0L).otherwise(1L)).as("removed_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("__cov").isNull,
+            struct(col("pos"), col("col").as("tok"))))),
+          s => s.getField("tok"))).as("text_clean"))
+  }
+
   // ---- duplicate clusters (connected components) -----------------------
 
   /**

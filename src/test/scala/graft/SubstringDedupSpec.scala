@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Dedup
+
+/** Substring-level exact dedup (ExactSubstr, Lee et al. 2022): maximal
+  * duplicated-span extraction and the strip/rebuild on planted corpora —
+  * span boundaries, within-doc duplication, keep-first exemption,
+  * minSpanTokens threshold, full-coverage strip. The q58/q59 oracles
+  * gate the relational path over real data; the boundary semantics live
+  * here. */
+class SubstringDedupSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSessionFixture.spark
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  // a run of n seed-unique tokens
+  private def uniq(seed: Int, n: Int): String =
+    (0 until n).map(j => s"u${seed}x$j").mkString(" ")
+
+  private val Shared = "s0 s1 s2 s3 s4 s5 s6 s7 s8 s9" // 10 shared tokens
+
+  private def spans(df: org.apache.spark.sql.DataFrame, k: Int = 8,
+                    minSpanTokens: Int = 0, keepFirst: Boolean = false) =
+    Dedup.substringDupSpans(df, "doc_id", "text", k = k,
+      minSpanTokens = minSpanTokens, keepFirst = keepFirst)
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Int]("span_start"),
+        r.getAs[Long]("span_grams"), r.getAs[Long]("span_tokens")))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  test("a 10-token run shared by two docs yields one MAXIMAL span per " +
+    "doc at the exact token boundaries; unique docs are absent") {
+    // doc 1: 5 unique + shared + 5 unique; doc 2: 3 unique + shared;
+    // doc 3: all unique
+    val df = docsDf(Seq(
+      (1L, s"${uniq(1, 5)} $Shared ${uniq(11, 5)}"),
+      (2L, s"${uniq(2, 3)} $Shared"),
+      (3L, uniq(3, 30))))
+    // the shared run is 10 tokens = 3 consecutive duplicated 8-grams
+    assert(spans(df) == Seq(
+      (1L, 5, 3L, 10L),
+      (2L, 3, 3L, 10L)))
+  }
+
+  test("within-doc duplication counts occurrences, not documents") {
+    // one doc containing the same 8-token run twice, separated by
+    // unique filler — both occurrences are duplicated positions
+    val run = "r0 r1 r2 r3 r4 r5 r6 r7"
+    val df = docsDf(Seq((1L, s"$run ${uniq(1, 6)} $run"),
+      (2L, uniq(2, 30))))
+    assert(spans(df) == Seq((1L, 0, 1L, 8L), (1L, 14, 1L, 8L)))
+  }
+
+  test("keepFirst exempts the globally first occurrence (min id, pos); " +
+    "later copies are still marked") {
+    val df = docsDf(Seq(
+      (1L, s"${uniq(1, 4)} $Shared"),
+      (2L, s"$Shared ${uniq(2, 4)}"),
+      (3L, s"${uniq(3, 2)} $Shared ${uniq(33, 2)}")))
+    val all = spans(df)
+    assert(all.map(_._1).toSeq == Seq(1L, 2L, 3L)) // default: every copy
+    val kf = spans(df, keepFirst = true)
+    // doc 1 holds the first occurrence of every shared gram (min id) —
+    // exempt; docs 2 and 3 keep their full spans
+    assert(kf == Seq((2L, 0, 3L, 10L), (3L, 2, 3L, 10L)))
+  }
+
+  test("minSpanTokens drops spans below the threshold (Lee et al. use " +
+    "50); docs shorter than k tokens never span") {
+    val df = docsDf(Seq(
+      (1L, s"${uniq(1, 3)} $Shared"),
+      (2L, s"${uniq(2, 3)} $Shared"),
+      // 7-token docs, identical — shorter than k=8: no k-gram exists
+      (3L, "a b c d e f g"),
+      (4L, "a b c d e f g")))
+    assert(spans(df, minSpanTokens = 10).map(_._1).toSeq == Seq(1L, 2L))
+    assert(spans(df, minSpanTokens = 11).isEmpty)
+    assert(!spans(df).exists(t => t._1 == 3L || t._1 == 4L))
+  }
+
+  test("stripDupSpans removes exactly the covered tokens, keeps the " +
+    "rest in order; a fully-duplicated doc strips to empty") {
+    val df = docsDf(Seq(
+      (1L, s"${uniq(1, 5)} $Shared ${uniq(11, 5)}"),
+      (2L, Shared), // the whole doc is the duplicated run
+      (3L, uniq(3, 30))))
+    val got = Dedup.stripDupSpans(df, "doc_id", "text", k = 8)
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("kept_tokens"), r.getAs[Long]("removed_tokens"),
+          r.getAs[String]("text_clean"))))
+      .toMap
+    assert(got(1L) == ((10L, 10L, s"${uniq(1, 5)} ${uniq(11, 5)}")))
+    assert(got(2L) == ((0L, 10L, "")))
+    assert(got(3L) == ((30L, 0L, uniq(3, 30))))
+    // accounting: kept + removed = token count, for every doc
+    got.foreach { case (_, (kept, removed, _)) =>
+      assert(kept + removed == 10 || kept + removed == 20 ||
+        kept + removed == 30)
+    }
+  }
+}
