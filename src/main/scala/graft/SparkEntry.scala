@@ -1409,12 +1409,15 @@ object SparkEntry {
         |          FROM runs GROUP BY doc_id, grp),
         |cov AS (SELECT DISTINCT doc_id, pos FROM (
         |          SELECT doc_id, unnest(range(s, s + st)) AS pos FROM spans)),
+        |toks_o AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
         |tk AS (
         |  SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
         |    SELECT doc_id,
         |      unnest([{'pos': i-1, 'tok': t[i]}
         |              for i in range(1, len(t) + 1)]) AS u
-        |    FROM toks)
+        |    FROM toks_o)
         |  WHERE len(u.tok) > 0)
         |SELECT tk.doc_id,
         |  sum(CASE WHEN cov.pos IS NULL THEN 1 ELSE 0 END)::BIGINT AS kept_tokens,

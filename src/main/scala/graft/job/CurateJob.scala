@@ -20,6 +20,15 @@ import graft.pipeline.{Dedup, Dsir, LangModel, Quality, Sampling, TextOps}
  *                  `--near exact` the prefix-filtering set-similarity
  *                  join (PPJoin-family) — no false negatives at the
  *                  same threshold, for high-stakes corpora
+ *   3b. substring  (--strip-substrings L) substring-level exact dedup
+ *                  (ExactSubstr, Lee et al. 2022): REWRITE each
+ *                  surviving doc with every token span of ≥ L tokens
+ *                  whose 8-grams all occur ≥ 2 times corpus-wide
+ *                  removed, keeping each span's globally-first copy
+ *                  (keepFirst) — the boilerplate/license/quote pass
+ *                  doc-level dedup cannot see. Per-doc
+ *                  stripped_tokens rides the stage for audit; docs
+ *                  stripped to nothing die at the quality gate next
  *   4. quality     qualityScore ≥ minQuality AND repetition gates
  *                  (dup_3gram_frac / top_2gram_frac below thresholds —
  *                  the Gopher-style degenerate-text drop); with
@@ -76,6 +85,7 @@ import graft.pipeline.{Dedup, Dsir, LangModel, Quality, Sampling, TextOps}
  *          [--quality-model <parquet with url,y>]
  *          [--lm-ref <parquet with url,text>] [--max-ppl X]
  *          [--dsir-ref <parquet with url,text>] [--dsir-n N]
+ *          [--strip-substrings L]
  */
 object CurateJob {
 
@@ -103,20 +113,22 @@ object CurateJob {
     val pos = JobArgs.parse(args,
       valueFlags = Set("--quota", "--min-quality", "--partitions", "--eval",
         "--bpe-merges", "--near", "--quality-model", "--lm-ref", "--max-ppl",
-        "--dsir-ref", "--dsir-n"),
+        "--dsir-ref", "--dsir-n", "--strip-substrings"),
       boolFlags = Set("--warc", "--resume"),
       usage = "usage: CurateJob <pagesDir> <outDir> [--eval <parquet>] " +
         "[--quota N] [--min-quality Q] [--partitions N] [--warc] " +
         "[--resume] [--bpe-merges N] [--near minhash|exact] " +
         "[--quality-model <labels parquet with url,y>] " +
         "[--lm-ref <parquet with url,text>] [--max-ppl X] " +
-        "[--dsir-ref <parquet with url,text>] [--dsir-n N]")
+        "[--dsir-ref <parquet with url,text>] [--dsir-n N] " +
+        "[--strip-substrings L]")
     require(pos.length >= 2,
       "usage: CurateJob <pagesDir> <outDir> [--eval <parquet>] [--quota N] " +
         "[--min-quality Q] [--partitions N] [--warc] [--resume] " +
         "[--bpe-merges N] [--near minhash|exact] " +
         "[--quality-model <labels parquet>] [--lm-ref <parquet>] " +
-        "[--max-ppl X] [--dsir-ref <parquet>] [--dsir-n N]")
+        "[--max-ppl X] [--dsir-ref <parquet>] [--dsir-n N] " +
+        "[--strip-substrings L]")
     val (pagesDir, outDir) = (pos(0), pos(1))
     def opt(flag: String): Option[String] =
       args.sliding(2).collectFirst { case Array(`flag`, v) => v }
@@ -146,7 +158,8 @@ object CurateJob {
       qualityModelPath = opt("--quality-model"),
       lmRefPath = opt("--lm-ref"),
       dsirRefPath = opt("--dsir-ref"),
-      dsirN = opt("--dsir-n").map(_.toInt).getOrElse(0))
+      dsirN = opt("--dsir-n").map(_.toInt).getOrElse(0),
+      stripSubstrings = opt("--strip-substrings").map(_.toInt).getOrElse(0))
     println(funnel)
     spark.stop()
   }
@@ -223,7 +236,8 @@ object CurateJob {
           qualityModelPath: Option[String] = None,
           lmRefPath: Option[String] = None,
           dsirRefPath: Option[String] = None,
-          dsirN: Int = 0): String = {
+          dsirN: Int = 0,
+          stripSubstrings: Int = 0): String = {
     require(nearAlgo == "minhash" || nearAlgo == "exact",
       s"--near $nearAlgo: expected 'minhash' (LSH, probabilistic recall) " +
         "or 'exact' (prefix-filtering set-similarity, NO false negatives)")
@@ -281,6 +295,24 @@ object CurateJob {
         Seq("url"), "left_anti")
     }
 
+    // 3b. substring-level exact dedup (--strip-substrings): REWRITE the
+    // survivors with every duplicated span of ≥ stripSubstrings tokens
+    // removed, keeping the globally-first copy (Lee et al. 2022's
+    // ExactSubstr recipe at their 50-token dial). The span matching is
+    // case-folded; the rebuilt text preserves casing. Docs stripped to
+    // nothing are dropped by the quality gate next — their token loss
+    // is auditable via stripped_tokens on this stage.
+    val (strippedKeep, nStrip) =
+      if (stripSubstrings <= 0) (nearKeep, nNear)
+      else stage(spark, s"$outDir/stage_strip", resume) {
+        nearKeep.drop("text").join(
+          Dedup.stripDupSpans(nearKeep, "url", "text", k = 8,
+            minSpanTokens = stripSubstrings, keepFirst = true)
+            .select(col("id").as("url"), col("text_clean").as("text"),
+              col("removed_tokens").as("stripped_tokens")),
+          Seq("url"))
+      }
+
     // 4. quality + repetition gates; with `--quality-model <labels>` an
     // additional LEARNED gate — logistic regression over hashed token
     // features trained on the caller's labeled sample (url, y) — scores
@@ -288,9 +320,9 @@ object CurateJob {
     // the stage output (`quality_model_prob`) so operators can audit
     // model drops the way they audit decontamination drops.
     val (qualityKeep, nQuality) = stage(spark, s"$outDir/stage_quality", resume) {
-      val rep = TextOps.repetitionStats(nearKeep, "url", "text")
+      val rep = TextOps.repetitionStats(strippedKeep, "url", "text")
         .select(col("id").as("url"), col("dup_3gram_frac"), col("top_2gram_frac"))
-      val base = nearKeep
+      val base = strippedKeep.drop("stripped_tokens")
         .withColumn("quality", TextOps.qualityScore(col("text")))
         .withColumn("lang", TextOps.langId(col("text")))
         .join(rep, Seq("url"), "left") // single-token docs carry no stats
@@ -304,7 +336,7 @@ object CurateJob {
         case Some(p) =>
           val labels = spark.read.parquet(p)
             .select(col("url").as("id"), col("y"))
-          val feats = Quality.hashedFeatures(nearKeep, "url", "text",
+          val feats = Quality.hashedFeatures(strippedKeep, "url", "text",
             QualityModelDim, bias = true)
           val w = Quality.trainLogReg(feats, labels, QualityModelDim,
             iters = QualityModelIters)
@@ -415,6 +447,7 @@ object CurateJob {
     val funnel =
       s"""{"extracted":$nExtracted,"after_exact_dedup":$nExact,""" +
         s""""near_algo":"$nearAlgo","after_near_dedup":$nNear,""" +
+        s""""strip_substrings":$stripSubstrings,"after_strip":$nStrip,""" +
         s""""quality_model":${qualityModelPath.isDefined},""" +
         s""""after_quality":$nQuality,""" +
         s""""lm_ref":${lmRefPath.isDefined},"after_ppl":$nPpl,""" +

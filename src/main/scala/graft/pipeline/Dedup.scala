@@ -880,7 +880,10 @@ object Dedup {
     * an empty string. Coverage expansion is span-sized (sequence
     * explode), the rebuild one per-doc sorted aggregation — the only
     * corpus-scale shuffles are the gram-df count and the final group
-    * by id. */
+    * by id. Span MATCHING is case-folded (the gram hashes lowercase,
+    * as every dedup path here does); the REBUILT text preserves the
+    * original casing — token positions align because lowercasing never
+    * changes whitespace boundaries. */
   def stripDupSpans(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 8, minSpanTokens: Int = 0,
                     minDf: Int = 2, keepFirst: Boolean = false,
@@ -891,7 +894,7 @@ object Dedup {
         col("span_start") + col("span_tokens").cast("int") - 1)).as("pos"))
       .distinct()
     val toks = df.select(col(idCol).as("id"),
-        posexplode(tokens(col(textCol))))
+        posexplode(split(trim(col(textCol)), s"[$WsClass]+")))
       .where(length(col("col")) > 0)
     toks.join(covered.withColumn("__cov", lit(1)), Seq("id", "pos"), "left")
       .groupBy(col("id"))

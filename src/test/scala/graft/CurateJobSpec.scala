@@ -406,6 +406,56 @@ class CurateJobSpec extends AnyFunSuite {
     assert(f2.contains("\"after_dsir\":4"), f2)
   }
 
+  test("--strip-substrings rewrites survivors with the duplicated " +
+    "boilerplate span removed, keeping the globally-first copy") {
+    val tmp = java.nio.file.Files.createTempDirectory("curatestrip").toString
+    import spark.implicits._
+    // a 12-token license tail shared by two otherwise-unique docs; with
+    // the identical 7-token prose trailer immediately before it, the
+    // shared run is exactly 19 tokens (the maximal span)
+    val lic = "all rights reserved contact the publisher for permission " +
+      "to reuse this content"
+    val pages = Seq(
+      page("test://lica/1", s"${prose(31)} $lic", 0),
+      page("test://licb/1", s"${prose(32)} $lic", 1),
+      page("test://keep/1", prose(33), 2))
+    PageTableIO.write(spark.createDataset(pages).toDF(), s"$tmp/pages",
+      numBuckets = 2)
+    val th = CurateJob.Thresholds(minQuality = 0.2, quotaPerLang = 10)
+
+    val funnel = CurateJob.run(spark, s"$tmp/pages", s"$tmp/out",
+      partitions = 4, th = th, stripSubstrings = 10)
+    assert(funnel.contains("\"after_near_dedup\":3"), funnel)
+    assert(funnel.contains("\"strip_substrings\":10"))
+    assert(funnel.contains("\"after_strip\":3"), funnel)
+    assert(funnel.contains("\"after_quality\":3"), funnel)
+    assert(funnel.contains("\"curated\":3"))
+    val strip = spark.read.parquet(s"$tmp/out/stage_strip")
+      .select("url", "text", "stripped_tokens").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // lica holds the globally-first copy (min url, pos) — untouched;
+    // licb loses the trailer+license run; keep/1 shares only the
+    // 7-token trailer (< k = 8) — untouched
+    assert(strip("test://lica/1")._1.contains("reserved"))
+    assert(strip("test://lica/1")._2 == 0L)
+    assert(!strip("test://licb/1")._1.contains("reserved"))
+    assert(strip("test://licb/1")._2 == 19L)
+    assert(strip("test://keep/1")._2 == 0L)
+    // the curated table carries the REWRITTEN text
+    val curated = spark.read.parquet(s"$tmp/out/curated")
+      .select("url", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(!curated("test://licb/1").contains("reserved"))
+    assert(curated("test://lica/1").contains("reserved"))
+
+    // default: the stage is skipped entirely
+    val f2 = CurateJob.run(spark, s"$tmp/pages", s"$tmp/out2",
+      partitions = 4, th = th)
+    assert(f2.contains("\"strip_substrings\":0"))
+    assert(f2.contains("\"after_strip\":3"))
+    assert(!new java.io.File(s"$tmp/out2/stage_strip").exists())
+  }
+
   test("quota caps per language; without an eval table decontamination " +
     "is skipped") {
     val tmp = java.nio.file.Files.createTempDirectory("curateq").toString

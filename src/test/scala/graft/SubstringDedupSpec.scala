@@ -88,7 +88,9 @@ class SubstringDedupSpec extends AnyFunSuite {
     val df = docsDf(Seq(
       (1L, s"${uniq(1, 5)} $Shared ${uniq(11, 5)}"),
       (2L, Shared), // the whole doc is the duplicated run
-      (3L, uniq(3, 30))))
+      (3L, uniq(3, 30)),
+      // matching is case-folded; the REBUILT text preserves casing
+      (4L, s"KeepCase ALSO here ${Shared.toUpperCase} MixedTail")))
     val got = Dedup.stripDupSpans(df, "doc_id", "text", k = 8)
       .collect()
       .map(r => r.getAs[Long]("id") ->
@@ -98,10 +100,11 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(got(1L) == ((10L, 10L, s"${uniq(1, 5)} ${uniq(11, 5)}")))
     assert(got(2L) == ((0L, 10L, "")))
     assert(got(3L) == ((30L, 0L, uniq(3, 30))))
+    // the uppercased copy of the shared run is matched case-folded and
+    // removed; the surviving tokens keep their ORIGINAL case
+    assert(got(4L) == ((4L, 10L, "KeepCase ALSO here MixedTail")))
     // accounting: kept + removed = token count, for every doc
-    got.foreach { case (_, (kept, removed, _)) =>
-      assert(kept + removed == 10 || kept + removed == 20 ||
-        kept + removed == 30)
-    }
+    assert(got.view.mapValues(v => v._1 + v._2).toMap ==
+      Map(1L -> 20L, 2L -> 10L, 3L -> 30L, 4L -> 14L))
   }
 }
