@@ -68,9 +68,11 @@ object Dsir {
                            dim: Int,
                            algo: String = Dedup.AlgoXx64): DataFrame = {
     val rawF = Mat.corpus(hashedNgramFeatures(raw, idCol, textCol, dim, algo))
-    val tgtC = hashedNgramFeatures(target, idCol, textCol, dim, algo)
-      .groupBy("f").agg(sum("tf").as("ctgt"))
-    val rawC = rawF.groupBy("f").agg(sum("tf").as("craw"))
+    // the count tables are dim-bounded: pin them so the scalar total
+    // reads below don't recompute the corpus/target feature pass
+    val tgtC = Mat.small(hashedNgramFeatures(target, idCol, textCol, dim, algo)
+      .groupBy("f").agg(sum("tf").as("ctgt")))
+    val rawC = Mat.small(rawF.groupBy("f").agg(sum("tf").as("craw")))
     val nTgt = tgtC.agg(coalesce(sum("ctgt"), lit(0L))).head().getLong(0)
     val nRaw = rawC.agg(coalesce(sum("craw"), lit(0L))).head().getLong(0)
     // every raw feature exists in rawC by construction; target side
