@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.extract.{Extractor, Page}
-import graft.pipeline.{AsOf, Dedup, Dsir, LangModel, Mat, Multimodal, Quality, Sampling, Search, Similarity, TextOps}
+import graft.pipeline.{AsOf, Dedup, Dsir, LangModel, Mat, Multimodal, Pack, Quality, Sampling, Search, Similarity, TextOps}
 
 /**
  * Driver contract (SURVEY.md §7): `entry` = flagship extraction over a
@@ -384,6 +384,25 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("kept_tokens"),
           col("removed_tokens"), col("text_clean"))
         .orderBy(col("doc_id"))),
+
+    "q60_pack_chunks" -> ((s, dir) =>
+      // fixed-context sequence packing (training-data export): which
+      // 256-token chunks each doc lands in, packed per-shard (8 shards
+      // here; thousands at cluster scale — the parallelism dial).
+      // md5-60 shard hash so DuckDB lands every doc in the same shard.
+      Pack.packChunks(docs(s, dir), "doc_id", "text",
+        chunkTokens = 256, shards = 8, algo = Dedup.AlgoMd5)
+        .select(col("id").as("doc_id"), col("shard"), col("tokens"),
+          col("tok_offset"), col("chunk_first"), col("chunk_last"))
+        .orderBy(col("doc_id"))),
+
+    "q61_chunk_stats" -> ((s, dir) =>
+      // the manifest side of q60: per-chunk occupancy — every chunk but
+      // each shard's last is exactly full
+      Pack.chunkStats(
+        Pack.packChunks(docs(s, dir), "doc_id", "text",
+          chunkTokens = 256, shards = 8, algo = Dedup.AlgoMd5), 256)
+        .orderBy(col("shard"), col("chunk"))),
 
     "q17_minhash_lsh" -> ((s, dir) => {
       // md5Hash60 shingle hashes so DuckDB reproduces the exact minhash
@@ -1426,6 +1445,48 @@ object SparkEntry {
         |    ' ' ORDER BY tk.pos), '') AS text_clean
         |FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.pos = cov.pos
         |GROUP BY tk.doc_id ORDER BY tk.doc_id""".stripMargin,
+
+    // Sequence packing: per-shard ordered prefix sum over q08 token
+    // counts; chunk ids are exact integer floor-divisions.
+    "q60_pack_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    ((('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT) % 8)::INT AS shard,
+        |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, shard, tokens,
+        |    coalesce(sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |      AS tok_offset
+        |  FROM t)
+        |SELECT doc_id, shard, tokens, tok_offset,
+        |  (tok_offset // 256)::BIGINT AS chunk_first,
+        |  ((tok_offset + tokens - 1) // 256)::BIGINT AS chunk_last
+        |FROM o ORDER BY doc_id""".stripMargin,
+
+    "q61_chunk_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    ((('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT) % 8)::INT AS shard,
+        |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, shard, tokens,
+        |    coalesce(sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |      AS tok_offset
+        |  FROM t),
+        |e AS (
+        |  SELECT shard, tokens, tok_offset,
+        |    unnest(range(tok_offset // 256, (tok_offset + tokens - 1) // 256 + 1)) AS chunk
+        |  FROM o)
+        |SELECT shard, chunk,
+        |  count(*)::BIGINT AS docs,
+        |  sum(least(tok_offset + tokens, (chunk + 1) * 256)
+        |      - greatest(tok_offset, chunk * 256))::BIGINT AS tokens
+        |FROM e GROUP BY shard, chunk
+        |ORDER BY shard, chunk""".stripMargin,
 
     // The engine's own E1→E16 pipeline on synthesized single-article pages
     // reduces to whitespace normalization of the payload text (every doc is
