@@ -404,6 +404,19 @@ object SparkEntry {
           chunkTokens = 256, shards = 8, algo = Dedup.AlgoMd5), 256)
         .orderBy(col("shard"), col("chunk"))),
 
+    "q62_token_budget" -> ((s, dir) =>
+      // data-mixture selection: fill a 2000-token budget per language,
+      // best-quality-first (mixtures are specified in TOKENS; doc
+      // quotas under/over-fill with skewed doc lengths). quality is
+      // the rounded-4 heuristic score — a cross-engine total order
+      // under (quality desc, doc_id asc).
+      Sampling.tokenBudget(docs(s, dir), Seq("lang"), "doc_id",
+        tokensCol = TextOps.tokenCount(col("text")),
+        rankCol = TextOps.qualityScore(col("text")), budget = 2000L)
+        .select(col("lang"), col("mix_rank"), col("doc_id"),
+          col("cum_tokens"))
+        .orderBy(col("lang"), col("mix_rank"))),
+
     "q17_minhash_lsh" -> ((s, dir) => {
       // md5Hash60 shingle hashes so DuckDB reproduces the exact minhash
       // signatures (band-bucket equality is value-dependent)
@@ -1487,6 +1500,46 @@ object SparkEntry {
         |      - greatest(tok_offset, chunk * 256))::BIGINT AS tokens
         |FROM e GROUP BY shard, chunk
         |ORDER BY shard, chunk""".stripMargin,
+
+    // Token-budget mixture selection: the q54 quality CTE gives the
+    // rounded heuristic score; the fill is a per-language running sum
+    // under (quality desc, doc_id asc).
+    "q62_token_budget" ->
+      """WITH n0 AS (
+        |  SELECT doc_id, lang, trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm,
+        |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS tokens
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, lang, tokens,
+        |    length(norm)::DOUBLE AS len,
+        |    len(string_split_regex(trim(norm), '\s+'))::DOUBLE AS words,
+        |    length(regexp_replace(norm, '[^.!?]', '', 'g'))::DOUBLE AS punct,
+        |    length(regexp_replace(norm, '[\p{L}\p{N}\s.,;:!?''"()-]', '', 'g'))::DOUBLE AS symbols,
+        |    (len(string_split_regex(' ' || lower(norm) || ' ', '\s(the|and|of|a|to|is)\s')) - 1)::DOUBLE AS stop_hits
+        |  FROM n0),
+        |qual AS (
+        |  SELECT doc_id, lang, tokens,
+        |    round(((CASE WHEN len >= 200 AND len <= 20000 THEN 1.0
+        |            WHEN len >= 50 THEN 0.5 ELSE 0.0 END) * 0.3
+        |      + (CASE WHEN (CASE WHEN words > 0 THEN len / words ELSE 0.0 END) >= 3
+        |              AND (CASE WHEN words > 0 THEN len / words ELSE 0.0 END) <= 12
+        |         THEN 1.0 ELSE 0.3 END) * 0.2
+        |      + least(punct / greatest(words, 1.0) * 10.0, 1.0) * 0.2
+        |      + least(stop_hits / greatest(words, 1.0) * 5.0, 1.0) * 0.3)
+        |      * (1.0 - least(symbols / greatest(len, 1.0) * 20.0, 1.0) * 0.5), 4) AS quality
+        |  FROM m),
+        |r AS (
+        |  SELECT doc_id, lang, tokens,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY quality DESC, doc_id ASC) AS mix_rank,
+        |    coalesce(sum(tokens) OVER (PARTITION BY lang
+        |      ORDER BY quality DESC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |      AS before
+        |  FROM qual)
+        |SELECT lang, mix_rank::INTEGER AS mix_rank, doc_id,
+        |  (before + tokens)::BIGINT AS cum_tokens
+        |FROM r WHERE before < 2000 ORDER BY lang, mix_rank""".stripMargin,
 
     // The engine's own E1→E16 pipeline on synthesized single-article pages
     // reduces to whitespace normalization of the payload text (every doc is

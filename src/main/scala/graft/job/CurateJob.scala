@@ -56,7 +56,11 @@ import graft.pipeline.{Dedup, Dsir, LangModel, Quality, Sampling, TextOps}
  *                  the crawl; each kept doc carries its `dsir_logw` for
  *                  audit
  *   6. sample      deterministic per-language stratified quota
- *                  (WindowGroupLimit partial top-n)
+ *                  (WindowGroupLimit partial top-n); with
+ *                  `--quota-tokens B` instead the TOKEN-budget mixture
+ *                  fill (Sampling.tokenBudget): B tokens per language,
+ *                  best-quality-first — mixtures are specified in
+ *                  tokens, not docs
  *   7. write       curated rows + a per-stage funnel report
  *                  (<out>/_funnel.json) so every drop is accounted for
  *   8. tokenizer   (--bpe-merges N) learn N BPE merges over the CURATED
@@ -113,7 +117,7 @@ object CurateJob {
     val pos = JobArgs.parse(args,
       valueFlags = Set("--quota", "--min-quality", "--partitions", "--eval",
         "--bpe-merges", "--near", "--quality-model", "--lm-ref", "--max-ppl",
-        "--dsir-ref", "--dsir-n", "--strip-substrings"),
+        "--dsir-ref", "--dsir-n", "--strip-substrings", "--quota-tokens"),
       boolFlags = Set("--warc", "--resume"),
       usage = "usage: CurateJob <pagesDir> <outDir> [--eval <parquet>] " +
         "[--quota N] [--min-quality Q] [--partitions N] [--warc] " +
@@ -121,14 +125,14 @@ object CurateJob {
         "[--quality-model <labels parquet with url,y>] " +
         "[--lm-ref <parquet with url,text>] [--max-ppl X] " +
         "[--dsir-ref <parquet with url,text>] [--dsir-n N] " +
-        "[--strip-substrings L]")
+        "[--strip-substrings L] [--quota-tokens B]")
     require(pos.length >= 2,
       "usage: CurateJob <pagesDir> <outDir> [--eval <parquet>] [--quota N] " +
         "[--min-quality Q] [--partitions N] [--warc] [--resume] " +
         "[--bpe-merges N] [--near minhash|exact] " +
         "[--quality-model <labels parquet>] [--lm-ref <parquet>] " +
         "[--max-ppl X] [--dsir-ref <parquet>] [--dsir-n N] " +
-        "[--strip-substrings L]")
+        "[--strip-substrings L] [--quota-tokens B]")
     val (pagesDir, outDir) = (pos(0), pos(1))
     def opt(flag: String): Option[String] =
       args.sliding(2).collectFirst { case Array(`flag`, v) => v }
@@ -159,7 +163,8 @@ object CurateJob {
       lmRefPath = opt("--lm-ref"),
       dsirRefPath = opt("--dsir-ref"),
       dsirN = opt("--dsir-n").map(_.toInt).getOrElse(0),
-      stripSubstrings = opt("--strip-substrings").map(_.toInt).getOrElse(0))
+      stripSubstrings = opt("--strip-substrings").map(_.toInt).getOrElse(0),
+      quotaTokens = opt("--quota-tokens").map(_.toLong).getOrElse(0L))
     println(funnel)
     spark.stop()
   }
@@ -237,7 +242,8 @@ object CurateJob {
           lmRefPath: Option[String] = None,
           dsirRefPath: Option[String] = None,
           dsirN: Int = 0,
-          stripSubstrings: Int = 0): String = {
+          stripSubstrings: Int = 0,
+          quotaTokens: Long = 0L): String = {
     require(nearAlgo == "minhash" || nearAlgo == "exact",
       s"--near $nearAlgo: expected 'minhash' (LSH, probabilistic recall) " +
         "or 'exact' (prefix-filtering set-similarity, NO false negatives)")
@@ -430,11 +436,25 @@ object CurateJob {
         }
     }
 
-    // 6. deterministic per-language stratified quota + 7. curated output
+    // 6. deterministic per-language sample + 7. curated output. Default:
+    // stratified doc quota (WindowGroupLimit partial top-n). With
+    // --quota-tokens: the token-budget mixture fill — best-quality-first
+    // until the per-language TOKEN budget is reached (mix_rank rides the
+    // schema's sample_rank slot).
     val (curated, nFinal) = stage(spark, s"$outDir/curated", resume,
       partitionCols = Seq("lang")) {
-      Sampling.stratifiedQuota(dsirKeep.drop("dsir_logw"),
-        strataCols = Seq("lang"), idCol = "url", n = th.quotaPerLang)
+      val base = dsirKeep.drop("dsir_logw")
+      val sampled =
+        if (quotaTokens > 0L)
+          Sampling.tokenBudget(base, strataCols = Seq("lang"),
+              idCol = "url", tokensCol = TextOps.tokenCount(col("text")),
+              rankCol = col("quality"), budget = quotaTokens)
+            .withColumnRenamed("mix_rank", "sample_rank")
+            .drop("cum_tokens")
+        else
+          Sampling.stratifiedQuota(base,
+            strataCols = Seq("lang"), idCol = "url", n = th.quotaPerLang)
+      sampled
         .withColumn("bpe_tokens", TextOps.bpeTokenCount(col("text")))
         .select(col("url"), col("warc_ts"), col("lang"), col("quality"),
           col("sample_rank"), col("bpe_tokens"), col("text"))
@@ -453,7 +473,7 @@ object CurateJob {
         s""""lm_ref":${lmRefPath.isDefined},"after_ppl":$nPpl,""" +
         s""""after_decontam":$nDecontam,""" +
         s""""dsir":${dsirRefPath.isDefined},"after_dsir":$nDsir,""" +
-        s""""curated":$nFinal}"""
+        s""""quota_tokens":$quotaTokens,"curated":$nFinal}"""
     ExtractJob.writeTextFile(spark, s"$outDir/_funnel.json", funnel)
 
     // 8. tokenizer artifacts over the CURATED corpus (what the model

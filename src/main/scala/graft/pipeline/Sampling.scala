@@ -84,4 +84,39 @@ object Sampling {
       .where(col("sample_rank") <= n)
       .drop("__aes_key")
   }
+
+  /**
+   * Deterministic TOKEN-budget selection — the data-MIXTURE step a
+   * pretraining pipeline runs when the recipe says "B tokens of each
+   * domain, best first" (doc quotas under-fill domains with long docs
+   * and over-fill ones with short docs; mixtures are specified in
+   * tokens): within each stratum, rank docs by (rankCol desc, id asc)
+   * and keep every doc whose PRECEDING cumulative token count is
+   * < budget. Greedy best-first fill; the last kept doc may overflow
+   * by < its own length (budgets are approximate at doc granularity —
+   * the packer downstream cuts exact sequences). Unlike the quota
+   * samplers this cannot WindowGroupLimit (a running sum needs the
+   * whole ordered stratum): cost is one stratum shuffle + ordered
+   * scan, the same shape as the per-shard packing prefix sum.
+   *
+   * Output adds `mix_rank` (1-based within the stratum) and
+   * `cum_tokens` (tokens up to AND including the doc). Deterministic
+   * when rankCol has a cross-engine total order under (value, id) —
+   * use a rounded score (the quality convention).
+   */
+  def tokenBudget(df: DataFrame, strataCols: Seq[String], idCol: String,
+                  tokensCol: Column, rankCol: Column,
+                  budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(rankCol.desc, col(idCol).asc)
+    val wBefore = w.rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__tok", tokensCol.cast("long"))
+      .withColumn("mix_rank", row_number().over(w))
+      .withColumn("__before",
+        coalesce(sum(col("__tok")).over(wBefore), lit(0L)))
+      .where(col("__before") < budget)
+      .withColumn("cum_tokens", col("__before") + col("__tok"))
+      .drop("__tok", "__before")
+  }
 }

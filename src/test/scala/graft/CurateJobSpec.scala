@@ -470,5 +470,25 @@ class CurateJobSpec extends AnyFunSuite {
     assert(curated.count() == 4) // quota bound, one language (en)
     assert(curated.select(max(col("sample_rank"))).head.getInt(0) == 4)
     assert(funnel.contains("\"curated\":4"))
+
+    // --quota-tokens: the TOKEN-budget mixture fill — each prose doc is
+    // ~47 tokens, so a 100-token budget keeps exactly 3 docs (the third
+    // overflows), best-quality-first
+    val f2 = CurateJob.run(spark, s"$tmp/pages", s"$tmp/out_tb",
+      partitions = 4,
+      th = CurateJob.Thresholds(minQuality = 0.2, quotaPerLang = 1000),
+      quotaTokens = 100L)
+    assert(f2.contains("\"quota_tokens\":100"), f2)
+    val tb = spark.read.parquet(s"$tmp/out_tb/curated")
+      .select("url", "sample_rank", "quality", "bpe_tokens").collect()
+    assert(tb.length == 3, tb.mkString(","))
+    assert(tb.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3))
+    // best-first: the kept docs' qualities dominate the dropped ones'
+    val keptQ = tb.map(_.getDouble(2)).min
+    val allQ = spark.read.parquet(s"$tmp/out_tb/stage_quality")
+      .select("url", "quality").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val droppedQ = (allQ -- tb.map(_.getString(0))).values
+    assert(droppedQ.forall(q => q <= keptQ), s"kept=$keptQ dropped=$droppedQ")
   }
 }

@@ -482,6 +482,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(again == ids)
   }
 
+  test("tokenBudget: best-quality-first fill, last doc may overflow, " +
+    "per-stratum budgets independent, deterministic") {
+    import spark.implicits._
+    import graft.pipeline.Sampling
+    // grp a: scores 9,8,7,6 with 40 tokens each; budget 100 keeps the
+    // top 3 (before-sums 0, 40, 80 < 100; the third overflows to 120)
+    // grp b: one huge doc fills the budget alone
+    val rows = Seq(
+      (1L, "a", 9.0, 40L), (2L, "a", 8.0, 40L), (3L, "a", 7.0, 40L),
+      (4L, "a", 6.0, 40L),
+      (10L, "b", 1.0, 500L), (11L, "b", 0.9, 10L))
+    val df = rows.toDF("doc_id", "grp", "q", "toks")
+    val out = Sampling.tokenBudget(df, Seq("grp"), "doc_id",
+      tokensCol = col("toks"), rankCol = col("q"), budget = 100L)
+      .select("grp", "mix_rank", "doc_id", "cum_tokens").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(out == Seq(
+      ("a", 1, 1L, 40L), ("a", 2, 2L, 80L), ("a", 3, 3L, 120L),
+      ("b", 1, 10L, 500L)))
+    // ties break on id asc
+    val tied = Seq((5L, "c", 1.0, 60L), (6L, "c", 1.0, 60L),
+      (7L, "c", 1.0, 60L)).toDF("doc_id", "grp", "q", "toks")
+    val t = Sampling.tokenBudget(tied, Seq("grp"), "doc_id",
+      col("toks"), col("q"), budget = 100L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(t == Seq(5L, 6L))
+  }
+
   test("HLL sketch: estimate within the m=512 error envelope at 10k " +
     "distinct; small-range correction lands near-exact at 10 distinct; " +
     "duplicates don't move the estimate") {
