@@ -83,6 +83,65 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(!spans(df).exists(t => t._1 == 3L || t._1 == 4L))
   }
 
+  test("random differential: spans AND strip equal a from-first-" +
+    "principles reference over random low-alphabet corpora (both " +
+    "keepFirst modes)") {
+    val rnd = new scala.util.Random(20260817)
+    val k = 3
+    for (trial <- 0 until 8) {
+      val keepFirst = trial % 2 == 1
+      val corpus = (0 until 12).map { i =>
+        val n = rnd.nextInt(25) // includes token-less docs
+        (i.toLong,
+          (0 until n).map(_ => "abcde".charAt(rnd.nextInt(5)).toString)
+            .mkString(" "))
+      }
+      // reference computation straight from the definition
+      val toks = corpus.map { case (id, t) =>
+        id -> t.trim.split("[ \t\n\f\r]+", -1).toSeq.filter(_ => true)
+      }
+      val grams = toks.flatMap { case (id, ts) =>
+        if (ts.length >= k)
+          (0 to ts.length - k).map(p => (id, p, ts.slice(p, p + k).mkString(" ")))
+        else Nil
+      }
+      val gdf = grams.groupBy(_._3).view.mapValues(_.size).toMap
+      val firstOcc = grams.groupBy(_._3).view
+        .mapValues(_.minBy(x => (x._1, x._2))).toMap
+      val dup = grams.filter(g =>
+        gdf(g._3) >= 2 && (!keepFirst || firstOcc(g._3) != g))
+      val expSpans = dup.groupBy(_._1).toSeq.flatMap { case (id, gs) =>
+        val ps = gs.map(_._2).distinct.sorted
+        ps.foldLeft(List.empty[(Int, Int)]) { // (start, grams)
+          case ((s, g) :: rest, p) if p == s + g => (s, g + 1) :: rest
+          case (acc, p) => (p, 1) :: acc
+        }.map { case (s, g) => (id, s, g.toLong, (g + k - 1).toLong) }
+      }.sortBy(t => (t._1, t._2))
+      val df = docsDf(corpus)
+      assert(spans(df, k = k, keepFirst = keepFirst) == expSpans,
+        s"trial=$trial keepFirst=$keepFirst")
+      // strip: remove covered positions, rejoin, account
+      val covered = expSpans.groupBy(_._1).view.mapValues(_.flatMap {
+        case (_, s, _, st) => s until (s + st.toInt)
+      }.toSet).toMap
+      val expStrip = toks.collect {
+        case (id, ts) if ts.exists(_.nonEmpty) =>
+          val keep = ts.zipWithIndex
+            .filterNot { case (_, p) => covered.getOrElse(id, Set.empty)(p) }
+            .map(_._1)
+          (id, keep.length.toLong, (ts.length - keep.length).toLong,
+            keep.mkString(" "))
+      }.sortBy(_._1)
+      val gotStrip = Dedup.stripDupSpans(df, "doc_id", "text", k = k,
+          keepFirst = keepFirst)
+        .collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[Long]("kept_tokens"),
+          r.getAs[Long]("removed_tokens"), r.getAs[String]("text_clean")))
+        .sortBy(_._1).toSeq
+      assert(gotStrip == expStrip, s"trial=$trial keepFirst=$keepFirst")
+    }
+  }
+
   test("stripDupSpans removes exactly the covered tokens, keeps the " +
     "rest in order; a fully-duplicated doc strips to empty") {
     val df = docsDf(Seq(
