@@ -103,20 +103,62 @@ object Sampling {
    * `cum_tokens` (tokens up to AND including the doc). Deterministic
    * when rankCol has a cross-engine total order under (value, id) —
    * use a rounded score (the quality convention).
+   *
+   * Scale shape — TWO-PHASE, never one ordered scan per stratum (a
+   * naive running-sum window partitioned by stratum serializes the
+   * whole stratum through one task; at 100 TB a single language IS the
+   * corpus): (1) aggregate (tokens, docs) per (stratum, score bucket)
+   * — the rounded score makes this table tiny — and take cumulative
+   * sums over the buckets; a bucket whose preceding cumulative count
+   * is already ≥ budget is dropped WHOLE, one whose inclusive count
+   * fits is kept WHOLE, and at most ONE bucket per stratum straddles
+   * the boundary. (2) per-doc windows partition by (stratum, bucket)
+   * — the parallel unit is the score bucket, not the stratum — to
+   * rank/accumulate within kept buckets and to cut the straddling
+   * bucket exactly. Identical output to the one-window definition
+   * (the q62 oracle IS that definition; unit pins cover the bucket
+   * boundary cases).
    */
   def tokenBudget(df: DataFrame, strataCols: Seq[String], idCol: String,
                   tokensCol: Column, rankCol: Column,
                   budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
-    val w = Window.partitionBy(strataCols.map(col): _*)
-      .orderBy(rankCol.desc, col(idCol).asc)
-    val wBefore = w.rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("__tok", tokensCol.cast("long"))
-      .withColumn("mix_rank", row_number().over(w))
-      .withColumn("__before",
-        coalesce(sum(col("__tok")).over(wBefore), lit(0L)))
-      .where(col("__before") < budget)
+    val strata = strataCols.map(col)
+    val keyed = df.withColumn("__tok", tokensCol.cast("long"))
+      .withColumn("__q", rankCol)
+    // phase 1: per-(stratum, score) histogram with cumulative sums over
+    // the score buckets — vocabulary-sized, its window is cheap
+    val wBuckets = Window.partitionBy(strata: _*)
+      .orderBy(col("__q").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hist = keyed.groupBy(strata :+ col("__q"): _*)
+      .agg(sum(col("__tok")).as("__btok"), count(lit(1)).as("__bdocs"))
+      .withColumn("__tok_before",
+        coalesce(sum(col("__btok")).over(wBuckets), lit(0L)))
+      .withColumn("__docs_before",
+        coalesce(sum(col("__bdocs")).over(wBuckets), lit(0L)))
+      // drop whole buckets already past the budget; everything else is
+      // kept whole (tok_before + btok <= budget ⇒ every doc's preceding
+      // sum < budget) or straddles and needs the per-doc cut
+      .where(col("__tok_before") < budget)
+      .withColumn("__straddles", col("__tok_before") + col("__btok") > budget)
+      .select(strata ++ Seq(col("__q"), col("__tok_before"),
+        col("__docs_before"), col("__straddles")): _*)
+    // phase 2: per-doc rank/cumsum WITHIN each (stratum, bucket) — the
+    // parallel unit is the bucket; only straddling buckets re-check the
+    // budget per doc
+    val wDocs = Window.partitionBy(strata :+ col("__q"): _*)
+      .orderBy(col(idCol).asc)
+    val wDocsBefore = wDocs.rowsBetween(Window.unboundedPreceding, -1)
+    keyed.join(hist, strataCols :+ "__q")
+      .withColumn("__in_bucket_before",
+        coalesce(sum(col("__tok")).over(wDocsBefore), lit(0L)))
+      .withColumn("__before", col("__tok_before") + col("__in_bucket_before"))
+      .where(!col("__straddles") || col("__before") < budget)
+      .withColumn("mix_rank",
+        (col("__docs_before") + row_number().over(wDocs)).cast("int"))
       .withColumn("cum_tokens", col("__before") + col("__tok"))
-      .drop("__tok", "__before")
+      .drop("__tok", "__q", "__tok_before", "__docs_before", "__straddles",
+        "__in_bucket_before", "__before")
   }
 }

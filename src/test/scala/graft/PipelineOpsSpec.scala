@@ -502,13 +502,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out == Seq(
       ("a", 1, 1L, 40L), ("a", 2, 2L, 80L), ("a", 3, 3L, 120L),
       ("b", 1, 10L, 500L)))
-    // ties break on id asc
+    // ties break on id asc (a straddling tied bucket cuts mid-bucket)
     val tied = Seq((5L, "c", 1.0, 60L), (6L, "c", 1.0, 60L),
       (7L, "c", 1.0, 60L)).toDF("doc_id", "grp", "q", "toks")
     val t = Sampling.tokenBudget(tied, Seq("grp"), "doc_id",
       col("toks"), col("q"), budget = 100L)
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(t == Seq(5L, 6L))
+    // exact boundary: an inclusive sum EQUAL to the budget keeps the
+    // bucket whole and admits nothing after (before < budget, strictly)
+    val ex = Seq((20L, "d", 1.0, 50L), (21L, "d", 1.0, 50L),
+      (22L, "d", 0.9, 10L)).toDF("doc_id", "grp", "q", "toks")
+    val e = Sampling.tokenBudget(ex, Seq("grp"), "doc_id",
+      col("toks"), col("q"), budget = 100L)
+      .select("doc_id", "mix_rank", "cum_tokens").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(_._2).toSeq
+    assert(e == Seq((20L, 1, 50L), (21L, 2, 100L)))
   }
 
   test("HLL sketch: estimate within the m=512 error envelope at 10k " +
