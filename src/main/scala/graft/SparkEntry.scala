@@ -417,6 +417,15 @@ object SparkEntry {
           col("cum_tokens"))
         .orderBy(col("lang"), col("mix_rank"))),
 
+    "q63_containment_join" -> ((s, dir) =>
+      // quote/partial-copy detection: pairs whose shared 8-gram spans
+      // cover ≥ half of the smaller doc's span set — the asymmetric
+      // overlap Jaccard misses by design. Hash equality only (q58's
+      // convention): engine on xx64, oracle groups by the gram string.
+      Dedup.spanContainmentJoin(docs(s, dir), "doc_id", "text",
+        n = 8, minContainment = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+
     "q17_minhash_lsh" -> ((s, dir) => {
       // md5Hash60 shingle hashes so DuckDB reproduces the exact minhash
       // signatures (band-bucket equality is value-dependent)
@@ -1540,6 +1549,29 @@ object SparkEntry {
         |SELECT lang, mix_rank::INTEGER AS mix_rank, doc_id,
         |  (before + tokens)::BIGINT AS cum_tokens
         |FROM r WHERE before < 2000 ORDER BY lang, mix_rank""".stripMargin,
+
+    // Containment join: distinct 8-gram spans (q36's short-doc rule),
+    // shared-span equi-join, sizes re-joined; the gate filters on the
+    // ROUNDED containment exactly as the Spark side does.
+    "q63_containment_join" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 8
+        |    THEN [array_to_string(t[i:i+7], ' ') for i in range(1, len(t) - 6)]
+        |    ELSE [array_to_string(t, ' ')] END)) AS g
+        |  FROM toks),
+        |sz AS (SELECT doc_id, count(*)::BIGINT AS ns FROM sp GROUP BY doc_id),
+        |pr AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS shared_spans
+        |  FROM sp a JOIN sp b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, shared_spans,
+        |  round(shared_spans::DOUBLE / least(za.ns, zb.ns)::DOUBLE, 4) AS containment
+        |FROM pr JOIN sz za ON za.doc_id = id_a JOIN sz zb ON zb.doc_id = id_b
+        |WHERE round(shared_spans::DOUBLE / least(za.ns, zb.ns)::DOUBLE, 4) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // The engine's own E1→E16 pipeline on synthesized single-article pages
     // reduces to whitespace normalization of the payload text (every doc is

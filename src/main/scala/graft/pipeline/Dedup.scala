@@ -907,6 +907,40 @@ object Dedup {
           s => s.getField("tok"))).as("text_clean"))
   }
 
+  /**
+   * Within-corpus CONTAINMENT join (quote / partial-copy detection):
+   * pairs whose shared distinct n-gram spans cover ≥ `minContainment`
+   * of the SMALLER document's span set. Jaccard misses these by design
+   * (a 500-span quote inside a 10,000-span page is J ≈ 0.05 but
+   * containment 1.0 of the quote); this is the symmetric in-corpus
+   * variant of the decontamination check. Same no-cartesian shape as
+   * spanContaminationPairs: distinct span postings, shared-span count
+   * via one equi-join on the span hash (a span shared by d docs costs
+   * d posting rows), sizes re-joined BY ID (candidate rows stay
+   * ids-only). Output (id_a, id_b, shared_spans, containment) with
+   * id_a < id_b, containment rounded to 4.
+   */
+  def spanContainmentJoin(df: DataFrame, idCol: String, textCol: String,
+                          n: Int = 8, minContainment: Double = 0.5,
+                          algo: String = AlgoXx64): DataFrame = {
+    val spans = Mat.corpus(df.select(col(idCol).as("id"),
+      explode(shingleHashes(col(textCol), n, algo)).as("h")))
+    val sizes = spans.groupBy(col("id")).agg(count(lit(1)).as("nspans"))
+    val a = spans.select(col("id").as("id_a"), col("h"))
+    val b = spans.select(col("id").as("id_b"), col("h"))
+    a.join(b, Seq("h")).where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_spans"))
+      .join(sizes.select(col("id").as("id_a"), col("nspans").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("nspans").as("nb")), "id_b")
+      .withColumn("containment",
+        round(col("shared_spans").cast("double")
+          / least(col("na"), col("nb")).cast("double"), 4))
+      .where(col("containment") >= minContainment)
+      .select(col("id_a"), col("id_b"), col("shared_spans"),
+        col("containment"))
+  }
+
   // ---- duplicate clusters (connected components) -----------------------
 
   /**

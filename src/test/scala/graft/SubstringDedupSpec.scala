@@ -142,6 +142,22 @@ class SubstringDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("spanContainmentJoin: a short doc verbatim inside a long doc is " +
+    "containment 1.0 even at tiny Jaccard") {
+    val quote = (0 until 12).map(j => s"q$j").mkString(" ")
+    val df = docsDf(Seq(
+      (1L, s"${uniq(1, 60)} $quote ${uniq(11, 60)}"),
+      (2L, quote), // the whole doc is the quote (J ≈ 0.04 vs doc 1)
+      (3L, uniq(3, 40))))
+    val out = Dedup.spanContainmentJoin(df, "doc_id", "text",
+      n = 8, minContainment = 0.5).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) == ((1L, 2L)))
+    assert(r.getAs[Long]("shared_spans") == 5L) // the quote's 5 8-grams
+    assert(r.getAs[Double]("containment") == 1.0)
+  }
+
   test("stripDupSpans removes exactly the covered tokens, keeps the " +
     "rest in order; a fully-duplicated doc strips to empty") {
     val df = docsDf(Seq(
