@@ -63,6 +63,13 @@ import graft.pipeline.{Dedup, Dsir, LangModel, Quality, Sampling, TextOps}
  *                  tokens, not docs
  *   7. write       curated rows + a per-stage funnel report
  *                  (<out>/_funnel.json) so every drop is accounted for
+ *   7b. pack       (--pack-chunks C [--pack-shards S]) sequence-packing
+ *                  export metadata over the CURATED corpus
+ *                  (Pack.packChunks): `<out>/_pack` = per-doc placement
+ *                  (shard, tok_offset, chunk span) and
+ *                  `<out>/_pack_manifest` = per-chunk occupancy — the
+ *                  tables a training loader reads to cut fixed-context
+ *                  sequences without re-scanning text
  *   8. tokenizer   (--bpe-merges N) learn N BPE merges over the CURATED
  *                  corpus via the batched learner (commuting merge
  *                  batches per recount — TextOps.bpeLearnBatched) and
@@ -117,7 +124,8 @@ object CurateJob {
     val pos = JobArgs.parse(args,
       valueFlags = Set("--quota", "--min-quality", "--partitions", "--eval",
         "--bpe-merges", "--near", "--quality-model", "--lm-ref", "--max-ppl",
-        "--dsir-ref", "--dsir-n", "--strip-substrings", "--quota-tokens"),
+        "--dsir-ref", "--dsir-n", "--strip-substrings", "--quota-tokens",
+        "--pack-chunks", "--pack-shards"),
       boolFlags = Set("--warc", "--resume"),
       usage = "usage: CurateJob <pagesDir> <outDir> [--eval <parquet>] " +
         "[--quota N] [--min-quality Q] [--partitions N] [--warc] " +
@@ -125,14 +133,16 @@ object CurateJob {
         "[--quality-model <labels parquet with url,y>] " +
         "[--lm-ref <parquet with url,text>] [--max-ppl X] " +
         "[--dsir-ref <parquet with url,text>] [--dsir-n N] " +
-        "[--strip-substrings L] [--quota-tokens B]")
+        "[--strip-substrings L] [--quota-tokens B] " +
+        "[--pack-chunks C] [--pack-shards S]")
     require(pos.length >= 2,
       "usage: CurateJob <pagesDir> <outDir> [--eval <parquet>] [--quota N] " +
         "[--min-quality Q] [--partitions N] [--warc] [--resume] " +
         "[--bpe-merges N] [--near minhash|exact] " +
         "[--quality-model <labels parquet>] [--lm-ref <parquet>] " +
         "[--max-ppl X] [--dsir-ref <parquet>] [--dsir-n N] " +
-        "[--strip-substrings L] [--quota-tokens B]")
+        "[--strip-substrings L] [--quota-tokens B] " +
+        "[--pack-chunks C] [--pack-shards S]")
     val (pagesDir, outDir) = (pos(0), pos(1))
     def opt(flag: String): Option[String] =
       args.sliding(2).collectFirst { case Array(`flag`, v) => v }
@@ -164,7 +174,9 @@ object CurateJob {
       dsirRefPath = opt("--dsir-ref"),
       dsirN = opt("--dsir-n").map(_.toInt).getOrElse(0),
       stripSubstrings = opt("--strip-substrings").map(_.toInt).getOrElse(0),
-      quotaTokens = opt("--quota-tokens").map(_.toLong).getOrElse(0L))
+      quotaTokens = opt("--quota-tokens").map(_.toLong).getOrElse(0L),
+      packChunks = opt("--pack-chunks").map(_.toInt).getOrElse(0),
+      packShards = opt("--pack-shards").map(_.toInt).getOrElse(64))
     println(funnel)
     spark.stop()
   }
@@ -243,7 +255,9 @@ object CurateJob {
           dsirRefPath: Option[String] = None,
           dsirN: Int = 0,
           stripSubstrings: Int = 0,
-          quotaTokens: Long = 0L): String = {
+          quotaTokens: Long = 0L,
+          packChunks: Int = 0,
+          packShards: Int = 64): String = {
     require(nearAlgo == "minhash" || nearAlgo == "exact",
       s"--near $nearAlgo: expected 'minhash' (LSH, probabilistic recall) " +
         "or 'exact' (prefix-filtering set-similarity, NO false negatives)")
@@ -475,6 +489,28 @@ object CurateJob {
         s""""dsir":${dsirRefPath.isDefined},"after_dsir":$nDsir,""" +
         s""""quota_tokens":$quotaTokens,"curated":$nFinal}"""
     ExtractJob.writeTextFile(spark, s"$outDir/_funnel.json", funnel)
+
+    // 7b. sequence-packing export metadata over the CURATED corpus
+    // (--pack-chunks): per-doc placement + per-chunk occupancy manifest.
+    // Placement is recomputable from the curated table, so both
+    // artifacts commit after the funnel; a crash between the two writes
+    // recomputes both on resume (the tokenizer-leg discipline).
+    if (packChunks > 0) {
+      if (nFinal == 0)
+        System.err.println("curate: --pack-chunks requested but the " +
+          "curated corpus is empty — pack artifacts skipped")
+      else if (resume && stageDone(spark, s"$outDir/_pack") &&
+        stageDone(spark, s"$outDir/_pack_manifest"))
+        ()
+      else {
+        graft.pipeline.Pack.packChunks(curated, "url", "text",
+            chunkTokens = packChunks, shards = packShards)
+          .write.mode(SaveMode.Overwrite).parquet(s"$outDir/_pack")
+        graft.pipeline.Pack.chunkStats(
+            spark.read.parquet(s"$outDir/_pack"), packChunks)
+          .write.mode(SaveMode.Overwrite).parquet(s"$outDir/_pack_manifest")
+      }
+    }
 
     // 8. tokenizer artifacts over the CURATED corpus (what the model
     // will actually train on): batched BPE learn (identical output to

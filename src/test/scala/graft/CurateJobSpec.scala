@@ -457,7 +457,7 @@ class CurateJobSpec extends AnyFunSuite {
   }
 
   test("quota caps per language; without an eval table decontamination " +
-    "is skipped") {
+    "is skipped; --pack-chunks ships placement + manifest") {
     val tmp = java.nio.file.Files.createTempDirectory("curateq").toString
     import spark.implicits._
     val pages = (0 until 8).map(i => page(s"test://doc/$i", prose(i), i.toLong))
@@ -465,11 +465,25 @@ class CurateJobSpec extends AnyFunSuite {
       numBuckets = 2)
     val funnel = CurateJob.run(spark, s"$tmp/pages", s"$tmp/out",
       partitions = 4,
-      th = CurateJob.Thresholds(minQuality = 0.2, quotaPerLang = 4))
+      th = CurateJob.Thresholds(minQuality = 0.2, quotaPerLang = 4),
+      packChunks = 32, packShards = 2)
     val curated = spark.read.parquet(s"$tmp/out/curated")
     assert(curated.count() == 4) // quota bound, one language (en)
     assert(curated.select(max(col("sample_rank"))).head.getInt(0) == 4)
     assert(funnel.contains("\"curated\":4"))
+
+    // pack export: one placement row per curated doc; every chunk but
+    // each shard's last is exactly full; token totals conserve
+    val pack = spark.read.parquet(s"$tmp/out/_pack")
+    assert(pack.count() == 4)
+    val manifest = spark.read.parquet(s"$tmp/out/_pack_manifest")
+      .select("shard", "chunk", "tokens").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    manifest.groupBy(_._1).foreach { case (_, rows) =>
+      rows.sortBy(_._2).init.foreach(r => assert(r._3 == 32L, r.toString))
+    }
+    val totalToks = pack.agg(sum(col("tokens"))).head.getLong(0)
+    assert(manifest.map(_._3).sum == totalToks)
 
     // --quota-tokens: the TOKEN-budget mixture fill — each prose doc is
     // ~47 tokens, so a 100-token budget keeps exactly 3 docs (the third
