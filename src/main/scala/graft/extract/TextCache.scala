@@ -59,10 +59,12 @@ final class TextCache {
   // tree (slot stores race) — trees and their caches are per-document,
   // single-threaded everywhere in the engine.
   private val gen = TextCache.genCounter.incrementAndGet()
-  private val segIdx = new IdentityHashMap[Node, java.lang.Long](512)
-  private val normLenMemo = new IdentityHashMap[Node, Integer](256)
+  // presized past typical article node counts: JFR r7 showed
+  // IdentityHashMap.resize churn at the 512 expected-size default
+  private val segIdx = new IdentityHashMap[Node, java.lang.Long](2048)
+  private val normLenMemo = new IdentityHashMap[Node, Integer](1024)
   private val videoMemo = new IdentityHashMap[Node, java.lang.Boolean](64)
-  private val densityMemo = new IdentityHashMap[Node, java.lang.Long](512)
+  private val densityMemo = new IdentityHashMap[Node, java.lang.Long](2048)
 
   // ---- prefix sums over the text stream --------------------------------
   // One O(n) pass makes every per-node metric O(1) + short boundary scans

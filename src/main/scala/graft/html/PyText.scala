@@ -10,12 +10,20 @@ package graft.html
  */
 object PyText {
 
+  // Latin-1 verdicts precomputed FROM the predicate below (the table is
+  // definitionally identical for cp < 0x100); the text-index loops are
+  // char-at-a-time, so one bounds check + array load beats the branch
+  // chain on the hot path.
+  private val latin1Space: Array[Boolean] =
+    Array.tabulate(0x100)(cp =>
+      cp == 0x20 || (cp >= 0x09 && cp <= 0x0D) || (cp >= 0x1C && cp <= 0x1F) ||
+        cp == 0x85 || cp == 0xA0)
+
   /** Python str.isspace() / re \s (UNICODE) membership. */
   def isPySpace(cp: Int): Boolean =
-    if (cp < 0x85) // ASCII fast path — the hot case in the text-index loops
-      cp == 0x20 || (cp >= 0x09 && cp <= 0x0D) || (cp >= 0x1C && cp <= 0x1F)
+    if (cp < 0x100) latin1Space(cp)
     else cp match {
-      case 0x85 | 0xA0 | 0x1680 | 0x2028 | 0x2029 | 0x202F | 0x205F | 0x3000 => true
+      case 0x1680 | 0x2028 | 0x2029 | 0x202F | 0x205F | 0x3000 => true
       case c if c >= 0x2000 && c <= 0x200A => true
       case _ => false
     }
