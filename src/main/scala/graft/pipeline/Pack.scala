@@ -63,6 +63,34 @@ object Pack {
         floor((col("tok_offset") + col("tokens") - 1) / chunkTokens))
   }
 
+  /** INCREMENTAL append: place `newDocs` AFTER an existing placement
+    * table — each shard's new stream starts at the shard's current
+    * token total, so committed placements never move (the ingest
+    * discipline the MinHash/IVF indexes and sketch folds follow:
+    * earlier batches are immutable, a crashed append just re-runs).
+    * Returns the NEW rows only; union with `existing` for the full
+    * table. Equivalent to packChunks over the concatenation when the
+    * batch's ids sort after the existing stream's (the append
+    * contract — enforce monotone ids, e.g. ingest timestamps, at the
+    * call site; pinned in PackSpec). The per-shard base offsets are a
+    * shards-sized aggregate (broadcast), so an append touches only the
+    * batch. */
+  def appendChunks(existing: DataFrame, newDocs: DataFrame,
+                   idCol: String, textCol: String,
+                   chunkTokens: Int, shards: Int,
+                   algo: String = Dedup.AlgoXx64): DataFrame = {
+    val base = existing.groupBy(col("shard"))
+      .agg(max(col("tok_offset") + col("tokens")).as("__base"))
+    packChunks(newDocs, idCol, textCol, chunkTokens, shards, algo)
+      .join(base, Seq("shard"), "left")
+      .withColumn("__b", coalesce(col("__base"), lit(0L)))
+      .withColumn("tok_offset", col("tok_offset") + col("__b"))
+      .withColumn("chunk_first", floor(col("tok_offset") / chunkTokens))
+      .withColumn("chunk_last",
+        floor((col("tok_offset") + col("tokens") - 1) / chunkTokens))
+      .drop("__base", "__b")
+  }
+
   /** Per-chunk occupancy from a packChunks frame: (shard, chunk, docs,
     * tokens) — the export manifest's unit; every chunk except possibly
     * each shard's last holds exactly `chunkTokens` tokens. The doc →

@@ -62,6 +62,30 @@ class PackSpec extends AnyFunSuite {
     assert(stats.map(_._3).sum == touches)
   }
 
+  test("appendChunks ≡ packChunks over the concatenation when batch ids " +
+    "sort after the stream; committed placements never move") {
+    val all = (1L to 40L).map(i => (i, text(3 + (i % 9).toInt)))
+    val (first, second) = (all.take(25), all.drop(25))
+    val chunkTokens = 16
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "shard", "tokens", "tok_offset", "chunk_first",
+        "chunk_last").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+    val existing = Pack.packChunks(docsDf(first), "doc_id", "text",
+      chunkTokens, shards = 4)
+    val appended = Pack.appendChunks(existing, docsDf(second), "doc_id",
+      "text", chunkTokens, shards = 4)
+    val full = Pack.packChunks(docsDf(all), "doc_id", "text",
+      chunkTokens, shards = 4)
+    assert(rows(existing) ++ rows(appended) == rows(full))
+    // appending to an empty table is a plain pack
+    val fromEmpty = Pack.appendChunks(existing.limit(0),
+      docsDf(second), "doc_id", "text", chunkTokens, shards = 4)
+    assert(rows(fromEmpty) == rows(Pack.packChunks(docsDf(second),
+      "doc_id", "text", chunkTokens, shards = 4)))
+  }
+
   test("sharding is deterministic and respects the algo convention; " +
     "packing a shard is independent of other shards' contents") {
     val df = docsDf((1L to 30L).map(i => (i, text(7))))
