@@ -325,12 +325,19 @@ object CurateJob {
     val (strippedKeep, nStrip) =
       if (stripSubstrings <= 0) (nearKeep, nNear)
       else stage(spark, s"$outDir/stage_strip", resume) {
-        nearKeep.drop("text").join(
+        // LEFT join: a doc whose extracted text has no tokens is absent
+        // from the rewrite (nothing to strip) — it must survive to the
+        // quality gate with its original text, not vanish here
+        nearKeep.join(
           Dedup.stripDupSpans(nearKeep, "url", "text", k = 8,
             minSpanTokens = stripSubstrings, keepFirst = true)
-            .select(col("id").as("url"), col("text_clean").as("text"),
-              col("removed_tokens").as("stripped_tokens")),
-          Seq("url"))
+            .select(col("id").as("url"), col("text_clean"),
+              col("removed_tokens")),
+          Seq("url"), "left")
+          .withColumn("text", coalesce(col("text_clean"), col("text")))
+          .withColumn("stripped_tokens",
+            coalesce(col("removed_tokens"), lit(0L)))
+          .drop("text_clean", "removed_tokens")
       }
 
     // 4. quality + repetition gates; with `--quality-model <labels>` an

@@ -896,15 +896,26 @@ object Dedup {
     val toks = df.select(col(idCol).as("id"),
         posexplode(split(trim(col(textCol)), s"[$WsClass]+")))
       .where(length(col("col")) > 0)
+    // rebuild via ONE ordered per-doc window (collect_list over the
+    // pos-ordered unbounded frame preserves order) — NOT the
+    // struct-sort + transform() formulation: interpreted HOFs cost
+    // ~µs per array element and this pass touches every kept token in
+    // the corpus (the CLAUDE.md hot-path ban)
+    import org.apache.spark.sql.expressions.Window
+    val wOrder = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val wFull = wOrder.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
     toks.join(covered.withColumn("__cov", lit(1)), Seq("id", "pos"), "left")
-      .groupBy(col("id"))
-      .agg(
-        sum(when(col("__cov").isNull, 1L).otherwise(0L)).as("kept_tokens"),
-        sum(when(col("__cov").isNull, 0L).otherwise(1L)).as("removed_tokens"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(when(col("__cov").isNull,
-            struct(col("pos"), col("col").as("tok"))))),
-          s => s.getField("tok"))).as("text_clean"))
+      .withColumn("kept_tokens",
+        sum(when(col("__cov").isNull, 1L).otherwise(0L)).over(wFull))
+      .withColumn("removed_tokens",
+        sum(when(col("__cov").isNull, 0L).otherwise(1L)).over(wFull))
+      .withColumn("text_clean", concat_ws(" ",
+        collect_list(when(col("__cov").isNull, col("col"))).over(wFull)))
+      .withColumn("__rn", row_number().over(wOrder))
+      .where(col("__rn") === 1)
+      .select(col("id"), col("kept_tokens"), col("removed_tokens"),
+        col("text_clean"))
   }
 
   /**

@@ -69,8 +69,14 @@ object LangModel {
       df.select(explode(Dedup.tokens(col(textCol))).as("w"))
         .where(length(col("w")) > 0)
         .groupBy("w").agg(count(lit(1)).as("c1")))
-    val Row(n: Long, v: Long) =
-      unigrams.agg(sum("c1").as("n"), count(lit(1)).as("v")).head()
+    val totals =
+      unigrams.agg(coalesce(sum("c1"), lit(0L)).as("n"),
+        count(lit(1)).as("v")).head()
+    val (n, v) = (totals.getLong(0), totals.getLong(1))
+    // loud, actionable failure instead of a MatchError on Row(null, 0)
+    require(n > 0L,
+      "LangModel.train: the reference corpus has no tokens " +
+        "(empty table, or every text row is empty/whitespace)")
     LmModel(bigrams, unigrams, n, v)
   }
 

@@ -91,7 +91,13 @@ object Quality {
   def trainLogReg(feats: DataFrame, labels: DataFrame,
                   dim: Int, iters: Int = 1, lr: Double = 1.0): DataFrame = {
     val spark = feats.sparkSession
+    // labels whose doc vanished upstream (deduped / stripped away) carry
+    // no postings: excluding them keeps the prior intercept b0 and the
+    // 1/n gradient scale consistent with the documents the gradient sums
+    // actually see — otherwise class-correlated dedup (duplicates skew
+    // y = 0) shifts every score by a constant logit offset
     val lab = labels.select(col("id"), col("y").cast("long").as("y"))
+      .join(feats.select(col("id")), Seq("id"), "left_semi")
     val st = lab.agg(count(lit(1)).as("n"), sum(col("y")).as("npos"))
     val lf = Mat.small(feats.join(lab, Seq("id")))
     // exact first step: w_f = [f = −1]·logit(ȳ) + lr·(n·Σy·tf − npos·Σtf)/n²

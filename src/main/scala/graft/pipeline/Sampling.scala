@@ -124,7 +124,11 @@ object Sampling {
                   budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
     val strata = strataCols.map(col)
-    val keyed = df.withColumn("__tok", tokensCol.cast("long"))
+    // null ranks are EXCLUDED (the weightedSample non-finite convention):
+    // a null would never equi-join back to its own histogram bucket and
+    // must not vanish silently
+    val keyed = df.where(rankCol.isNotNull)
+      .withColumn("__tok", tokensCol.cast("long"))
       .withColumn("__q", rankCol)
     // phase 1: per-(stratum, score) histogram with cumulative sums over
     // the score buckets — vocabulary-sized, its window is cheap
@@ -141,7 +145,11 @@ object Sampling {
       // kept whole (tok_before + btok <= budget ⇒ every doc's preceding
       // sum < budget) or straddles and needs the per-doc cut
       .where(col("__tok_before") < budget)
-      .withColumn("__straddles", col("__tok_before") + col("__btok") > budget)
+      // >= so a bucket landing EXACTLY on the budget takes the per-doc
+      // path: a zero-token doc whose preceding sum equals the budget is
+      // dropped by the `before < budget` rule, and only the exact
+      // per-doc cut enforces that
+      .withColumn("__straddles", col("__tok_before") + col("__btok") >= budget)
       .select(strata ++ Seq(col("__q"), col("__tok_before"),
         col("__docs_before"), col("__straddles")): _*)
     // phase 2: per-doc rank/cumsum WITHIN each (stratum, bucket) — the

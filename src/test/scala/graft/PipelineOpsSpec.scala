@@ -519,6 +519,15 @@ class PipelineOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
       .sortBy(_._2).toSeq
     assert(e == Seq((20L, 1, 50L), (21L, 2, 100L)))
+    // a ZERO-token doc whose preceding sum equals the budget exactly is
+    // dropped (before < budget, strictly — the bucket lands exactly on
+    // the boundary and must take the per-doc cut); null ranks excluded
+    val zb = Seq((30L, "e", 1.0, 100L), (31L, "e", 1.0, 0L),
+      (32L, "e", -1.0, 10L)).toDF("doc_id", "grp", "q", "toks")
+    val z = Sampling.tokenBudget(zb, Seq("grp"), "doc_id", col("toks"),
+      when(col("q") >= 0, col("q")), budget = 100L)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(z == Seq(30L))
   }
 
   test("HLL sketch: estimate within the m=512 error envelope at 10k " +
