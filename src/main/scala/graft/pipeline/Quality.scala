@@ -98,7 +98,16 @@ object Quality {
     // y = 0) shifts every score by a constant logit offset
     val lab = labels.select(col("id"), col("y").cast("long").as("y"))
       .join(feats.select(col("id")), Seq("id"), "left_semi")
-    val st = lab.agg(count(lit(1)).as("n"), sum(col("y")).as("npos"))
+    val st = Mat.small(
+      lab.agg(count(lit(1)).as("n"), sum(col("y")).as("npos")))
+    // a one-class label set makes the prior intercept logit(ȳ)
+    // undefined (ANSI divide-by-zero deep inside codegen otherwise) —
+    // fail loudly with the actual class counts
+    val Seq(n0, npos0) = { val r = st.head(); Seq(r.getLong(0),
+      if (r.isNullAt(1)) 0L else r.getLong(1)) }
+    require(n0 > 0 && npos0 > 0 && npos0 < n0,
+      s"trainLogReg: labels must contain BOTH classes among docs that " +
+        s"survive into the feature table (got n=$n0, positives=$npos0)")
     val lf = Mat.small(feats.join(lab, Seq("id")))
     // exact first step: w_f = [f = −1]·logit(ȳ) + lr·(n·Σy·tf − npos·Σtf)/n²
     val sums = lf.groupBy(col("f"))

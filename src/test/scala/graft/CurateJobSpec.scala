@@ -456,6 +456,66 @@ class CurateJobSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$tmp/out2/stage_strip").exists())
   }
 
+  test("kitchen-sink composition: every optional stage enabled at once " +
+    "— exact near-dedup, substring strip, learned quality, LM gate, " +
+    "decontam, DSIR, token quota, pack, tokenizer") {
+    val tmp = java.nio.file.Files.createTempDirectory("curateall").toString
+    import spark.implicits._
+    val lic = "all rights reserved contact the publisher for permission " +
+      "to reuse this content"
+    val pages = Seq(
+      page("test://phys/1", TestCorpus.signalProse(1, "phys"), 0),
+      page("test://phys/2", TestCorpus.signalProse(2, "phys") + " " + lic, 1),
+      page("test://phys/3", TestCorpus.signalProse(3, "phys") + " " + lic, 2),
+      page("test://off/1", TestCorpus.signalProse(101, "off"), 3),
+      page("test://off/2", TestCorpus.signalProse(102, "off"), 4),
+      page("test://contam/1", prose(9), 5))
+    PageTableIO.write(spark.createDataset(pages).toDF(), s"$tmp/pages",
+      numBuckets = 2)
+    Seq(("eval://doc/1", prose(9))).toDF("url", "text")
+      .write.parquet(s"$tmp/eval")
+    Seq.tabulate(4)(i =>
+      (s"ref://doc/$i", TestCorpus.signalProse(900 + i, "phys")))
+      .toDF("url", "text").write.parquet(s"$tmp/ref")
+    Seq(("test://phys/1", 1L), ("test://phys/2", 1L), ("test://off/1", 0L))
+      .toDF("url", "y").write.parquet(s"$tmp/labels")
+
+    val funnel = CurateJob.run(spark, s"$tmp/pages", s"$tmp/out",
+      partitions = 4,
+      th = CurateJob.Thresholds(minQuality = 0.1, maxPerplexity = 1e6,
+        minModelProb = 0.0),
+      evalPath = Some(s"$tmp/eval"),
+      bpeMerges = 5, nearAlgo = "exact",
+      qualityModelPath = Some(s"$tmp/labels"),
+      lmRefPath = Some(s"$tmp/ref"),
+      dsirRefPath = Some(s"$tmp/ref"), dsirN = 3,
+      stripSubstrings = 10, quotaTokens = 100000L,
+      packChunks = 64, packShards = 2)
+    // every stage reports; contam doc dies at decontam, DSIR draws the
+    // 3 phys docs (the off docs lose the importance draw)
+    for (k <- Seq("extracted", "after_exact_dedup", "near_algo",
+      "strip_substrings", "after_strip", "quality_model", "after_quality",
+      "lm_ref", "after_ppl", "after_decontam", "dsir", "after_dsir",
+      "quota_tokens", "curated"))
+      assert(funnel.contains("\"" + k + "\""), s"missing $k in $funnel")
+    assert(funnel.contains("\"after_decontam\":5"), funnel)
+    assert(funnel.contains("\"after_dsir\":3"), funnel)
+    val urls = spark.read.parquet(s"$tmp/out/curated")
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(urls == Set("test://phys/1", "test://phys/2", "test://phys/3"),
+      s"$urls $funnel")
+    // the second/third license copies were stripped before the gates
+    val strip = spark.read.parquet(s"$tmp/out/stage_strip")
+      .select("url", "stripped_tokens").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(strip("test://phys/2") == 0L)
+    assert(strip("test://phys/3") > 0L)
+    // all artifacts shipped
+    for (a <- Seq("_funnel.json", "_decontam_report", "_lm", "_pack",
+      "_pack_manifest", "_bpe_merges", "_bpe_vocab"))
+      assert(new java.io.File(s"$tmp/out/$a").exists(), a)
+  }
+
   test("quota caps per language; without an eval table decontamination " +
     "is skipped; --pack-chunks ships placement + manifest") {
     val tmp = java.nio.file.Files.createTempDirectory("curateq").toString
