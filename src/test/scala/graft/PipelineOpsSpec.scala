@@ -530,6 +530,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(z == Seq(30L))
   }
 
+  test("tokenBudget random differential: the two-phase fill equals the " +
+    "one-window (q desc, id asc) definition, incl. zero-token docs and " +
+    "tied buckets") {
+    import spark.implicits._
+    import graft.pipeline.Sampling
+    val rnd = new scala.util.Random(20260818)
+    for (trial <- 0 until 6) {
+      val rows = (1L to 40L).map { i =>
+        (i, if (i % 2 == 0) "x" else "y",
+          math.round(rnd.nextDouble() * 5) / 5.0, // heavy score ties
+          rnd.nextInt(15).toLong)                 // includes 0-token docs
+      }
+      val budget = 20L + rnd.nextInt(120)
+      val got = Sampling.tokenBudget(rows.toDF("doc_id", "grp", "q", "toks"),
+        Seq("grp"), "doc_id", col("toks"), col("q"), budget)
+        .select("grp", "doc_id", "mix_rank", "cum_tokens").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._3)).toSeq
+      // reference: one ordered pass straight from the definition
+      val expected = rows.groupBy(_._2).toSeq.flatMap { case (g, docs) =>
+        var cum = 0L
+        docs.sortBy(d => (-d._3, d._1)).zipWithIndex.flatMap {
+          case ((id, _, _, tok), idx) =>
+            val before = cum; cum += tok
+            if (before < budget) Some((g, id, idx + 1, before + tok))
+            else None
+        }
+      }.sortBy(t => (t._1, t._3))
+      assert(got == expected, s"trial=$trial budget=$budget")
+    }
+  }
+
   test("HLL sketch: estimate within the m=512 error envelope at 10k " +
     "distinct; small-range correction lands near-exact at 10 distinct; " +
     "duplicates don't move the estimate") {
