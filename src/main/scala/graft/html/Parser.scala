@@ -33,6 +33,18 @@ object Parser {
 
   private val RawText = Set("script", "style")
 
+  // string-pool canonical instances of the attribute names the engine
+  // queries by literal (class/id every scoring phase, href/src/style in
+  // cleaning/urls) — parseAttrName maps onto these so AttrMap probes
+  // compare by reference. VALUES must be the literals themselves.
+  private val CommonAttrNames: java.util.HashMap[String, String] = {
+    val m = new java.util.HashMap[String, String](32)
+    for (a <- Seq("class", "id", "href", "src", "style", "rel", "type",
+      "name", "content", "title", "alt", "width", "height", "value"))
+      m.put(a, a)
+    m
+  }
+
   private val HeadOnly = Set("title", "meta", "link", "style", "script", "base", "isindex")
 
   /** Start of any of these closes an open <p> (libxml2/html5 block list). */
@@ -292,7 +304,13 @@ object Parser {
       val start = i
       while (i < n && { val c = s.charAt(i)
         c != '=' && c != '>' && c != '/' && c != ' ' && c != '\t' && c != '\n' && c != '\r' && c != '\f' }) i += 1
-      lowerSlice(start, i)
+      val name = lowerSlice(start, i)
+      // canonicalize common attribute names to the string-pool constants
+      // the query sites pass as literals: AttrMap's linear probe then
+      // hits String.equals' reference fast path instead of comparing
+      // chars on every match (JFR r7: indexOf ~3.7% of self-time)
+      val pooled = Parser.CommonAttrNames.get(name)
+      if (pooled != null) pooled else name
     }
 
     /** Lowercased substring without the extra toLowerCase allocation when
