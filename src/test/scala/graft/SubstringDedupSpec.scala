@@ -158,6 +158,41 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(r.getAs[Double]("containment") == 1.0)
   }
 
+  test("spanContainmentJoin random differential vs a from-first-" +
+    "principles reference") {
+    val rnd = new scala.util.Random(20260819)
+    val k = 3
+    for (trial <- 0 until 5) {
+      val corpus = (0 until 10).map { i =>
+        val n = 3 + rnd.nextInt(15)
+        (i.toLong,
+          (0 until n).map(_ => "abcd".charAt(rnd.nextInt(4)).toString)
+            .mkString(" "))
+      }
+      val t = 0.4
+      val got = Dedup.spanContainmentJoin(docsDf(corpus), "doc_id",
+          "text", n = k, minContainment = t).collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          r.getAs[Long]("shared_spans"), r.getAs[Double]("containment")))
+        .sortBy(x => (x._1, x._2)).toSeq
+      // reference: distinct k-gram sets, pairwise intersections
+      val sets = corpus.map { case (id, txt) =>
+        val ts = txt.trim.split("[ \t\n\f\r]+", -1).toSeq
+        id -> (if (ts.length >= k)
+          (0 to ts.length - k).map(p => ts.slice(p, p + k).mkString(" ")).toSet
+        else Set(ts.mkString(" ")))
+      }.toMap
+      val expected = (for {
+        a <- corpus.map(_._1); b <- corpus.map(_._1) if a < b
+        sh = (sets(a) & sets(b)).size.toLong if sh > 0
+        c = BigDecimal(sh.toDouble / math.min(sets(a).size, sets(b).size))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if c >= t
+      } yield (a, b, sh, c)).sortBy(x => (x._1, x._2))
+      assert(got == expected, s"trial=$trial")
+    }
+  }
+
   test("stripDupSpans removes exactly the covered tokens, keeps the " +
     "rest in order; a fully-duplicated doc strips to empty") {
     val df = docsDf(Seq(
