@@ -181,6 +181,9 @@ object Bench {
     // deliver — BENCH.md §2's DRAM ceiling — so the healthy band is ~2–6×
     // the prediction; 10× only triggers on genuinely squeezed windows)
     val attemptCapSec = math.max(30.0,
+      // note: the cap scales with the committed floor — re-committing a
+      // lower floor also tightens the wall cap proportionally (an
+      // all-capped run still degrades gracefully to a flagged bound)
       10.0 * (benchDocs / 1000.0) * ReferenceCpuSecPerKdoc / cpus.toDouble)
     val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
     val tasksStarted = new java.util.concurrent.atomic.AtomicLong(0L)

@@ -98,13 +98,15 @@ object Quality {
     // y = 0) shifts every score by a constant logit offset
     val lab = labels.select(col("id"), col("y").cast("long").as("y"))
       .join(feats.select(col("id")), Seq("id"), "left_semi")
-    val st = Mat.small(
-      lab.agg(count(lit(1)).as("n"), sum(col("y")).as("npos")))
+    // n/npos are two driver scalars — read them once and inline as
+    // literals below (no checkpointed 1-row frame, no broadcast joins)
+    val Seq(n0, npos0) = {
+      val r = lab.agg(count(lit(1)).as("n"), sum(col("y")).as("npos")).head()
+      Seq(r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
     // a one-class label set makes the prior intercept logit(ȳ)
     // undefined (ANSI divide-by-zero deep inside codegen otherwise) —
     // fail loudly with the actual class counts
-    val Seq(n0, npos0) = { val r = st.head(); Seq(r.getLong(0),
-      if (r.isNullAt(1)) 0L else r.getLong(1)) }
     require(n0 > 0 && npos0 > 0 && npos0 < n0,
       s"trainLogReg: labels must contain BOTH classes among docs that " +
         s"survive into the feature table (got n=$n0, positives=$npos0)")
@@ -116,14 +118,13 @@ object Quality {
       .select(col("id").cast("int").as("f"))
       .unionByName(spark.range(1).select(lit(-1).as("f")))
     var w = Mat.small(grid.join(sums, Seq("f"), "left")
-      .crossJoin(broadcast(st))
       .select(col("f"),
         (when(col("f") === -1,
-          log(col("npos").cast("double") /
-            (col("n") - col("npos")).cast("double"))).otherwise(lit(0.0))
-          + lit(lr) * (col("n") * coalesce(col("syt"), lit(0L))
-            - col("npos") * coalesce(col("stf"), lit(0L))).cast("double")
-          / (col("n") * col("n")).cast("double")).as("w")))
+          log(lit(npos0).cast("double") /
+            lit(n0 - npos0).cast("double"))).otherwise(lit(0.0))
+          + lit(lr) * (lit(n0) * coalesce(col("syt"), lit(0L))
+            - lit(npos0) * coalesce(col("stf"), lit(0L))).cast("double")
+          / lit(n0 * n0).cast("double")).as("w")))
     for (_ <- 2 to iters) {
       val p = lf.join(w, Seq("f"))
         .groupBy(col("id"), col("y"))
@@ -134,10 +135,9 @@ object Quality {
         .agg(sum((col("y") - col("p")) * col("tf")).as("g"))
       // left join: features unseen in the labeled postings keep their w
       w = Mat.small(w.join(g, Seq("f"), "left")
-        .crossJoin(broadcast(st))
         .select(col("f"),
           (col("w") + lit(lr) * coalesce(col("g"), lit(0.0))
-            / col("n").cast("double")).as("w")))
+            / lit(n0).cast("double")).as("w")))
     }
     w
   }

@@ -163,8 +163,10 @@ class SubstringDedupSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(20260819)
     val k = 3
     for (trial <- 0 until 5) {
+      // 1–2-token docs INCLUDED: they exercise the whole-doc-shingle
+      // branch (shingles of a < k-token doc = the single joined gram)
       val corpus = (0 until 10).map { i =>
-        val n = 3 + rnd.nextInt(15)
+        val n = 1 + rnd.nextInt(17)
         (i.toLong,
           (0 until n).map(_ => "abcd".charAt(rnd.nextInt(4)).toString)
             .mkString(" "))
