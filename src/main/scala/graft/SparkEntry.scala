@@ -307,8 +307,11 @@ object SparkEntry {
       // the same buckets.
       val d = docs(s, dir)
       val dim = 256
-      val feats = Quality.hashedFeatures(d, "doc_id", "text", dim,
-        Dedup.AlgoMd5, bias = true)
+      // materialized ONCE: the label semi-join, the gradient aggregation
+      // and the scoring join all consume the postings — unmaterialized,
+      // the tokenize+md5 featurize pass ran three times per query (r8)
+      val feats = Mat.corpus(Quality.hashedFeatures(d, "doc_id", "text", dim,
+        Dedup.AlgoMd5, bias = true))
       val labels = d.where(pmod(col("doc_id"), lit(3)) === 0)
         .select(col("doc_id").as("id"),
           when(TextOps.qualityScore(col("text")) >= 0.6, 1L)
@@ -356,8 +359,12 @@ object SparkEntry {
       // (the q55 precedent) so the (key desc, id asc) order is
       // cross-engine total; logw rounds to 4 for display (q37).
       val d = docs(s, dir)
-      val target = d.where(pmod(col("doc_id"), lit(4)) === 1)
-      Dsir.resample(d, target, "doc_id", "text", dim = 512, n = 100,
+      // target = the doc_id % 4 = 1 SUBSET of the raw corpus: the subset
+      // entry point featurizes the corpus ONCE and derives the target
+      // count table by filtering the postings on id — identical counts
+      // (feature extraction is per-doc), one tokenize+md5 pass (r8)
+      Dsir.resampleSubset(d, pmod(col("id"), lit(4)) === 1,
+        "doc_id", "text", dim = 512, n = 100,
         algo = Dedup.AlgoMd5)
         .select(col("id").as("doc_id"),
           round(col("logw"), 4).as("logw"), col("key"), col("rank"))
@@ -575,9 +582,12 @@ object SparkEntry {
       // documents by piece — per-doc BPE token counts under a learned
       // vocab (the tokenizer-budget number a trained tokenizer yields,
       // vs q38's pre-tokenizer ceiling)
-      val toks = docs(s, dir)
+      // materialized ONCE: the piece-count aggregation (BPE training
+      // input) and the final per-doc join-back both consume the token
+      // postings — unmaterialized, the corpus tokenized twice (r8)
+      val toks = Mat.corpus(docs(s, dir)
         .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("piece"))
-        .where(col("piece").rlike("^[a-z]+$"))
+        .where(col("piece").rlike("^[a-z]+$")))
       val pieces = toks.groupBy(col("piece")).agg(count(lit(1)).as("cnt"))
       val merges = TextOps.bpeLearn(pieces, rounds = 3)
         .orderBy(col("round")).collect()

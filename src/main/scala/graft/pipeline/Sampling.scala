@@ -127,9 +127,14 @@ object Sampling {
     // null ranks are EXCLUDED (the weightedSample non-finite convention):
     // a null would never equi-join back to its own histogram bucket and
     // must not vanish silently
-    val keyed = df.where(rankCol.isNotNull)
+    // materialized ONCE (guide §1.2 "don't compute things twice"): the
+    // scored base feeds BOTH the phase-1 histogram and the phase-2 join
+    // as separate scans — without the checkpoint the tokensCol/rankCol
+    // expressions (q62: tokenCount + the regex-heavy qualityScore over
+    // every document) evaluate twice per run (VERDICT r7 #2)
+    val keyed = Mat.corpus(df.where(rankCol.isNotNull)
       .withColumn("__tok", tokensCol.cast("long"))
-      .withColumn("__q", rankCol)
+      .withColumn("__q", rankCol))
     // phase 1: per-(stratum, score) histogram with cumulative sums over
     // the score buckets — vocabulary-sized, its window is cheap
     val wBuckets = Window.partitionBy(strata: _*)

@@ -29,7 +29,13 @@ object Search {
    */
   def bm25(df: DataFrame, idCol: String, textCol: String,
            terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val toks = df.select(col(idCol).as("id"), Dedup.tokens(col(textCol)).as("t"))
+    // the token-array table is materialized ONCE (r8, the shingleTable
+    // discipline): doc length, the corpus stats, term frequency and the
+    // scoring join all derive from it as cheap checkpoint scans — the
+    // pre-r8 lazy formulation re-ran the corpus tokenize pass once per
+    // consumer (4 tokenizations per query)
+    val toks = Mat.corpus(
+      df.select(col(idCol).as("id"), Dedup.tokens(col(textCol)).as("t")))
     val dlen = toks.select(col("id"), size(col("t")).cast("double").as("dl"))
     // corpus scalars: one row, broadcast into the scoring pass
     val stats = dlen.agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))

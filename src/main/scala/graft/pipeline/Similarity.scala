@@ -487,13 +487,23 @@ object Similarity {
     val m = codebooks.length
     val dsub = codebooks(0)(0).length
     val qbase = queries.select(col(qidCol).as("qid"), col(vecCol).as("qv"))
+    // ADC's whole point: the m × ksub query-vs-codebook dot TABLE is
+    // computed ONCE PER QUERY — on the query side, BEFORE the broadcast
+    // join — and each code row scores as m table lookups. The pre-r8
+    // formulation built the table expression on the joined row, so every
+    // (corpus row × query) pair recomputed all m·ksub·dsub multiplies;
+    // identical values (same dotConst over the same qv), ~m·ksub·dsub/m
+    // = ksub·dsub times less per-pair work.
+    val qTables = qbase.select(
+      Seq(col("qid")) ++ (0 until m).map { j =>
+        array(codebooks(j).map(c =>
+          graft.plans.VectorKernels.dotConst(
+            slice(col("qv"), j * dsub + 1, dsub), c.toSeq)): _*).as(s"__qt_$j")
+      }: _*)
     val adc = (0 until m).map { j =>
-      val qtable = array(codebooks(j).map(c =>
-        graft.plans.VectorKernels.dotConst(
-          slice(col("qv"), j * dsub + 1, dsub), c.toSeq)): _*)
-      element_at(qtable, element_at(col("codes"), j + 1) + 1)
+      element_at(col(s"__qt_$j"), element_at(col("codes"), j + 1) + 1)
     }.reduce(_ + _)
-    val scored = encoded.join(broadcast(qbase))
+    val scored = encoded.join(broadcast(qTables))
       .where(col("id") =!= col("qid"))
       .withColumn("adc", round(adc, 6))
     val w = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("id").asc)

@@ -91,6 +91,26 @@ class DsirSpec extends AnyFunSuite {
     assert(norm(3L) > norm(2L) && norm(3L) > norm(4L))
   }
 
+  test("resampleSubset(raw, pred) ≡ resample(raw, raw.where(pred)) — " +
+    "the single-featurize path derives the target counts by filtering " +
+    "the raw postings (r8; q57's shape)") {
+    val raw = docsDf((1L to 60L).map(i =>
+      (i, if (i % 4 == 1) "alpha beta gamma shared topic words"
+          else s"unique_${i}_a unique_${i}_b filler_$i mixed alpha")))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Double]("logw"),
+        r.getAs[Double]("key"), r.getAs[Int]("rank"))).sortBy(_._4).toSeq
+    for (algo <- Seq(Dedup.AlgoXx64, Dedup.AlgoMd5)) {
+      val two = canon(Dsir.resample(raw,
+        raw.where(pmod(col("doc_id"), lit(4)) === 1),
+        "doc_id", "text", dim = 512, n = 20, algo = algo))
+      val one = canon(Dsir.resampleSubset(raw,
+        pmod(col("id"), lit(4)) === 1,
+        "doc_id", "text", dim = 512, n = 20, algo = algo))
+      assert(one == two, s"algo=$algo")
+    }
+  }
+
   test("resample: rank 1..n under (key desc, id asc), deterministic " +
     "run-over-run, identical across xx64 re-run") {
     val raw = docsDf((1L to 40L).map(i =>

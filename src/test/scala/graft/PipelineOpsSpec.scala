@@ -203,6 +203,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("duplicate clusters: duplicated and reversed pair rows yield the " +
+    "same components (min-label propagation is duplicate-edge-insensitive " +
+    "— the r8 edges build drops the dedup shuffle)") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 2L), (2L, 1L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("duplicate clusters on empty pair input: empty result, no crash") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")

@@ -195,6 +195,42 @@ class SubstringDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("spanContainmentJoin planted hot gram: a boilerplate 8-gram in " +
+    "EVERY doc mints ZERO candidates (it ranks last in the rarest-first " +
+    "order, so it sits in no doc's prefix) where the unbounded self-join " +
+    "minted d(d-1)/2; qualifying near-copy pairs still surface") {
+    import org.apache.spark.sql.functions.{col, count, explode, lit}
+    val d = 40
+    val hot = (0 until 8).map(j => s"hot$j").mkString(" ")
+    // d docs: 15 unique tokens + the hot run + 15 unique tokens each
+    // (mixed boundary grams are unique per doc; exactly ONE pure hot
+    // 8-gram per doc, df = d), plus one identical near-copy pair
+    val corpus = (0 until d).map(i =>
+      (i.toLong, s"${uniq(100 + i, 15)} $hot ${uniq(200 + i, 15)}")) ++
+      Seq((900L, uniq(900, 20)), (901L, uniq(900, 20)))
+    val df = docsDf(corpus)
+    val spans = df.select(col("doc_id").as("id"),
+      explode(Dedup.shingleHashes(col("text"), 8)).as("h"))
+    val sizes = spans.groupBy(col("id")).agg(count(lit(1)).as("nspans"))
+    val cand = Dedup.containmentCandidates(spans, sizes, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the old self-join shape: the hot gram ALONE emits d(d-1)/2 pairs
+    val unbounded = spans.select(col("id").as("id_a"), col("h"))
+      .join(spans.select(col("id").as("id_b"), col("h")), Seq("h"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct().count()
+    assert(unbounded >= d.toLong * (d - 1) / 2)
+    // prefix-filtered: ONLY the qualifying near-copy pair survives as a
+    // candidate — O(d * prefix) with p = 0 for the hot gram
+    assert(cand == Set((900L, 901L)))
+    // and the verified join output is exactly that pair
+    val out = Dedup.spanContainmentJoin(df, "doc_id", "text",
+      n = 8, minContainment = 0.5).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("containment"))).toSeq
+    assert(out == Seq((900L, 901L, 1.0)))
+  }
+
   test("stripDupSpans removes exactly the covered tokens, keeps the " +
     "rest in order; a fully-duplicated doc strips to empty") {
     val df = docsDf(Seq(
