@@ -516,8 +516,11 @@ object SparkEntry {
       // hashes mean the merge law held exactly
       import graft.pipeline.Sketch
       val d = docs(s, dir)
-      val toks = d.select(col("doc_id"), col("lang"),
-        explode(Dedup.tokens(col("text"))).as("tok"))
+      // materialized ONCE: five consumers (two HLL builds, two CMS
+      // builds, the exact top-10) each re-ran the tokenize+explode pass
+      // before r8
+      val toks = Mat.corpus(d.select(col("doc_id"), col("lang"),
+        explode(Dedup.tokens(col("text"))).as("tok")))
       val ta = toks.where(pmod(col("doc_id"), lit(2)) === 0)
       val tb = toks.where(pmod(col("doc_id"), lit(2)) === 1)
       val hllRows = Sketch.hllEstimate(

@@ -1052,7 +1052,10 @@ object Dedup {
    * generation is materialized once, never re-run): the convergence probe
    * rides the shortcut job as an observed metric (CollectMetrics) instead
    * of a third scan — at scale, driver cost is rounds × jobs, so the
-   * probe must not be its own job.
+   * probe must not be its own job. The init aggregation already applies
+   * one propagation step (label₀ = min(id, min neighbor) — the same
+   * shuffle a distinct-nodes init pays), so the loop starts a round
+   * ahead (r8).
    *
    * Input: pairs (id_a, id_b); output: (id, component) with component =
    * min id in the node's component.
@@ -1070,8 +1073,14 @@ object Dedup {
           struct(col("id_a").as("src"), col("id_b").as("dst")),
           struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst")))
-    var labels = Mat.corpus(edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id")))
+    // init = min(id, min direct neighbor): the same shuffle the plain
+    // distinct-nodes init paid (groupBy src ≡ distinct src), but it
+    // absorbs round 1's whole propagation step — the loop starts one
+    // round ahead (r8)
+    var labels = Mat.corpus(edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("nbmin"))
+      .select(col("src").as("id"),
+        least(col("src"), col("nbmin")).as("component")))
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -1092,6 +1101,10 @@ object Dedup {
       // decrease (label(x) <= x invariant), so changed ⟺ new < old.
       // The changed-count rides the checkpoint job as an observed metric
       // (fresh Observation per round — listener is per-query).
+      // (r8 note: fusing the two per-round checkpoints into one was
+      // tried and REVERTED — ReuseExchange does not fire across the
+      // self-join's two prop references (0 reused of 9 exchanges
+      // measured), so the fusion re-ran every join twice.)
       val obs = new org.apache.spark.sql.Observation(s"cc_changed_$iter")
       val shortcut = Mat.corpus(propM.alias("p")
         .join(propM.select(col("id").as("cid"), col("component").as("cc")).alias("c"),
