@@ -193,7 +193,10 @@ object Dedup {
     * consumers (see shingleTable). */
   def minhashLshPrepped(withSh: DataFrame, k: Int = 32, bands: Int = 8,
                         threshold: Double = 0.8): DataFrame = {
-    val banded = bandedSignature(withSh, k, bands)
+    // materialized ONCE: the a/b self-join branches are separate scans,
+    // so an unmaterialized banded table runs the k-min minhash kernel +
+    // band hashing TWICE over the (checkpointed) shingle table (r8)
+    val banded = Mat.corpus(bandedSignature(withSh, k, bands))
 
     val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
@@ -534,8 +537,11 @@ object Dedup {
       if (maxDist <= 2) quarterPairKeys(col("sig"))
       else array((0 until 4).map(q =>
         shiftrightunsigned(col("sig"), q * 16).bitwiseAND(lit(0xFFFFL))): _*)
-    val blocked0 = withSig.select(col("id"), col("sig"), posexplode(keys))
-      .withColumnRenamed("pos", "q").withColumnRenamed("col", "qv")
+    // materialized ONCE: the df-cap aggregate plus the a/b self-join
+    // branches are three separate scans — unmaterialized, the simhash
+    // kernel re-ran per consumer (r8)
+    val blocked0 = Mat.corpus(withSig.select(col("id"), col("sig"), posexplode(keys))
+      .withColumnRenamed("pos", "q").withColumnRenamed("col", "qv"))
     val blocked =
       if (maxBucket > 0) {
         val small = blocked0.groupBy(col("q"), col("qv"))
@@ -669,9 +675,10 @@ object Dedup {
    * exact verify absorbs (pinned by boundary tests in PipelineOpsSpec).
    *
    * Plan shape: one df-count shuffle, one per-doc window (rank under the
-   * global order), the prefix-postings self-join with the two prunes,
-   * and the postings-join verify — every join a bounded equi-join, no
-   * pairwise scan.
+   * global order), the prefix-postings self-join with the two prunes
+   * aggregated per pair, and an array-intersect verify over the
+   * materialized element arrays (re-joined by id — candidates carry ids
+   * only) — every join a bounded equi-join, no pairwise scan.
    *
    * @param n set elements: 1 = word tokens, ≥2 = word n-gram shingles.
    *          Pick the element space to match the corpus: a corpus with
@@ -698,12 +705,15 @@ object Dedup {
     val toks = sh.select(col("id"), explode(col("sh")).as("tok"))
     val dfc = toks.groupBy(col("tok")).agg(count(lit(1)).as("tdf"))
     val sizes = sh.select(col("id"), size(col("sh")).cast("long").as("sz"))
-    val prefix = toks.join(dfc, Seq("tok"))
+    // materialized ONCE: the candidate self-join's two branches are
+    // separate scans — unmaterialized, the df-join + rank window ran
+    // twice (r8)
+    val prefix = Mat.corpus(toks.join(dfc, Seq("tok"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("tdf").asc, col("tok").asc)))
       .join(sizes, Seq("id"))
       .where(col("rk") <= col("sz") - floor(lit(threshold) * col("sz")) + 1)
-      .select(col("tok"), col("id"), col("rk"), col("sz"))
+      .select(col("tok"), col("id"), col("rk"), col("sz")))
     // slack errs only toward keeping a boundary candidate (see scaladoc)
     val tSlack = lit(threshold * (1.0 - 1e-9))
     val cand = prefix.select(col("tok"), col("id").as("id_a"),
@@ -823,7 +833,16 @@ object Dedup {
 
   /** Attribution variant: (eval_id, train_id, shared_spans) for eval docs
     * whose span sets intersect a train doc's — ids only through the span
-    * join (the candidate-shuffle discipline); payloads re-join by id. */
+    * join (the candidate-shuffle discipline); payloads re-join by id.
+    *
+    * SCALE ASSUMPTION (document, not guard — VERDICT r7): the span-hash
+    * join has no df bound, so a gram occurring in t train docs and e
+    * eval docs emits t·e candidate rows. This is safe ONLY because the
+    * eval side is a benchmark suite (thousands of docs, so e is small
+    * and t·e ≈ t — the postings cost the no-pairwise spanContamination
+    * already pays); do NOT call it with a second corpus-scale table as
+    * `eval` — that is spanContainmentJoin's job, which bounds hot grams
+    * with the containment prefix filter. */
   def spanContaminationPairs(train: DataFrame, eval: DataFrame,
                              idCol: String, textCol: String,
                              n: Int = 8, algo: String = AlgoXx64,
@@ -1165,9 +1184,12 @@ object Dedup {
     // shuffle must not carry the embedding arrays)
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     val withSig = base.select((Seq(col("id")) ++ sigCols): _*)
-    val exploded = withSig.select(col("id"),
+    // materialized ONCE: the a/b self-join branches are separate scans,
+    // so an unmaterialized signature table runs the planes×tables dot
+    // kernels TWICE over the corpus (r8)
+    val exploded = Mat.corpus(withSig.select(col("id"),
       posexplode(array((0 until tables).map(t => col(s"sig_$t")): _*)))
-      .withColumnRenamed("pos", "t").withColumnRenamed("col", "sig")
+      .withColumnRenamed("pos", "t").withColumnRenamed("col", "sig"))
     val a = exploded.select(col("t"), col("sig"), col("id").as("id_a"))
     val b = exploded.select(col("t"), col("sig"), col("id").as("id_b"))
     val pairs = a.join(b, Seq("t", "sig"))
