@@ -1087,11 +1087,26 @@ object Dedup {
     // distinct either: min-label propagation is duplicate-edge-
     // insensitive (neighborMin is a min aggregate), so the dedup shuffle
     // bought nothing (r8).
+    // edges are STATIC across rounds but re-joined every round on dst:
+    // hash-partition + sort them by dst BEFORE the checkpoint
+    // (Dataset.checkpoint preserves outputPartitioning/outputOrdering
+    // through LogicalRDD), so in the SORT-MERGE regime — corpus-scale
+    // labels that exceed the broadcast threshold — each round's
+    // edges⋈labels join needs neither an exchange nor a sort on the
+    // edges side, the big side of the per-round work (r8). At toy scale
+    // this is inert (measured: the checkpointed labels auto-broadcast,
+    // so edges were never shuffled per round anyway) and costs one
+    // extra small exchange at build time. Partition count from the
+    // session's shuffle.partitions: scale-adaptive, never a local
+    // constant.
+    val nPart = pairs.sparkSession.sessionState.conf.numShufflePartitions
     val edges = Mat.corpus(
       pairs.select(explode(array(
           struct(col("id_a").as("src"), col("id_b").as("dst")),
           struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst")))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .repartition(nPart, col("dst"))
+        .sortWithinPartitions(col("dst")))
     // init = min(id, min direct neighbor): the same shuffle the plain
     // distinct-nodes init paid (groupBy src ≡ distinct src), but it
     // absorbs round 1's whole propagation step — the loop starts one
