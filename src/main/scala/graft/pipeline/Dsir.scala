@@ -43,19 +43,36 @@ object Dsir {
   def hashedNgramFeatures(df: DataFrame, idCol: String, textCol: String,
                           dim: Int,
                           algo: String = Dedup.AlgoXx64): DataFrame = {
-    val uni = df
-      .select(col(idCol).as("id"),
-        explode(Dedup.tokens(col(textCol))).as("g"))
-      .where(length(col("g")) > 0)
-    val bi = LangModel.tokenPairs(df, idCol, textCol)
-      .select(col("id"), concat_ws(" ", col("w1"), col("w2")).as("g"))
+    // ONE corpus tokenize pass for BOTH gram orders (r8; the union of a
+    // unigram explode and LangModel.tokenPairs tokenized the corpus
+    // twice): zip each token with its successor (null-padded at the
+    // end), explode once per position, then expand each position to its
+    // unigram plus — when a non-empty successor exists — its bigram.
+    // Two codegen Generate steps, no interpreted HOFs; same gram
+    // multiset as the union formulation (empty tokens excluded exactly
+    // as before: unigrams require the token non-empty, bigrams require
+    // BOTH sides non-empty — a pair with an empty w1 contributes its w2
+    // unigram from w2's own position row), and the (id, f) groupBy is
+    // order-insensitive, so counts are identical.
+    val t = Dedup.tokens(col(textCol))
+    val z = arrays_zip(
+      t.as("w1"),
+      concat(slice(t, lit(2), size(t) - 1), array(lit(null).cast("string")))
+        .as("w2"))
+    val grams = df
+      .select(col(idCol).as("id"), explode(z).as("p"))
+      .where(length(col("p.w1")) > 0)
+      .select(col("id"), explode(
+        when(col("p.w2").isNotNull && length(col("p.w2")) > 0,
+          array(col("p.w1"), concat_ws(" ", col("p.w1"), col("p.w2"))))
+          .otherwise(array(col("p.w1")))).as("g"))
     val h = algo match {
       case Dedup.AlgoXx64 => xxhash64(col("g"))
       case Dedup.AlgoMd5  => Dedup.md5Hash60(col("g"))
       case other => throw new IllegalArgumentException(
         s"unknown feature hash algo '$other'")
     }
-    uni.unionByName(bi)
+    grams
       .select(col("id"), pmod(h, lit(dim.toLong)).cast("int").as("f"))
       .groupBy("id", "f").agg(count(lit(1)).as("tf"))
   }
