@@ -92,16 +92,18 @@ object SparkEntry {
     val sub = docs(s, dir).where(pmod(col("doc_id"), lit(5)) === 0)
     val sh = sub.select(col("doc_id").as("id"), col("lang"),
       Dedup.shingleHashes(col("text")).as("sh"))
-    val postings = Mat.corpus(
-      sh.select(col("id"), col("lang"), explode(col("sh")).as("s")))
-      // shingling runs once, not per consumer
-    val rare = postings.groupBy(col("s"), col("lang"))
-      .agg(count(lit(1)).as("df"))
-      .where(col("df") <= JaccardMaxDf)
-      .select(col("s"), col("lang"))
-    // materialize once: kept feeds three consumers (both self-join sides +
-    // the post-cap sizes) and its lineage includes the df-count semi-join
-    val kept = Mat.corpus(postings.join(rare, Seq("s", "lang"), "left_semi"))
+    val postings = sh.select(col("id"), col("lang"), explode(col("sh")).as("s"))
+    // df cap as ONE window over the (s, lang) partitioning instead of a
+    // groupBy + semi-join back (guide §2.4 — the count and the join-back
+    // share the same key): one postings shuffle, not two, and one
+    // checkpoint instead of two (r8; shingling still runs exactly once —
+    // inside the kept checkpoint job). kept feeds three consumers (both
+    // self-join sides + the post-cap sizes).
+    val wDf = Window.partitionBy(col("s"), col("lang"))
+    val kept = Mat.corpus(postings
+      .withColumn("__df", count(lit(1)).over(wDf))
+      .where(col("__df") <= JaccardMaxDf)
+      .drop("__df"))
     val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val a = kept.select(col("s"), col("lang"), col("id").as("id_a"))
     val b = kept.select(col("s"), col("lang"), col("id").as("id_b"))

@@ -537,19 +537,22 @@ object Dedup {
       if (maxDist <= 2) quarterPairKeys(col("sig"))
       else array((0 until 4).map(q =>
         shiftrightunsigned(col("sig"), q * 16).bitwiseAND(lit(0xFFFFL))): _*)
-    // materialized ONCE: the df-cap aggregate plus the a/b self-join
-    // branches are three separate scans — unmaterialized, the simhash
-    // kernel re-ran per consumer (r8)
-    val blocked0 = Mat.corpus(withSig.select(col("id"), col("sig"), posexplode(keys))
-      .withColumnRenamed("pos", "q").withColumnRenamed("col", "qv"))
-    val blocked =
+    // the bucket-size cap rides ONE window over the (q, qv) partitioning
+    // instead of a groupBy + semi-join back (guide §2.4; r8), and the
+    // CAPPED table is the one materialized — the a/b self-join branches
+    // are separate scans, so an unmaterialized table re-ran the simhash
+    // kernel per consumer
+    val blocked0 = withSig.select(col("id"), col("sig"), posexplode(keys))
+      .withColumnRenamed("pos", "q").withColumnRenamed("col", "qv")
+    val blocked = Mat.corpus(
       if (maxBucket > 0) {
-        val small = blocked0.groupBy(col("q"), col("qv"))
-          .agg(count(lit(1)).as("bsz"))
-          .where(col("bsz") <= maxBucket)
-          .select(col("q"), col("qv"))
-        blocked0.join(small, Seq("q", "qv"), "left_semi")
-      } else blocked0
+        import org.apache.spark.sql.expressions.Window
+        blocked0
+          .withColumn("__bsz",
+            count(lit(1)).over(Window.partitionBy(col("q"), col("qv"))))
+          .where(col("__bsz") <= maxBucket)
+          .drop("__bsz")
+      } else blocked0)
     val a = blocked.select(col("q"), col("qv"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = blocked.select(col("q"), col("qv"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("q", "qv"))
@@ -578,17 +581,18 @@ object Dedup {
    */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sh = df.select(col(idCol).as("id"), shingleHashes(col(textCol)).as("sh"))
-    // materialize the exploded postings ONCE: df-count, semi-join and the
-    // self-join all consume them, and shingling is the expensive step
-    val postings = Mat.corpus(sh.select(col("id"), explode(col("sh")).as("s")))
-    val rare = postings.groupBy(col("s"))
-      .agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxDf)
-      .select(col("s"))
-    // materialized once (eager): three consumers (self-join sides + sizes)
-    // would otherwise each re-run the shingling + df-count semi-join
-    val kept = Mat.corpus(postings.join(rare, Seq("s"), "left_semi"))
+    val postings = sh.select(col("id"), explode(col("sh")).as("s"))
+    // df cap as ONE window over the shingle partitioning instead of a
+    // groupBy + semi-join back (guide §2.4 — count and join-back share
+    // the key): one postings shuffle, not two; shingling runs exactly
+    // once, inside the kept checkpoint job. kept feeds three consumers
+    // (both self-join sides + the post-cap sizes) — materialized once.
+    val kept = Mat.corpus(postings
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .where(col("__df") <= maxDf)
+      .drop("__df"))
     val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val a = kept.select(col("s"), col("id").as("id_a"))
     val b = kept.select(col("s"), col("id").as("id_b"))
@@ -703,12 +707,14 @@ object Dedup {
     val sh = Mat.corpus(df.select(col(idCol).as("id"),
       shingleHashes(col(textCol), n, algo).as("sh")))
     val toks = sh.select(col("id"), explode(col("sh")).as("tok"))
-    val dfc = toks.groupBy(col("tok")).agg(count(lit(1)).as("tdf"))
     val sizes = sh.select(col("id"), size(col("sh")).cast("long").as("sz"))
-    // materialized ONCE: the candidate self-join's two branches are
-    // separate scans — unmaterialized, the df-join + rank window ran
-    // twice (r8)
-    val prefix = Mat.corpus(toks.join(dfc, Seq("tok"))
+    // the element df rides ONE window over the tok partitioning instead
+    // of a groupBy + join-back (guide §2.4 — both legs shared the tok
+    // key; r8), feeding the per-doc rank window directly. Materialized
+    // ONCE: the candidate self-join's two branches are separate scans —
+    // unmaterialized, the df window + rank window ran twice.
+    val prefix = Mat.corpus(toks
+      .withColumn("tdf", count(lit(1)).over(Window.partitionBy(col("tok"))))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("tdf").asc, col("tok").asc)))
       .join(sizes, Seq("id"))
@@ -778,23 +784,28 @@ object Dedup {
    * eval-contaminated content — the per-doc curation signal used to drop
    * or trim documents before training.
    *
-   * Scale shape: NO pairwise join at all — one postings shuffle to count
-   * each span's document frequency, one join back, one per-doc
-   * aggregation. A span shared by d documents costs d posting rows, not
-   * d² pair rows, so stop-spans need no cap here (unlike ngramJaccard).
+   * Scale shape: NO pairwise join at all — ONE postings shuffle (the
+   * span-hash window that both counts each span's document frequency
+   * and carries it on the row — count and join-back share the key, so
+   * the r7 join-back shuffle bought nothing), one per-doc aggregation.
+   * A span shared by d documents costs d posting rows, not d² pair
+   * rows, so stop-spans need no cap here (unlike ngramJaccard).
    *
    * @param algo span-hash algo (AlgoXx64 default; AlgoMd5 for oracled paths)
    */
   def spanDupStats(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 8,
                    algo: String = AlgoXx64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // distinct span hashes per doc, so a span's count(*) over postings IS
-    // its document frequency
-    val spans = Mat.corpus(df.select(col(idCol).as("id"),
-      explode(shingleHashes(col(textCol), n, algo)).as("h")))
-      // shingling feeds the df-count AND the join-back
-    val dfh = spans.groupBy(col("h")).agg(count(lit(1)).as("hdf"))
-    spans.join(dfh, Seq("h"))
+    // its document frequency; the df rides ONE window over the span-hash
+    // partitioning instead of a groupBy + join-back (guide §2.4 — the
+    // count and the join-back shared the h key, so the second shuffle of
+    // the full postings bought nothing; r8) — with a single consumer the
+    // checkpoint goes too, shingling runs once into the window shuffle
+    df.select(col(idCol).as("id"),
+        explode(shingleHashes(col(textCol), n, algo)).as("h"))
+      .withColumn("hdf", count(lit(1)).over(Window.partitionBy(col("h"))))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("hdf") >= 2, 1L).otherwise(0L)).as("dup_spans"))
@@ -867,8 +878,9 @@ object Dedup {
    * documents. The reference implementation builds a corpus suffix
    * array; the Spark-native shape is the positional k-gram postings
    * table — one corpus pass for the grams (positional ShingleHash
-   * kernel), one bounded shuffle on the gram hash for the df count,
-   * one join back, one per-doc window for the gaps-and-islands merge
+   * kernel), one shuffle on the gram hash (a window carrying the df
+   * count on each posting row — no join-back, r8),
+   * one per-doc window for the gaps-and-islands merge
    * of consecutive duplicated positions. No pairwise joins anywhere;
    * a gram shared by d docs costs d posting rows.
    *
@@ -890,18 +902,24 @@ object Dedup {
                         minDf: Int = 2, keepFirst: Boolean = false,
                         algo: String = AlgoXx64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = Mat.corpus(df
+    val grams = df
       .where(size(tokens(col(textCol))) >= k)
       .select(col(idCol).as("id"),
         posexplode(graft.plans.VectorKernels.shingleHash(
           col(textCol), k, algoIsMd5(algo), distinct = false)))
-      .select(col("id"), col("pos"), col("col").as("h")))
-    val dfh =
-      if (keepFirst)
-        grams.groupBy(col("h")).agg(count(lit(1)).as("hdf"),
-          min(struct(col("id"), col("pos"))).as("first"))
-      else grams.groupBy(col("h")).agg(count(lit(1)).as("hdf"))
-    val dup0 = grams.join(dfh, Seq("h")).where(col("hdf") >= minDf)
+      .select(col("id"), col("pos"), col("col").as("h"))
+    // the gram df (and keepFirst's global first occurrence) ride ONE
+    // window over the gram-hash partitioning instead of a groupBy +
+    // join-back (guide §2.4 — both legs shared the h key, so the second
+    // full-postings shuffle bought nothing; r8). Single consumer now, so
+    // the checkpoint goes too: the positional kernel runs once, feeding
+    // the window shuffle directly.
+    val wH = Window.partitionBy(col("h"))
+    val dup0 = (if (keepFirst)
+        grams.withColumn("hdf", count(lit(1)).over(wH))
+          .withColumn("first", min(struct(col("id"), col("pos"))).over(wH))
+      else grams.withColumn("hdf", count(lit(1)).over(wH)))
+      .where(col("hdf") >= minDf)
     val dup =
       if (keepFirst)
         dup0.where(!(col("first.id") === col("id") &&
@@ -1039,8 +1057,10 @@ object Dedup {
   private[graft] def containmentCandidates(spans: DataFrame, sizes: DataFrame,
                                            minContainment: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dfc = spans.groupBy(col("h")).agg(count(lit(1)).as("hdf"))
-    val prefix = spans.join(dfc, Seq("h"))
+    // span df as ONE window over the h partitioning instead of a
+    // groupBy + join-back (guide §2.4; r8)
+    val prefix = spans
+      .withColumn("hdf", count(lit(1)).over(Window.partitionBy(col("h"))))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("hdf").asc, col("h").asc)))
       .join(sizes, Seq("id"))
