@@ -335,7 +335,10 @@ object TextOps {
     val toks = df.select(col(idCol).as("id"),
       posexplode(Dedup.tokens(col(textCol)))).toDF("id", "pos", "tok")
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
-    val grams = toks.withColumn("nxt", lead(col("tok"), 1).over(w))
+    // materialized ONCE: the word-stats and 2-gram aggregations are two
+    // separate consumers — unmaterialized, the tokenize + posexplode +
+    // lead window ran twice (r8 single-evaluation discipline)
+    val grams = Mat.corpus(toks.withColumn("nxt", lead(col("tok"), 1).over(w)))
     val words = grams.groupBy(col("id")).agg(
       count(lit(1)).as("n_words"),
       countDistinct(col("tok")).as("d_words"))
